@@ -1,0 +1,23 @@
+"""diffsol_tpu: a TPU-native ODE/DAE solver framework in JAX/XLA/Pallas.
+
+Built from scratch with the capabilities of the `diffsol` reference
+(variable-order BDF/NDF, SDIRK TR-BDF2/ESDIRK34, explicit TSIT45, adaptive
+step/order control, singular-mass DAEs with consistent ICs, events with
+resets, quadrature, forward and adjoint sensitivities) re-designed for TPU:
+solvers are jitted ``lax.while_loop`` state machines over pytrees, AD comes
+from JAX, ensembles come from ``vmap`` + mesh sharding.
+"""
+
+from . import errors  # noqa: F401
+from .drivers import Solution, solve, solve_dense  # noqa: F401
+from .equations import OdeEquations, make_equations  # noqa: F401
+from .problem import (  # noqa: F401
+    InitialConditionOptions,
+    OdeBuilder,
+    OdeProblem,
+    OdeSolverOptions,
+    SolverConfig,
+)
+from .solvers import ErkSolver, Tableau, esdirk34, tr_bdf2, tsit45  # noqa: F401
+
+__version__ = "0.1.0"

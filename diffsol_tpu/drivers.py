@@ -1,0 +1,305 @@
+"""Solve drivers: full solves as single jitted while-loops.
+
+Equivalent of the reference driver functions on `OdeSolverMethod`
+(reference crates/diffsol/src/ode_solver/method.rs:721-818 `solve_dense`,
+:881-961 `solve`), including the root/reset protocol: on RootFound the state
+is pinned back to the root time via the dense-output interpolant
+(`state_mut_back`), the reset operator is applied if present and the solve
+auto-continues; without a reset operator the solve stops at the root
+(method.rs:774-805, lib.rs:194-213).
+
+TPU design: instead of growth-doubling output buffers, outputs are written
+into preallocated fixed-shape buffers inside one ``lax.while_loop``; for
+``solve_dense`` each accepted step interpolates ALL t_eval points and writes
+the ones falling inside the step with a mask (vectorized equivalent of the
+reference's `while col < t_eval.len() && t_eval[col] <= t` loop).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+from . import errors
+from ._pytree import pytree_dataclass
+
+
+@pytree_dataclass
+class Solution:
+    """Solve result (reference `Solution`, solution.rs:70-221).
+
+    ``ts``/``ys`` hold the output points; for adaptive ``solve`` only the
+    first ``n_points`` entries are valid.  ``stop_reason`` is an
+    :mod:`diffsol_tpu.errors` code; ``state`` is the final solver state
+    (restartable checkpoint, reference method.rs:56-70).
+    """
+
+    ts: jax.Array
+    ys: jax.Array
+    gs: Optional[jax.Array]
+    stop_reason: jax.Array
+    n_points: jax.Array
+    root_t: jax.Array
+    root_idx: jax.Array
+    state: Any
+
+    def raise_for_status(self):
+        errors.check_status(int(self.stop_reason), float(self.state.t))
+        return self
+
+
+def _pin_to(solver, state, t):
+    """state_mut_back: move the state back to time t inside the last step."""
+    y = solver.interpolate(state, t)
+    dy = solver.interpolate_dy(state, t)
+    upd = dict(y=y, dy=dy, t=t, state_modified=jnp.asarray(True))
+    if solver.problem.integrate_out:
+        upd["g"] = solver.interpolate_out(state, t)
+    if getattr(state, "s", None) is not None:
+        upd["s"] = solver.interpolate_sens(state, t)
+    return state.replace(**upd)
+
+
+def _apply_reset(solver, state, params):
+    """Apply the reset operator R(t, y) and refresh dy (reference
+    state.rs:246-320 apply_reset / apply_reset_with_mass)."""
+    p = solver.problem
+    y_new = p.eqn.reset(state.t, state.y, params)
+    state = state.replace(y=y_new, state_modified=jnp.asarray(True))
+    if hasattr(solver, "reinit_after_reset"):
+        state = solver.reinit_after_reset(state, params)
+    else:
+        dy_new = p.eqn.rhs(state.t, y_new, params)
+        state = state.replace(dy=dy_new)
+    return state
+
+
+def solve_dense(solver, t_eval, params=None, state=None, max_steps: int = 100_000):
+    """Solve and interpolate the solution onto ``t_eval`` (ascending).
+
+    Returns a :class:`Solution` with ``ys`` of shape (len(t_eval), nstates).
+    """
+    p = solver.problem
+    params = p.params if params is None else params
+    if state is None:
+        state = solver.init_state(params)
+    t_eval = jnp.asarray(t_eval, state.t.dtype)
+
+    fn = _get_cached(solver, f"_solve_dense_jit_{max_steps}", lambda: _make_solve_dense(solver, max_steps))
+    return fn(state, params, t_eval)
+
+
+def _make_solve_dense(solver, max_steps):
+    p = solver.problem
+    has_reset = p.eqn.reset is not None
+    integrate_out = p.integrate_out
+
+    def impl(state, params, t_eval):
+        neval = t_eval.shape[0]
+        final_time = t_eval[-1]
+        state = solver.set_stop_time(state, final_time)
+        n = state.y.shape[-1]
+        dtype = state.y.dtype
+        ys = jnp.zeros((neval,) + state.y.shape, dtype)
+        gs = jnp.zeros((neval,) + state.g.shape, dtype) if integrate_out else None
+
+        def write(state_new, t_upper, written_to, ys, gs):
+            mask = (t_eval <= t_upper) & (t_eval > written_to)
+            y_interp = jax.vmap(lambda tt: solver.interpolate(state_new, tt))(t_eval)
+            ys = jnp.where(mask.reshape((-1,) + (1,) * (ys.ndim - 1)), y_interp, ys)
+            if integrate_out:
+                g_interp = jax.vmap(lambda tt: solver.interpolate_out(state_new, tt))(
+                    t_eval
+                )
+                gs = jnp.where(
+                    mask.reshape((-1,) + (1,) * (gs.ndim - 1)), g_interp, gs
+                )
+            return ys, gs
+
+        def cond(carry):
+            (_state, _ys, _gs, _written_to, done, k, _stop, _rt, _ri) = carry
+            return (~done) & (k < max_steps)
+
+        def body(carry):
+            (state, ys, gs, written_to, _done, k, stop, root_t, root_idx) = carry
+            new = solver.step(state, params)
+            status = new.status
+            fatal = status < 0
+            is_root = status == errors.ROOT_FOUND
+            is_tstop = status == errors.TSTOP_REACHED
+
+            t_upper = jnp.where(is_root, new.root_t, new.t)
+            # the tstop-landing step may undershoot final_time by roundoff;
+            # extend the write interval to cover the last t_eval point
+            t_upper = jnp.where(is_tstop, jnp.maximum(t_upper, final_time), t_upper)
+            t_upper = jnp.where(fatal, written_to, t_upper)
+            ys, gs = write(new, t_upper, written_to, ys, gs)
+
+            if has_reset:
+                def on_root(s):
+                    pinned = _pin_to(solver, s, s.root_t)
+                    return _apply_reset(solver, pinned, params)
+
+                new = jax.lax.cond(is_root, on_root, lambda s: s, new)
+                root_done = is_root & (new.t >= final_time)
+                done = fatal | is_tstop | root_done
+                stop = jnp.where(
+                    is_tstop | root_done,
+                    errors.TSTOP_REACHED,
+                    jnp.where(fatal, status, stop),
+                ).astype(jnp.int32)
+            else:
+                def on_root(s):
+                    return _pin_to(solver, s, s.root_t)
+
+                new = jax.lax.cond(is_root, on_root, lambda s: s, new)
+                done = fatal | is_tstop | is_root
+                stop = jnp.where(
+                    is_root,
+                    errors.ROOT_FOUND,
+                    jnp.where(
+                        is_tstop, errors.TSTOP_REACHED, jnp.where(fatal, status, stop)
+                    ),
+                ).astype(jnp.int32)
+                root_t = jnp.where(is_root, new.t, root_t)
+                root_idx = jnp.where(is_root, new.root_idx, root_idx)
+
+            return (new, ys, gs, t_upper, done, k + 1, stop, root_t, root_idx)
+
+        init = (
+            state, ys, gs,
+            jnp.asarray(-jnp.inf, dtype),
+            jnp.asarray(False),
+            jnp.asarray(0, jnp.int32),
+            jnp.asarray(errors.TSTOP_REACHED, jnp.int32),
+            jnp.asarray(jnp.nan, dtype),
+            jnp.asarray(-1, jnp.int32),
+        )
+        (state, ys, gs, _w, done, k, stop, root_t, root_idx) = jax.lax.while_loop(
+            cond, body, init
+        )
+        stop = jnp.where(done, stop, errors.MAX_STEPS_REACHED).astype(jnp.int32)
+        return Solution(
+            ts=t_eval, ys=ys, gs=gs, stop_reason=stop,
+            n_points=jnp.asarray(t_eval.shape[0], jnp.int32),
+            root_t=root_t, root_idx=root_idx, state=state,
+        )
+
+    return jax.jit(impl)
+
+
+def solve(solver, final_time, params=None, state=None, max_steps: int = 10_000):
+    """Adaptive solve to ``final_time``, recording every internal step.
+
+    Returns a :class:`Solution` whose ``ts``/``ys`` buffers have
+    ``max_steps + 2`` rows; the first ``n_points`` are valid.
+    """
+    p = solver.problem
+    params = p.params if params is None else params
+    if state is None:
+        state = solver.init_state(params)
+    final_time = jnp.asarray(final_time, state.t.dtype)
+
+    fn = _get_cached(solver, f"_solve_jit_{max_steps}", lambda: _make_solve(solver, max_steps))
+    return fn(state, params, final_time)
+
+
+def _make_solve(solver, max_steps):
+    p = solver.problem
+    has_reset = p.eqn.reset is not None
+    integrate_out = p.integrate_out
+    nbuf = max_steps + 2
+
+    def impl(state, params, final_time):
+        dtype = state.y.dtype
+        ts = jnp.full((nbuf,), jnp.nan, dtype)
+        ys = jnp.zeros((nbuf,) + state.y.shape, dtype)
+        gs = jnp.zeros((nbuf,) + state.g.shape, dtype) if integrate_out else None
+
+        def write(ts, ys, gs, k, state):
+            ts = ts.at[k].set(state.t)
+            ys = ys.at[k].set(state.y)
+            if integrate_out:
+                gs = gs.at[k].set(state.g)
+            return ts, ys, gs, k + 1
+
+        ts, ys, gs, k0 = write(ts, ys, gs, jnp.asarray(0, jnp.int32), state)
+        state = solver.set_stop_time(state, final_time)
+
+        def cond(carry):
+            (_state, _ts, _ys, _gs, _k, done, nsteps, _stop, _rt, _ri) = carry
+            return (~done) & (nsteps < max_steps)
+
+        def body(carry):
+            (state, ts, ys, gs, k, _done, nsteps, stop, root_t, root_idx) = carry
+            new = solver.step(state, params)
+            status = new.status
+            fatal = status < 0
+            is_root = status == errors.ROOT_FOUND
+            is_tstop = status == errors.TSTOP_REACHED
+
+            if has_reset:
+                def on_root(s):
+                    pinned = _pin_to(solver, s, s.root_t)
+                    return _apply_reset(solver, pinned, params)
+
+                new = jax.lax.cond(is_root, on_root, lambda s: s, new)
+                root_done = is_root & (new.t >= final_time)
+                done = fatal | is_tstop | root_done
+                stop = jnp.where(
+                    is_tstop | root_done,
+                    errors.TSTOP_REACHED,
+                    jnp.where(fatal, status, stop),
+                ).astype(jnp.int32)
+            else:
+                def on_root(s):
+                    return _pin_to(solver, s, s.root_t)
+
+                new = jax.lax.cond(is_root, on_root, lambda s: s, new)
+                done = fatal | is_tstop | is_root
+                stop = jnp.where(
+                    is_root,
+                    errors.ROOT_FOUND,
+                    jnp.where(
+                        is_tstop, errors.TSTOP_REACHED, jnp.where(fatal, status, stop)
+                    ),
+                ).astype(jnp.int32)
+                root_t = jnp.where(is_root, new.t, root_t)
+                root_idx = jnp.where(is_root, new.root_idx, root_idx)
+
+            ts, ys, gs, k = jax.lax.cond(
+                fatal,
+                lambda args: args[:3] + (args[3],),
+                lambda args: write(*args[:4], new),
+                (ts, ys, gs, k),
+            )
+            return (new, ts, ys, gs, k, done, nsteps + 1, stop, root_t, root_idx)
+
+        init = (
+            state, ts, ys, gs, k0,
+            jnp.asarray(False),
+            jnp.asarray(0, jnp.int32),
+            jnp.asarray(errors.TSTOP_REACHED, jnp.int32),
+            jnp.asarray(jnp.nan, dtype),
+            jnp.asarray(-1, jnp.int32),
+        )
+        (state, ts, ys, gs, k, done, _n, stop, root_t, root_idx) = jax.lax.while_loop(
+            cond, body, init
+        )
+        stop = jnp.where(done, stop, errors.MAX_STEPS_REACHED).astype(jnp.int32)
+        return Solution(
+            ts=ts, ys=ys, gs=gs, stop_reason=stop, n_points=k,
+            root_t=root_t, root_idx=root_idx, state=state,
+        )
+
+    return jax.jit(impl)
+
+
+def _get_cached(solver, attr, make_fn):
+    cached = getattr(solver, attr, None)
+    if cached is None:
+        cached = make_fn()
+        setattr(solver, attr, cached)
+    return cached

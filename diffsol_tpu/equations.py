@@ -1,0 +1,152 @@
+"""ODE/DAE equation container.
+
+Equivalent of the reference equations layer
+(reference crates/diffsol/src/ode_equations/mod.rs:204-281 `OdeEquations` and
+the closure-wrapping op layer, op/closure*.rs): a problem is a set of pure
+JAX callables
+
+    M(t, p) dy/dt = f(t, y, p),    y(t0) = y0(t0, p)
+
+with optional root functions g_root(t, y, p) (events), an output g_out(t, y, p)
+(optionally quadrature-integrated), and a reset R(t, y, p) applied after a root
+event.  Where the reference needs hand-written Jacobian closures, Enzyme
+autodiff (op/closure_autodiff.rs) or NaN-probe sparsity detection
+(jacobian/mod.rs:16-114), the TPU build derives everything from ``jax.jacfwd``
+/ ``jax.jvp`` / ``jax.vjp`` -- automatic differentiation is the default, not a
+feature.
+
+All callables use the argument order ``(t, y, p)``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclass(frozen=True)
+class OdeEquations:
+    """Static (hashable) bundle of problem callables and dimensions.
+
+    Capability tiers of the reference (`OdeEquationsImplicit`, `...Sens`,
+    `...Adjoint`, ode_equations/mod.rs:321-419) collapse here: every tier is
+    available automatically through JAX AD.
+    """
+
+    rhs: Callable  # f(t, y, p) -> (n,)
+    init: Callable  # y0(t, p) -> (n,)
+    mass: Optional[Callable] = None  # M(t, p) -> (n, n); None => identity
+    root: Optional[Callable] = None  # g(t, y, p) -> (nroots,)
+    out: Optional[Callable] = None  # g(t, y, p) -> (nout,)
+    reset: Optional[Callable] = None  # R(t, y, p) -> (n,)
+    # Optional user-supplied Jacobian in the linear-solver tier's matrix
+    # representation; default is dense jax.jacfwd of rhs w.r.t. y.
+    rhs_jac: Optional[Callable] = None  # (t, y, p) -> jac representation
+    nstates: int = 0
+    nout: int = 0
+    nroots: int = 0
+    nparams: int = 0
+
+    # ---- derived operators (all pure; jit/vmap-safe) ----
+
+    def f(self, t, y, p):
+        return self.rhs(t, y, p)
+
+    def jac(self, t, y, p):
+        """Dense (or user-tier) Jacobian df/dy."""
+        if self.rhs_jac is not None:
+            return self.rhs_jac(t, y, p)
+        return jax.jacfwd(self.rhs, argnums=1)(t, y, p)
+
+    def jac_mul(self, t, y, p, v):
+        """Jacobian-vector product (df/dy) @ v via forward AD."""
+        return jax.jvp(lambda yy: self.rhs(t, yy, p), (y,), (v,))[1]
+
+    def jac_transpose_mul(self, t, y, p, v):
+        """(df/dy)^T @ v via reverse AD (adjoint equations)."""
+        _, vjp = jax.vjp(lambda yy: self.rhs(t, yy, p), y)
+        return vjp(v)[0]
+
+    def sens_mul(self, t, y, p, v):
+        """(df/dp) @ v via forward AD (forward sensitivities)."""
+        return jax.jvp(lambda pp: self.rhs(t, y, pp), (p,), (v,))[1]
+
+    def sens_transpose_mul(self, t, y, p, v):
+        """(df/dp)^T @ v via reverse AD (adjoint gradient quadrature)."""
+        _, vjp = jax.vjp(lambda pp: self.rhs(t, y, pp), p)
+        return vjp(v)[0]
+
+    def mass_matrix(self, t, p):
+        if self.mass is None:
+            return None
+        return self.mass(t, p)
+
+    def mass_mul(self, t, p, v):
+        if self.mass is None:
+            return v
+        return self.mass(t, p) @ v
+
+    def has_mass(self) -> bool:
+        return self.mass is not None
+
+    def __hash__(self):
+        return hash(
+            (
+                self.rhs,
+                self.init,
+                self.mass,
+                self.root,
+                self.out,
+                self.reset,
+                self.rhs_jac,
+                self.nstates,
+                self.nout,
+                self.nroots,
+                self.nparams,
+            )
+        )
+
+
+def make_equations(
+    rhs: Callable,
+    init: Callable,
+    params,
+    t0=0.0,
+    *,
+    mass: Optional[Callable] = None,
+    root: Optional[Callable] = None,
+    out: Optional[Callable] = None,
+    reset: Optional[Callable] = None,
+    rhs_jac: Optional[Callable] = None,
+) -> OdeEquations:
+    """Build an :class:`OdeEquations`, inferring dimensions with eval_shape."""
+    params = jnp.asarray(params)
+    t0 = jnp.asarray(t0, dtype=params.dtype if params.size else None)
+    y_shape = jax.eval_shape(init, t0, params)
+    nstates = int(y_shape.shape[0]) if y_shape.shape else 1
+    y_dummy = jax.ShapeDtypeStruct(y_shape.shape, y_shape.dtype)
+    nroots = 0
+    if root is not None:
+        r_shape = jax.eval_shape(root, t0, y_dummy, params)
+        nroots = int(r_shape.shape[0]) if r_shape.shape else 1
+    nout = 0
+    if out is not None:
+        o_shape = jax.eval_shape(out, t0, y_dummy, params)
+        nout = int(o_shape.shape[0]) if o_shape.shape else 1
+    nparams = int(params.shape[0]) if params.ndim else params.size
+    return OdeEquations(
+        rhs=rhs,
+        init=init,
+        mass=mass,
+        root=root,
+        out=out,
+        reset=reset,
+        rhs_jac=rhs_jac,
+        nstates=nstates,
+        nout=nout,
+        nroots=nroots,
+        nparams=nparams,
+    )

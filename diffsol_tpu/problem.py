@@ -1,0 +1,312 @@
+"""Problem definition, options and the fluent builder.
+
+Equivalent of the reference problem/builder API (reference
+crates/diffsol/src/ode_solver/builder.rs:112-1933 `OdeBuilder`,
+problem.rs:98-152 `OdeSolverOptions`, problem.rs:15-43
+`InitialConditionSolverOptions`, config.rs per-solver configs).  All defaults
+match the reference.
+
+An :class:`OdeProblem` is a registered pytree: the equation callables,
+integer limits and solver policies are static metadata, while ``params``,
+``t0``, ``h0`` and the tolerances are traced leaves -- ``vmap`` over
+``params`` is the ensemble axis.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Callable, Optional
+
+import jax.numpy as jnp
+
+from ._pytree import pytree_dataclass
+from .equations import OdeEquations, make_equations
+from .ops.linsol import DENSE, LinearSolverSpec, get_solver
+
+
+@dataclass(frozen=True)
+class OdeSolverOptions:
+    """Solver-wide policies (reference problem.rs:98-152, same defaults)."""
+
+    max_nonlinear_solver_iterations: int = 10
+    max_error_test_failures: int = 40
+    max_nonlinear_solver_failures: int = 50
+    nonlinear_solver_tolerance: float = 0.2
+    min_timestep: float = 1e-13
+    max_timestep_growth: Optional[float] = None  # solver-specific default
+    min_timestep_growth: Optional[float] = None
+    max_timestep_shrink: Optional[float] = None
+    min_timestep_shrink: Optional[float] = None
+    update_jacobian_after_steps: int = 20
+    update_rhs_jacobian_after_steps: int = 50
+    threshold_to_update_jacobian: float = 0.3
+    threshold_to_update_rhs_jacobian: float = 0.2
+    pi_control_proportional: float = 0.0
+    pi_control_integral: float = 0.5
+
+
+@dataclass(frozen=True)
+class InitialConditionOptions:
+    """Consistent-IC Newton options (reference problem.rs:15-43)."""
+
+    use_linesearch: bool = True
+    max_linesearch_iterations: int = 10
+    max_newton_iterations: int = 10
+    max_linear_solver_setups: int = 4
+    step_reduction_factor: float = 0.5
+    armijo_constant: float = 1e-4
+
+
+@dataclass(frozen=True)
+class SolverConfig:
+    """Per-solver step-size clamps (reference config.rs:22-146).
+
+    ``from_options`` applies the reference solver-specific defaults:
+    BDF/SDIRK: growth in [2, 2], shrink dead-zone [0.5, 0.9];
+    ERK: growth [1, 2], shrink [0.5, 1].
+    """
+
+    minimum_timestep: float = 1e-13
+    maximum_error_test_failures: int = 40
+    maximum_newton_fails: int = 50
+    maximum_newton_iterations: int = 10
+    maximum_timestep_growth: float = 2.0
+    minimum_timestep_growth: float = 2.0
+    maximum_timestep_shrink: float = 0.9
+    minimum_timestep_shrink: float = 0.5
+
+    @staticmethod
+    def from_options(opts: OdeSolverOptions, kind: str) -> "SolverConfig":
+        if kind == "erk":
+            ming, maxs = 1.0, 1.0
+        else:
+            ming, maxs = 2.0, 0.9
+        return SolverConfig(
+            minimum_timestep=opts.min_timestep,
+            maximum_error_test_failures=opts.max_error_test_failures,
+            maximum_newton_fails=opts.max_nonlinear_solver_failures,
+            maximum_newton_iterations=opts.max_nonlinear_solver_iterations,
+            maximum_timestep_growth=(
+                opts.max_timestep_growth if opts.max_timestep_growth is not None else 2.0
+            ),
+            minimum_timestep_growth=(
+                opts.min_timestep_growth if opts.min_timestep_growth is not None else ming
+            ),
+            maximum_timestep_shrink=(
+                opts.max_timestep_shrink if opts.max_timestep_shrink is not None else maxs
+            ),
+            minimum_timestep_shrink=(
+                opts.min_timestep_shrink if opts.min_timestep_shrink is not None else 0.5
+            ),
+        )
+
+
+@pytree_dataclass(static=("eqn", "options", "ic_options", "integrate_out", "linear_solver"))
+class OdeProblem:
+    """An ODE/DAE problem ready to be handed to a solver.
+
+    Pytree leaves: ``params``, ``t0``, ``h0``, ``rtol``, ``atol`` (vector of
+    length nstates) and the optional out/sens tolerance leaves.  Everything
+    else is static.  (Reference `OdeSolverProblem`, problem.rs:161-240.)
+    """
+
+    eqn: OdeEquations
+    params: Any
+    t0: Any
+    h0: Any
+    rtol: Any
+    atol: Any
+    out_rtol: Any = None
+    out_atol: Any = None
+    sens_rtol: Any = None
+    sens_atol: Any = None
+    integrate_out: bool = False
+    options: OdeSolverOptions = field(default_factory=OdeSolverOptions)
+    ic_options: InitialConditionOptions = field(default_factory=InitialConditionOptions)
+    linear_solver: LinearSolverSpec = DENSE
+
+    @property
+    def dtype(self):
+        return jnp.result_type(self.atol)
+
+    def output_in_error_control(self) -> bool:
+        return (
+            self.integrate_out
+            and self.eqn.out is not None
+            and self.out_rtol is not None
+            and self.out_atol is not None
+        )
+
+    def sens_in_error_control(self) -> bool:
+        return self.sens_rtol is not None and self.sens_atol is not None
+
+
+class OdeBuilder:
+    """Fluent problem builder (reference builder.rs:112-1933).
+
+    Example::
+
+        problem = (
+            OdeBuilder()
+            .rhs(lambda t, y, p: -p[0] * y)
+            .init(lambda t, p: jnp.array([1.0]))
+            .p([0.1])
+            .rtol(1e-6)
+            .build()
+        )
+
+    Hand-written Jacobian closures (`rhs_implicit`) are optional: JAX AD
+    supplies every derivative by default (the reference's `*_autodiff`
+    builder methods are the norm here).
+    """
+
+    def __init__(self):
+        self._rhs = None
+        self._rhs_jac = None
+        self._init = None
+        self._mass = None
+        self._root = None
+        self._out = None
+        self._reset = None
+        self._p = jnp.zeros((0,))
+        self._t0 = 0.0
+        self._h0 = 0.0  # 0 => use heuristic
+        self._rtol = 1e-6
+        self._atol = 1e-6
+        self._out_rtol = None
+        self._out_atol = None
+        self._sens_rtol = None
+        self._sens_atol = None
+        self._integrate_out = False
+        self._options = OdeSolverOptions()
+        self._ic_options = InitialConditionOptions()
+        self._linear_solver = DENSE
+
+    # equations ---------------------------------------------------------
+    def rhs(self, f: Callable):
+        self._rhs = f
+        return self
+
+    def rhs_implicit(self, f: Callable, jac: Callable):
+        """RHS with an explicit Jacobian (t, y, p) -> matrix representation."""
+        self._rhs = f
+        self._rhs_jac = jac
+        return self
+
+    def init(self, f: Callable):
+        self._init = f
+        return self
+
+    def mass(self, m: Callable):
+        self._mass = m
+        return self
+
+    def root(self, g: Callable):
+        self._root = g
+        return self
+
+    def out(self, g: Callable):
+        self._out = g
+        return self
+
+    def reset(self, r: Callable):
+        self._reset = r
+        return self
+
+    # settings ----------------------------------------------------------
+    def p(self, params):
+        self._p = jnp.asarray(params, dtype=jnp.result_type(float))
+        return self
+
+    def t0(self, t0: float):
+        self._t0 = t0
+        return self
+
+    def h0(self, h0: float):
+        self._h0 = h0
+        return self
+
+    def rtol(self, rtol: float):
+        self._rtol = rtol
+        return self
+
+    def atol(self, atol):
+        self._atol = atol
+        return self
+
+    def out_rtol(self, v):
+        self._out_rtol = v
+        return self
+
+    def out_atol(self, v):
+        self._out_atol = v
+        return self
+
+    def sens_rtol(self, v):
+        self._sens_rtol = v
+        return self
+
+    def sens_atol(self, v):
+        self._sens_atol = v
+        return self
+
+    def integrate_out(self, flag: bool = True):
+        self._integrate_out = flag
+        return self
+
+    def options(self, opts: OdeSolverOptions):
+        self._options = opts
+        return self
+
+    def ic_options(self, opts: InitialConditionOptions):
+        self._ic_options = opts
+        return self
+
+    def linear_solver(self, spec):
+        self._linear_solver = get_solver(spec)
+        return self
+
+    # build --------------------------------------------------------------
+    def build(self) -> OdeProblem:
+        if self._rhs is None or self._init is None:
+            raise ValueError("OdeBuilder requires at least .rhs(...) and .init(...)")
+        eqn = make_equations(
+            self._rhs,
+            self._init,
+            self._p,
+            self._t0,
+            mass=self._mass,
+            root=self._root,
+            out=self._out,
+            reset=self._reset,
+            rhs_jac=self._rhs_jac,
+        )
+        dtype = jnp.result_type(float)
+        atol = jnp.asarray(self._atol, dtype)
+        if atol.ndim == 0:
+            atol = jnp.full((eqn.nstates,), atol, dtype)
+
+        def _vecify(v, nv):
+            if v is None:
+                return None
+            v = jnp.asarray(v, dtype)
+            if v.ndim == 0:
+                v = jnp.full((nv,), v, dtype)
+            return v
+
+        return OdeProblem(
+            eqn=eqn,
+            params=jnp.asarray(self._p, dtype),
+            t0=jnp.asarray(self._t0, dtype),
+            h0=jnp.asarray(self._h0, dtype),
+            rtol=jnp.asarray(self._rtol, dtype),
+            atol=atol,
+            out_rtol=None if self._out_rtol is None else jnp.asarray(self._out_rtol, dtype),
+            out_atol=_vecify(self._out_atol, eqn.nout),
+            sens_rtol=None if self._sens_rtol is None else jnp.asarray(self._sens_rtol, dtype),
+            sens_atol=_vecify(self._sens_atol, eqn.nstates),
+            integrate_out=self._integrate_out,
+            options=self._options,
+            ic_options=self._ic_options,
+            linear_solver=self._linear_solver,
+        )

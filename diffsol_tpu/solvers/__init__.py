@@ -1,0 +1,2 @@
+from .erk import ErkSolver  # noqa: F401
+from .tableau import Tableau, esdirk34, tr_bdf2, tsit45  # noqa: F401
