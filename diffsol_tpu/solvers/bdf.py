@@ -46,9 +46,6 @@ ND = MAX_ORDER + 3  # rows of the difference matrix D
 _KAPPA = np.array([0.0, -0.1850, -1.0 / 9.0, -0.0823, -0.0415, 0.0])
 _GAMMA = np.concatenate([[0.0], np.cumsum(1.0 / np.arange(1, MAX_ORDER + 1))])
 _ALPHA = np.concatenate([[0.0], 1.0 / ((1.0 - _KAPPA[1:]) * _GAMMA[1:])])
-_EC = _KAPPA * _GAMMA + 1.0 / np.arange(2, MAX_ORDER + 2, dtype=np.float64).__rsub__(
-    np.arange(2, MAX_ORDER + 2, dtype=np.float64) * 0 + np.arange(2, MAX_ORDER + 2)
-)
 # error_const2[i] = (kappa[i]*gamma[i] + 1/(i+1))^2, error_const2[0] = 1
 _ERROR_CONST2 = np.concatenate(
     [[1.0], (_KAPPA[1:] * _GAMMA[1:] + 1.0 / np.arange(2, MAX_ORDER + 2)) ** 2]
@@ -146,19 +143,15 @@ def _update_diff(D, d, order):
     D[order+2] = d - D[order+1]; D[order+1] = d; D[i] += D[i+1] downward.
     Equivalently D'[i] = sum_{k=i..order} D[k] + d for i <= order."""
     idx = jnp.arange(ND)
-    d_minus = d - D[...]  # placeholder to keep shapes clear; computed below
     # suffix sums S[i] = sum_{k=i..order} D[k]
     mask = ((idx[:, None] <= idx[None, :]) & (idx[None, :] <= order)).astype(D.dtype)
     suffix = jnp.tensordot(mask, D, axes=[[1], [0]])  # (ND, n)
     new_rows = suffix + d[None, :]
     D_new = jnp.where((idx <= order)[:, None], new_rows, D)
-    D_new = D_new.at[...].set(D_new)
     # rows order+1 and order+2 via masked writes (traced order)
-    row_op1 = (idx == order + 1)[:, None]
-    row_op2 = (idx == order + 2)[:, None]
     d_old_op1 = jnp.tensordot((idx == order + 1).astype(D.dtype), D, axes=1)
-    D_new = jnp.where(row_op1, d[None, :], D_new)
-    D_new = jnp.where(row_op2, (d - d_old_op1)[None, :], D_new)
+    D_new = jnp.where((idx == order + 1)[:, None], d[None, :], D_new)
+    D_new = jnp.where((idx == order + 2)[:, None], (d - d_old_op1)[None, :], D_new)
     return D_new
 
 
@@ -465,6 +458,7 @@ class BdfSolver:
             newton_fails=state.newton_fails_total,
             err_fails_step=jnp.asarray(0, jnp.int32),
             accepted=jnp.asarray(False),
+            h_changed=jnp.asarray(False),
             status=jnp.asarray(errors.INTERNAL_TIMESTEP, jnp.int32),
         )
 
@@ -528,6 +522,7 @@ class BdfSolver:
                         c, st=st, D=D, gD=gD, h=h,
                         y_pred=y_pred, psi=psi, t_pred=t_pred,
                         conv_fail=jnp.asarray(True),
+                        h_changed=jnp.asarray(True),
                         prev_err=jnp.asarray(jnp.nan, dtype),
                         newton_fails=newton_fails, status=status,
                     )
@@ -600,6 +595,7 @@ class BdfSolver:
                         c, st=st, D=D, gD=gD, h=h,
                         y_pred=y_pred, psi=psi, t_pred=t_pred,
                         prev_err=jnp.asarray(jnp.nan, dtype),
+                        h_changed=jnp.asarray(True),
                         err_fails_step=err_fails,
                         err=err, safety=safety, status=status,
                     )
@@ -641,7 +637,11 @@ class BdfSolver:
         st["steps_since_jac"] = st["steps_since_jac"] + 1
         st["steps_since_rhs_jac"] = st["steps_since_rhs_jac"] + 1
         err = carry["err"]
-        n_equal = state.n_equal_steps + 1
+        # a step-size change during the attempt loop resets the equal-step
+        # counter (reference _update_step_size, bdf.rs:508-519)
+        n_equal = jnp.where(carry["h_changed"], 1, state.n_equal_steps + 1).astype(
+            jnp.int32
+        )
 
         # ---- order selection (bdf.rs:1489-1562) ----
         def order_select(args):
