@@ -18,6 +18,14 @@ from .problem import (  # noqa: F401
     OdeSolverOptions,
     SolverConfig,
 )
-from .solvers import ErkSolver, Tableau, esdirk34, tr_bdf2, tsit45  # noqa: F401
+from .solvers import (  # noqa: F401
+    BdfSolver,
+    ErkSolver,
+    SdirkSolver,
+    Tableau,
+    esdirk34,
+    tr_bdf2,
+    tsit45,
+)
 
 __version__ = "0.1.0"

@@ -168,12 +168,15 @@ def _make_solve_dense(solver, max_steps):
 
             return (new, ys, gs, t_upper, done, k + 1, stop, root_t, root_idx)
 
+        init_failed = state.status < 0
         init = (
             state, ys, gs,
             jnp.asarray(-jnp.inf, dtype),
-            jnp.asarray(False),
+            init_failed,
             jnp.asarray(0, jnp.int32),
-            jnp.asarray(errors.TSTOP_REACHED, jnp.int32),
+            jnp.where(init_failed, state.status, errors.TSTOP_REACHED).astype(
+                jnp.int32
+            ),
             jnp.asarray(jnp.nan, dtype),
             jnp.asarray(-1, jnp.int32),
         )
@@ -277,11 +280,14 @@ def _make_solve(solver, max_steps):
             )
             return (new, ts, ys, gs, k, done, nsteps + 1, stop, root_t, root_idx)
 
+        init_failed = state.status < 0
         init = (
             state, ts, ys, gs, k0,
-            jnp.asarray(False),
+            init_failed,
             jnp.asarray(0, jnp.int32),
-            jnp.asarray(errors.TSTOP_REACHED, jnp.int32),
+            jnp.where(init_failed, state.status, errors.TSTOP_REACHED).astype(
+                jnp.int32
+            ),
             jnp.asarray(jnp.nan, dtype),
             jnp.asarray(-1, jnp.int32),
         )

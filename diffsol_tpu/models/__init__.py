@@ -1,3 +1,8 @@
 """Analytic-solution fixture problems (reference test_models/)."""
 
-from . import exponential_decay, logistic  # noqa: F401
+from . import (  # noqa: F401
+    exponential_decay,
+    exponential_decay_algebraic,
+    logistic,
+    robertson,
+)

@@ -36,6 +36,7 @@ from ..ops.newton import ETA_RESET_JACOBIAN, ETA_RESET_TIMESTEP, newton_solve
 from ..ops.rootfind import check_root
 from ..problem import OdeProblem, SolverConfig
 from .._pytree import pytree_dataclass
+from .consistent_ic import algebraic_mask, make_consistent
 from .rk_common import Stats
 from .state import initial_state, initial_step_size
 
@@ -195,6 +196,8 @@ class BdfSolver:
     def __init__(self, problem: OdeProblem, config: Optional[SolverConfig] = None):
         self.problem = problem
         self.config = config or SolverConfig.from_options(problem.options, "bdf")
+        # static partition of algebraic states (zero mass diagonal)
+        self._alg_mask = algebraic_mask(problem)
 
     @property
     def order(self) -> int:
@@ -304,6 +307,9 @@ class BdfSolver:
         p = self.problem
         params = p.params if params is None else params
         y, dy, g, dg = initial_state(p, params)
+        ic_status = jnp.asarray(errors.INTERNAL_TIMESTEP, jnp.int32)
+        if self._alg_mask is not None:
+            y, dy, ic_status = make_consistent(p, params, y, dy, self._alg_mask)
         h = initial_step_size(p, params, y, dy, 1)
         dtype = y.dtype
         n = y.shape[-1]
@@ -336,11 +342,21 @@ class BdfSolver:
             c_last=c0,
             newton_fails_total=jnp.asarray(0, jnp.int32),
             root_g=root_g, tstop=nan,
-            status=jnp.asarray(errors.INTERNAL_TIMESTEP, jnp.int32),
+            status=ic_status,
             root_t=nan, root_idx=jnp.asarray(-1, jnp.int32),
             state_modified=jnp.asarray(False),
             stats=stats,
         )
+
+    def reinit_after_reset(self, state: BdfState, params) -> BdfState:
+        """Refresh dy (and re-solve DAE consistency) after a reset
+        (reference state.rs apply_reset_with_mass)."""
+        p = self.problem
+        dy = p.eqn.rhs(state.t, state.y, params)
+        if self._alg_mask is None:
+            return state.replace(dy=dy)
+        y, dy, status = make_consistent(p, params, state.y, dy, self._alg_mask)
+        return state.replace(y=y, dy=dy, status=status)
 
     def set_stop_time(self, state: BdfState, tstop) -> BdfState:
         tstop = jnp.asarray(tstop, state.t.dtype)

@@ -1,0 +1,187 @@
+"""Consistent initial conditions for singular-mass DAEs.
+
+Implements the Brown/Hindmarsh/Petzold (1998) approach of the reference
+(reference crates/diffsol/src/op/init.rs `InitOp`,
+ode_solver/state.rs:84-162 `set_consistent`, diffsol-nl/src/line_search.rs
+:110-201 `BacktrackingLineSearch`): algebraic variables are the states with
+a zero diagonal in the mass matrix; the unknowns are (du_differential,
+v_algebraic) packed into one full-length vector and solved from
+
+    F(x) = f(t0, y|alg<-x) - M_u @ (x|alg<-0) = 0
+
+by damped Newton with an IDA-style Armijo backtracking line search
+(tau = 0.5, c = 1e-4, steptol = eps^(2/3)), re-factorizing the Jacobian up
+to ``max_linear_solver_setups`` times.  Where the reference assembles the
+block Jacobian [[-M_u, df/dv], [0, dg/dv]] by matrix splitting, here it is
+simply ``jax.jacfwd`` of the packed residual.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import errors
+from ..norms import norm as wrms_norm
+from ..ops.newton import CONTINUE, CONVERGED, DIVERGED, ETA_RESET_JACOBIAN
+
+
+def algebraic_mask(problem, params=None):
+    """Static boolean mask of algebraic states (zero mass diagonal);
+    reference Matrix::partition_indices_by_zero_diagonal (matrix/mod.rs:195).
+
+    Evaluated eagerly at problem/solver construction time (requires concrete
+    params), since the partition determines program structure.
+    """
+    if problem.eqn.mass is None:
+        return None
+    params = problem.params if params is None else params
+    mass = np.asarray(problem.eqn.mass(problem.t0, params))
+    diag = np.diag(mass)
+    mask = diag == 0.0
+    if not mask.any():
+        return None
+    return jnp.asarray(mask)
+
+
+def make_consistent(problem, params, y, dy, is_alg):
+    """Solve for consistent (y, dy); returns (y, dy, status).
+
+    ``is_alg`` is the static algebraic mask from :func:`algebraic_mask`.
+    """
+    p = problem
+    t0 = jnp.asarray(p.t0, y.dtype)
+    ic = p.ic_options
+    dtype = y.dtype
+    eps = jnp.finfo(dtype).eps
+    tol = jnp.asarray(p.options.nonlinear_solver_tolerance, dtype)
+    steptol = eps ** (2.0 / 3.0)
+    tau = ic.step_reduction_factor
+    armijo_c = ic.armijo_constant
+    max_ls = ic.max_linesearch_iterations
+    max_newton = ic.max_newton_iterations
+    max_setups = ic.max_linear_solver_setups
+
+    y_fixed = y
+
+    def residual(x):
+        y0 = jnp.where(is_alg, x, y_fixed)
+        f = p.eqn.rhs(t0, y0, params)
+        du = jnp.where(is_alg, 0.0, x)
+        mdu = p.eqn.mass_mul(t0, params, du)
+        mdu = jnp.where(is_alg, 0.0, mdu)
+        return f - mdu
+
+    x0 = jnp.where(is_alg, y, dy)
+
+    def factorize(x):
+        jac = jax.jacfwd(residual)(x)
+        return p.linear_solver.factor(jac)
+
+    def newton_with_linesearch(x, eta):
+        """One Newton campaign with a frozen factorization.
+
+        Returns (x, status, eta).  Status follows the reference Convergence
+        semantics; line-search failure maps to DIVERGED so the outer loop
+        refactorizes and retries.
+        """
+        factors = factorize(x)
+        lin = lambda v: p.linear_solver.solve(factors, v)
+        delta = lin(residual(x))
+        nrm = wrms_norm(delta, y_fixed, p.atol, p.rtol)
+
+        def check(niter, nrm, first_norm, eta):
+            """Convergence check (convergence.rs:69-130); returns (status, eta)."""
+            eta_first = jnp.maximum(eta, 1e4 * eps) ** jnp.asarray(0.8, dtype)
+            k = jnp.maximum(niter - 1, 1).astype(dtype)
+            rate = (nrm / jnp.maximum(first_norm, 0.0)) ** (1.0 / k)
+            rate = jnp.where(jnp.isfinite(rate), rate, jnp.inf)
+            proj = (
+                rate ** jnp.maximum(max_newton - niter, 0).astype(dtype)
+                / (1.0 - rate)
+                * nrm
+            )
+            eta_later = rate / (1.0 - rate)
+            is_first = niter == 1
+            eta_new = jnp.where(is_first, eta_first, eta_later)
+            diverged = (~is_first) & ((rate > 0.9) | (proj > tol))
+            converged = (eta_new * nrm < tol) & ~diverged
+            status = jnp.where(
+                diverged, DIVERGED, jnp.where(converged, CONVERGED, CONTINUE)
+            ).astype(jnp.int32)
+            return status, eta_new
+
+        status0, eta = check(jnp.asarray(1, jnp.int32), nrm, nrm, eta)
+        # if already converged on the first norm, take the full step
+        x = jnp.where(status0 == CONVERGED, x - delta, x)
+
+        def cond(carry):
+            (_x, _delta, _nrm, _first, _eta, niter, status) = carry
+            return (status == CONTINUE) & (niter < max_newton)
+
+        def body(carry):
+            (x, delta, nrm, first, eta, niter, _status) = carry
+            phi0 = 0.5 * nrm * nrm
+            two_phi0 = nrm * nrm
+            min_alpha = steptol / nrm
+
+            def ls_cond(ls):
+                (_xt, _dt, _nt, alpha, i, done, failed) = ls
+                return (~done) & (~failed) & (i < max_ls)
+
+            def ls_body(ls):
+                (_xt, _dt, _nt, alpha, i, _done, _failed) = ls
+                x_try = x - alpha * delta
+                d_try = lin(residual(x_try))
+                n_try = wrms_norm(d_try, y_fixed, p.atol, p.rtol)
+                ok = 0.5 * n_try * n_try <= phi0 - armijo_c * alpha * two_phi0
+                failed = (~ok) & (alpha < min_alpha)
+                return (x_try, d_try, n_try, alpha * tau, i + 1, ok, failed)
+
+            init = (x, delta, nrm, jnp.asarray(1.0, dtype),
+                    jnp.asarray(0, jnp.int32), jnp.asarray(False), jnp.asarray(False))
+            x_new, d_new, n_new, _a, i_ls, ok, ls_failed = jax.lax.while_loop(
+                ls_cond, ls_body, init
+            )
+            niter = niter + 1
+            status, eta = check(niter, n_new, first, eta)
+            # line-search failure (or running out of alphas) -> diverged
+            status = jnp.where(
+                ok, status, jnp.asarray(DIVERGED, jnp.int32)
+            )
+            x = jnp.where(ok, x_new, x)
+            delta = jnp.where(ok, d_new, delta)
+            nrm = jnp.where(ok, n_new, nrm)
+            return (x, delta, nrm, first, eta, niter, status)
+
+        init = (x, delta, nrm, nrm, eta, jnp.asarray(1, jnp.int32), status0)
+        x, _d, _n, _f, eta, _ni, status = jax.lax.while_loop(cond, body, init)
+        return x, status, eta
+
+    # outer loop: refactorize and retry up to max_setups times
+    def outer_cond(carry):
+        (_x, _eta, i, status) = carry
+        return (status != CONVERGED) & (i < max_setups)
+
+    def outer_body(carry):
+        (x, eta, i, _status) = carry
+        x, status, eta = newton_with_linesearch(x, eta)
+        return (x, eta, i + 1, status)
+
+    x, _eta, _i, status = jax.lax.while_loop(
+        outer_cond,
+        outer_body,
+        (x0, jnp.asarray(ETA_RESET_JACOBIAN, dtype), jnp.asarray(0, jnp.int32),
+         jnp.asarray(CONTINUE, jnp.int32)),
+    )
+
+    y_new = jnp.where(is_alg, x, y)
+    dy_new = jnp.where(is_alg, 0.0, x)
+    ok = status == CONVERGED
+    out_status = jnp.where(
+        ok, errors.INTERNAL_TIMESTEP, errors.INITIAL_CONDITION_DID_NOT_CONVERGE
+    ).astype(jnp.int32)
+    y_new = jnp.where(ok, y_new, y)
+    dy_new = jnp.where(ok, dy_new, dy)
+    return y_new, dy_new, out_status
