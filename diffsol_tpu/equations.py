@@ -45,6 +45,9 @@ class OdeEquations:
     # Optional user-supplied Jacobian in the linear-solver tier's matrix
     # representation; default is dense jax.jacfwd of rhs w.r.t. y.
     rhs_jac: Optional[Callable] = None  # (t, y, p) -> jac representation
+    # Optional override for the mass action M(t,p) @ v (used by lockstep
+    # ensembles where M is batched: (B,n,n) @ (B,n) needs an einsum).
+    mass_mul_fn: Optional[Callable] = None  # (t, p, v) -> M v
     nstates: int = 0
     nout: int = 0
     nroots: int = 0
@@ -87,6 +90,8 @@ class OdeEquations:
     def mass_mul(self, t, p, v):
         if self.mass is None:
             return v
+        if self.mass_mul_fn is not None:
+            return self.mass_mul_fn(t, p, v)
         return self.mass(t, p) @ v
 
     def has_mass(self) -> bool:
@@ -102,6 +107,7 @@ class OdeEquations:
                 self.out,
                 self.reset,
                 self.rhs_jac,
+                self.mass_mul_fn,
                 self.nstates,
                 self.nout,
                 self.nroots,

@@ -144,15 +144,16 @@ def _update_diff(D, d, order):
     D[order+2] = d - D[order+1]; D[order+1] = d; D[i] += D[i+1] downward.
     Equivalently D'[i] = sum_{k=i..order} D[k] + d for i <= order."""
     idx = jnp.arange(ND)
+    row = lambda m: m.reshape((ND,) + (1,) * (D.ndim - 1))  # mask -> row bcast
     # suffix sums S[i] = sum_{k=i..order} D[k]
     mask = ((idx[:, None] <= idx[None, :]) & (idx[None, :] <= order)).astype(D.dtype)
-    suffix = jnp.tensordot(mask, D, axes=[[1], [0]])  # (ND, n)
-    new_rows = suffix + d[None, :]
-    D_new = jnp.where((idx <= order)[:, None], new_rows, D)
+    suffix = jnp.tensordot(mask, D, axes=[[1], [0]])  # (ND, ...)
+    new_rows = suffix + d[None]
+    D_new = jnp.where(row(idx <= order), new_rows, D)
     # rows order+1 and order+2 via masked writes (traced order)
     d_old_op1 = jnp.tensordot((idx == order + 1).astype(D.dtype), D, axes=1)
-    D_new = jnp.where((idx == order + 1)[:, None], d[None, :], D_new)
-    D_new = jnp.where((idx == order + 2)[:, None], (d - d_old_op1)[None, :], D_new)
+    D_new = jnp.where(row(idx == order + 1), d[None], D_new)
+    D_new = jnp.where(row(idx == order + 2), (d - d_old_op1)[None], D_new)
     return D_new
 
 

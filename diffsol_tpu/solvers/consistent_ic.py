@@ -38,11 +38,31 @@ def algebraic_mask(problem, params=None):
         return None
     params = problem.params if params is None else params
     mass = np.asarray(problem.eqn.mass(problem.t0, params))
+    if mass.ndim == 3:  # lockstep-batched mass: the partition is shared
+        mass = mass[0]
     diag = np.diag(mass)
     mask = diag == 0.0
     if not mask.any():
         return None
     return jnp.asarray(mask)
+
+
+def _blockwise_jacfwd(f, x):
+    """Per-member Jacobian of a batch-independent residual.
+
+    For x (..., n) with f acting independently along the batch axes, returns
+    (..., n, n) via n basis-vector JVPs broadcast over the batch (avoids the
+    (B,n,B,n) tensor a naive jacfwd would build for lockstep ensembles).
+    """
+    n = x.shape[-1]
+    basis = jnp.eye(n, dtype=x.dtype)
+
+    def col(e):
+        v = jnp.broadcast_to(e, x.shape)
+        return jax.jvp(f, (x,), (v,))[1]
+
+    cols = jax.vmap(col)(basis)  # (n, ..., n_out)
+    return jnp.moveaxis(cols, 0, -1)
 
 
 def make_consistent(problem, params, y, dy, is_alg):
@@ -76,7 +96,7 @@ def make_consistent(problem, params, y, dy, is_alg):
     x0 = jnp.where(is_alg, y, dy)
 
     def factorize(x):
-        jac = jax.jacfwd(residual)(x)
+        jac = _blockwise_jacfwd(residual, x)
         return p.linear_solver.factor(jac)
 
     def newton_with_linesearch(x, eta):

