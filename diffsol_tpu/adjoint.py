@@ -1,0 +1,321 @@
+"""Adjoint sensitivities: checkpointed backward pass + jax.grad support.
+
+Reference semantics (reference crates/diffsol/src/ode_solver/adjoint.rs:13-260
+`solve_adjoint_backwards_pass`, adjoint_equations.rs, checkpointing.rs): after
+a forward solve, the adjoint system
+
+    lambda' = -J(x(t), t)^T lambda,      lambda(T) = 0,
+    discrete jumps  lambda += dG/dy_i    at each output time t_i,
+    gradient        dG/dp = int lambda^T f_p dt + lambda(t0)^T dy0/dp
+
+is integrated BACKWARD, interpolating the forward trajectory x(t) from
+checkpoints.  The reference stores sparse checkpoints and re-solves segments
+on demand (Hermite interpolation, checkpointing.rs:91-119); the TPU build
+stores (t, y, dy) at EVERY accepted forward step in fixed-size buffers and
+Hermite-interpolates directly -- recompute-free, memory O(steps * n), the
+right trade on HBM-rich accelerators.
+
+The backward integration reuses the BDF solver on a time-reversed augmented
+system z = [lambda, g_p] (sigma = T - t), one solve segment per output
+interval, with the jump applied between segments (solver state is marked
+modified, restarting at order 1 -- exactly the reference's behavior at
+discrete jumps).
+
+:func:`make_differentiable_solve` wraps all of this in a ``jax.custom_vjp``,
+so ``jax.grad`` of any scalar function of the solution works -- the TPU-native
+replacement for the reference's `AdjointOdeSolverMethod` API (and something
+the reference cannot do: compose with the rest of a JAX program).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from . import errors
+from .equations import OdeEquations, make_equations
+from .problem import OdeProblem
+
+
+# --------------------------------------------------------------------------
+# forward pass with step-table recording
+# --------------------------------------------------------------------------
+
+
+def forward_with_table(solver, t_eval, params, max_steps: int):
+    """solve_dense + record (t, y, dy) at every accepted step.
+
+    Returns (ys, table) where table = (ts_tab, ys_tab, dys_tab, n_valid).
+    The forward recording is the dense-storage analog of the reference's
+    CheckpointingRecorder (method.rs:620-705).
+    """
+    p = solver.problem
+    state = solver.init_state(params)
+    t_eval = jnp.asarray(t_eval, state.t.dtype)
+    dtype = state.y.dtype
+    neval = t_eval.shape[0]
+    n = state.y.shape[-1]
+    final_time = t_eval[-1]
+    state = solver.set_stop_time(state, final_time)
+
+    ts_tab = jnp.full((max_steps + 1,), jnp.inf, dtype)
+    ys_tab = jnp.zeros((max_steps + 1, n), dtype)
+    dys_tab = jnp.zeros((max_steps + 1, n), dtype)
+    ts_tab = ts_tab.at[0].set(state.t)
+    ys_tab = ys_tab.at[0].set(state.y)
+    dys_tab = dys_tab.at[0].set(state.dy)
+    ys = jnp.zeros((neval, n), dtype)
+
+    def cond(c):
+        (_s, _ys, _tt, _yt, _dt, k, done, _w) = c
+        return (~done) & (k < max_steps)
+
+    def body(c):
+        (state, ys, ts_tab, ys_tab, dys_tab, k, _done, written_to) = c
+        new = solver.step(state, params)
+        status = new.status
+        fatal = status < 0
+        is_tstop = status == errors.TSTOP_REACHED
+        t_upper = jnp.where(is_tstop, jnp.maximum(new.t, final_time), new.t)
+        t_upper = jnp.where(fatal, written_to, t_upper)
+        mask = (t_eval <= t_upper) & (t_eval > written_to)
+        y_interp = jax.vmap(lambda tt: solver.interpolate(new, tt))(t_eval)
+        ys = jnp.where(mask[:, None], y_interp, ys)
+        ts_tab = jnp.where(fatal, ts_tab, ts_tab.at[k + 1].set(new.t))
+        ys_tab = jnp.where(fatal, ys_tab, ys_tab.at[k + 1].set(new.y))
+        dys_tab = jnp.where(fatal, dys_tab, dys_tab.at[k + 1].set(new.dy))
+        done = fatal | is_tstop
+        return (new, ys, ts_tab, ys_tab, dys_tab, k + 1, done, t_upper)
+
+    init = (
+        state, ys, ts_tab, ys_tab, dys_tab,
+        jnp.asarray(0, jnp.int32), state.status < 0,
+        jnp.asarray(-jnp.inf, dtype),
+    )
+    (state, ys, ts_tab, ys_tab, dys_tab, k, _done, _w) = jax.lax.while_loop(
+        cond, body, init
+    )
+    return ys, (ts_tab, ys_tab, dys_tab, k)
+
+
+def hermite_interp(table, t):
+    """Cubic Hermite interpolation of the forward trajectory at time t
+    (reference HermiteInterpolator, checkpointing.rs:16-90)."""
+    ts, ys, dys, _n = table
+    k = jnp.clip(jnp.searchsorted(ts, t, side="right"), 1, ys.shape[0] - 1)
+    t0, t1 = ts[k - 1], ts[k]
+    # guard the padded +inf region: clamp interval to the last finite knot
+    t1 = jnp.where(jnp.isfinite(t1), t1, t0)
+    y0, y1 = ys[k - 1], ys[k]
+    f0, f1 = dys[k - 1], dys[k]
+    dt = t1 - t0
+    safe_dt = jnp.where(dt == 0.0, 1.0, dt)
+    theta = jnp.where(dt == 0.0, 1.0, (t - t0) / safe_dt)
+    h00 = (1.0 + 2.0 * theta) * (1.0 - theta) ** 2
+    h10 = theta * (1.0 - theta) ** 2
+    h01 = theta**2 * (3.0 - 2.0 * theta)
+    h11 = theta**2 * (theta - 1.0)
+    return h00 * y0 + h10 * safe_dt * f0 + h01 * y1 + h11 * safe_dt * f1
+
+
+# --------------------------------------------------------------------------
+# backward pass
+# --------------------------------------------------------------------------
+
+
+def _adjoint_problem(problem: OdeProblem, table, t_top, nparams: int):
+    """Build the time-reversed augmented adjoint problem in sigma = t_top - t.
+
+    State z = [lambda (n), g_p (nparams)]:
+        dlambda/dsigma = +J(x(t))^T lambda       (adjoint_equations.rs:330-360)
+        dg_p/dsigma    = +f_p(x(t))^T lambda     (:377-384)
+    """
+    eqn = problem.eqn
+    n = eqn.nstates
+
+    def rhs(sigma, z, params):
+        t = t_top - sigma
+        x = hermite_interp(table, t)
+        lam = z[:n]
+        _, vjp_y = jax.vjp(lambda yy: eqn.rhs(t, yy, params), x)
+        _, vjp_p = jax.vjp(lambda pp: eqn.rhs(t, x, pp), params)
+        dlam = vjp_y(lam)[0]
+        dgp = vjp_p(lam)[0]
+        return jnp.concatenate([dlam, dgp])
+
+    def init(sigma, params):
+        return jnp.zeros((n + nparams,), problem.atol.dtype)
+
+    adj_eqn = make_equations(rhs, init, problem.params, 0.0)
+    atol = jnp.concatenate(
+        [problem.atol, jnp.full((nparams,), jnp.mean(problem.atol))]
+    )
+    return dataclasses.replace(
+        problem,
+        eqn=adj_eqn,
+        atol=atol,
+        t0=jnp.asarray(0.0, problem.atol.dtype),
+        h0=jnp.asarray(0.0, problem.atol.dtype),
+        integrate_out=False,
+    )
+
+
+def backward_pass(problem, solver_cls, table, t_eval, ct_ys, params, max_steps):
+    """Integrate the adjoint backward through all output times.
+
+    ``ct_ys``: (neval, n) cotangents dG/dy(t_i).  Returns dG/dp (nparams,).
+    """
+    if problem.eqn.mass is not None:
+        raise NotImplementedError(
+            "adjoint currently requires an identity mass matrix"
+        )
+    eqn = problem.eqn
+    n = eqn.nstates
+    nparams = int(params.shape[0])
+    t_eval = jnp.asarray(t_eval, problem.atol.dtype)
+    neval = t_eval.shape[0]
+    t_top = t_eval[-1]
+    t0 = problem.t0
+
+    adj_problem = _adjoint_problem(problem, table, t_top, nparams)
+    solver = solver_cls(adj_problem)
+
+    # initial state at sigma=0 with the jump at the last output time applied
+    state = solver.init_state(params)
+    z0 = state.y.at[:n].add(ct_ys[-1])
+    state = state.replace(
+        y=z0, dy=adj_problem.eqn.rhs(state.t, z0, params),
+        state_modified=jnp.asarray(True),
+    )
+
+    # integrate segment by segment: sigma targets are t_top - t_eval reversed
+    sigmas = t_top - t_eval[::-1]  # ascending, sigmas[0] = 0
+    cts = ct_ys[::-1]
+
+    def seg_body(i, carry):
+        state, steps_used = carry
+        target = sigmas[i]
+
+        def run_segment(args):
+            state, steps_used = args
+            state = solver.set_stop_time(state, target)
+
+            def cond(c):
+                s, k = c
+                return (
+                    (s.status == errors.INTERNAL_TIMESTEP)
+                    & (k < max_steps)
+                )
+
+            def body(c):
+                s, k = c
+                return solver.step(s, params), k + 1
+
+            state, steps_used = jax.lax.while_loop(
+                cond, body, (state.replace(
+                    status=jnp.asarray(errors.INTERNAL_TIMESTEP, jnp.int32)
+                ), steps_used)
+            )
+            return state, steps_used
+
+        # skip zero-length segments (duplicate times / the first boundary)
+        state, steps_used = jax.lax.cond(
+            target > state.t,
+            run_segment,
+            lambda args: args,
+            (state, steps_used),
+        )
+        # apply the jump at this output time
+        y_j = state.y.at[:n].add(cts[i])
+        state = state.replace(
+            y=y_j,
+            dy=adj_problem.eqn.rhs(state.t, y_j, params),
+            state_modified=jnp.asarray(True),
+        )
+        return (state, steps_used)
+
+    state, _ = jax.lax.fori_loop(1, neval, seg_body, (state, jnp.asarray(0, jnp.int32)))
+
+    # final segment down to t0 (sigma = t_top - t0); skipped when
+    # t_eval[0] == t0 (zero length)
+    sigma_end = t_top - t0
+
+    def final_segment(state):
+        def cond(c):
+            s, k = c
+            return (s.status == errors.INTERNAL_TIMESTEP) & (k < max_steps)
+
+        def body(c):
+            s, k = c
+            return solver.step(s, params), k + 1
+
+        state = solver.set_stop_time(
+            state.replace(
+                status=jnp.asarray(errors.INTERNAL_TIMESTEP, jnp.int32)
+            ),
+            sigma_end,
+        )
+        state, _ = jax.lax.while_loop(
+            cond, body, (state, jnp.asarray(0, jnp.int32))
+        )
+        return state
+
+    state = jax.lax.cond(
+        sigma_end > state.t, final_segment, lambda s: s, state
+    )
+
+    lam0 = state.y[:n]
+    gp = state.y[n:]
+    # initial-condition correction (adjoint.rs:151-156 correct_sg_for_init):
+    # dG/dp += (dy0/dp)^T lambda(t0)
+    y0_p = jax.jacfwd(lambda pp: eqn.init(t0, pp))(params)  # (n, np)
+    return gp + y0_p.T @ lam0
+
+
+# --------------------------------------------------------------------------
+# custom_vjp wrapper: jax.grad through the solver
+# --------------------------------------------------------------------------
+
+
+def make_differentiable_solve(
+    problem: OdeProblem,
+    t_eval,
+    solver_cls=None,
+    max_steps: int = 16_384,
+    bwd_solver_cls=None,
+    bwd_max_steps: Optional[int] = None,
+):
+    """Return ``ys_of(params) -> (neval, n)`` differentiable via the adjoint.
+
+    Forward-mode (jvp/jacfwd) falls through to the solver itself; reverse
+    mode (grad/vjp) runs the checkpointed adjoint backward pass.
+    """
+    from .solvers.bdf import BdfSolver
+
+    solver_cls = solver_cls or BdfSolver
+    bwd_solver_cls = bwd_solver_cls or solver_cls
+    bwd_max_steps = bwd_max_steps or max_steps
+    solver = solver_cls(problem)
+    t_eval = jnp.asarray(t_eval)
+
+    @jax.custom_vjp
+    def ys_of(params):
+        ys, _ = forward_with_table(solver, t_eval, params, max_steps)
+        return ys
+
+    def fwd(params):
+        ys, table = forward_with_table(solver, t_eval, params, max_steps)
+        return ys, (params, table)
+
+    def bwd(res, ct_ys):
+        params, table = res
+        grad_p = backward_pass(
+            problem, bwd_solver_cls, table, t_eval, ct_ys, params, bwd_max_steps
+        )
+        return (grad_p,)
+
+    ys_of.defvjp(fwd, bwd)
+    return ys_of

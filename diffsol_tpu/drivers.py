@@ -39,6 +39,7 @@ class Solution:
     ts: jax.Array
     ys: jax.Array
     gs: Optional[jax.Array]
+    sens: Optional[jax.Array]
     stop_reason: jax.Array
     n_points: jax.Array
     root_t: jax.Array
@@ -95,6 +96,7 @@ def _make_solve_dense(solver, max_steps):
     p = solver.problem
     has_reset = p.eqn.reset is not None
     integrate_out = p.integrate_out
+    has_sens = getattr(solver, "has_sens", False)
 
     def impl(state, params, t_eval):
         neval = t_eval.shape[0]
@@ -104,8 +106,11 @@ def _make_solve_dense(solver, max_steps):
         dtype = state.y.dtype
         ys = jnp.zeros((neval,) + state.y.shape, dtype)
         gs = jnp.zeros((neval,) + state.g.shape, dtype) if integrate_out else None
+        ss = (
+            jnp.zeros((neval,) + state.s.shape, dtype) if has_sens else None
+        )
 
-        def write(state_new, t_upper, written_to, ys, gs):
+        def write(state_new, t_upper, written_to, ys, gs, ss):
             mask = (t_eval <= t_upper) & (t_eval > written_to)
             y_interp = jax.vmap(lambda tt: solver.interpolate(state_new, tt))(t_eval)
             ys = jnp.where(mask.reshape((-1,) + (1,) * (ys.ndim - 1)), y_interp, ys)
@@ -116,14 +121,21 @@ def _make_solve_dense(solver, max_steps):
                 gs = jnp.where(
                     mask.reshape((-1,) + (1,) * (gs.ndim - 1)), g_interp, gs
                 )
-            return ys, gs
+            if has_sens:
+                s_interp = jax.vmap(
+                    lambda tt: solver.interpolate_sens(state_new, tt)
+                )(t_eval)
+                ss = jnp.where(
+                    mask.reshape((-1,) + (1,) * (ss.ndim - 1)), s_interp, ss
+                )
+            return ys, gs, ss
 
         def cond(carry):
-            (_state, _ys, _gs, _written_to, done, k, _stop, _rt, _ri) = carry
+            (_state, _ys, _gs, _ss, _written_to, done, k, _stop, _rt, _ri) = carry
             return (~done) & (k < max_steps)
 
         def body(carry):
-            (state, ys, gs, written_to, _done, k, stop, root_t, root_idx) = carry
+            (state, ys, gs, ss, written_to, _done, k, stop, root_t, root_idx) = carry
             new = solver.step(state, params)
             status = new.status
             fatal = status < 0
@@ -135,7 +147,7 @@ def _make_solve_dense(solver, max_steps):
             # extend the write interval to cover the last t_eval point
             t_upper = jnp.where(is_tstop, jnp.maximum(t_upper, final_time), t_upper)
             t_upper = jnp.where(fatal, written_to, t_upper)
-            ys, gs = write(new, t_upper, written_to, ys, gs)
+            ys, gs, ss = write(new, t_upper, written_to, ys, gs, ss)
 
             if has_reset:
                 def on_root(s):
@@ -166,11 +178,11 @@ def _make_solve_dense(solver, max_steps):
                 root_t = jnp.where(is_root, new.t, root_t)
                 root_idx = jnp.where(is_root, new.root_idx, root_idx)
 
-            return (new, ys, gs, t_upper, done, k + 1, stop, root_t, root_idx)
+            return (new, ys, gs, ss, t_upper, done, k + 1, stop, root_t, root_idx)
 
         init_failed = state.status < 0
         init = (
-            state, ys, gs,
+            state, ys, gs, ss,
             jnp.asarray(-jnp.inf, dtype),
             init_failed,
             jnp.asarray(0, jnp.int32),
@@ -180,12 +192,12 @@ def _make_solve_dense(solver, max_steps):
             jnp.asarray(jnp.nan, dtype),
             jnp.asarray(-1, jnp.int32),
         )
-        (state, ys, gs, _w, done, k, stop, root_t, root_idx) = jax.lax.while_loop(
-            cond, body, init
+        (state, ys, gs, ss, _w, done, k, stop, root_t, root_idx) = (
+            jax.lax.while_loop(cond, body, init)
         )
         stop = jnp.where(done, stop, errors.MAX_STEPS_REACHED).astype(jnp.int32)
         return Solution(
-            ts=t_eval, ys=ys, gs=gs, stop_reason=stop,
+            ts=t_eval, ys=ys, gs=gs, sens=ss, stop_reason=stop,
             n_points=jnp.asarray(t_eval.shape[0], jnp.int32),
             root_t=root_t, root_idx=root_idx, state=state,
         )
@@ -213,6 +225,7 @@ def _make_solve(solver, max_steps):
     p = solver.problem
     has_reset = p.eqn.reset is not None
     integrate_out = p.integrate_out
+    has_sens = getattr(solver, "has_sens", False)
     nbuf = max_steps + 2
 
     def impl(state, params, final_time):
@@ -220,23 +233,26 @@ def _make_solve(solver, max_steps):
         ts = jnp.full((nbuf,), jnp.nan, dtype)
         ys = jnp.zeros((nbuf,) + state.y.shape, dtype)
         gs = jnp.zeros((nbuf,) + state.g.shape, dtype) if integrate_out else None
+        ss = jnp.zeros((nbuf,) + state.s.shape, dtype) if has_sens else None
 
-        def write(ts, ys, gs, k, state):
+        def write(ts, ys, gs, ss, k, state):
             ts = ts.at[k].set(state.t)
             ys = ys.at[k].set(state.y)
             if integrate_out:
                 gs = gs.at[k].set(state.g)
-            return ts, ys, gs, k + 1
+            if has_sens:
+                ss = ss.at[k].set(state.s)
+            return ts, ys, gs, ss, k + 1
 
-        ts, ys, gs, k0 = write(ts, ys, gs, jnp.asarray(0, jnp.int32), state)
+        ts, ys, gs, ss, k0 = write(ts, ys, gs, ss, jnp.asarray(0, jnp.int32), state)
         state = solver.set_stop_time(state, final_time)
 
         def cond(carry):
-            (_state, _ts, _ys, _gs, _k, done, nsteps, _stop, _rt, _ri) = carry
+            (_state, _ts, _ys, _gs, _ss, _k, done, nsteps, _stop, _rt, _ri) = carry
             return (~done) & (nsteps < max_steps)
 
         def body(carry):
-            (state, ts, ys, gs, k, _done, nsteps, stop, root_t, root_idx) = carry
+            (state, ts, ys, gs, ss, k, _done, nsteps, stop, root_t, root_idx) = carry
             new = solver.step(state, params)
             status = new.status
             fatal = status < 0
@@ -272,17 +288,17 @@ def _make_solve(solver, max_steps):
                 root_t = jnp.where(is_root, new.t, root_t)
                 root_idx = jnp.where(is_root, new.root_idx, root_idx)
 
-            ts, ys, gs, k = jax.lax.cond(
+            ts, ys, gs, ss, k = jax.lax.cond(
                 fatal,
-                lambda args: args[:3] + (args[3],),
-                lambda args: write(*args[:4], new),
-                (ts, ys, gs, k),
+                lambda args: args,
+                lambda args: write(*args[:5], new),
+                (ts, ys, gs, ss, k),
             )
-            return (new, ts, ys, gs, k, done, nsteps + 1, stop, root_t, root_idx)
+            return (new, ts, ys, gs, ss, k, done, nsteps + 1, stop, root_t, root_idx)
 
         init_failed = state.status < 0
         init = (
-            state, ts, ys, gs, k0,
+            state, ts, ys, gs, ss, k0,
             init_failed,
             jnp.asarray(0, jnp.int32),
             jnp.where(init_failed, state.status, errors.TSTOP_REACHED).astype(
@@ -291,12 +307,12 @@ def _make_solve(solver, max_steps):
             jnp.asarray(jnp.nan, dtype),
             jnp.asarray(-1, jnp.int32),
         )
-        (state, ts, ys, gs, k, done, _n, stop, root_t, root_idx) = jax.lax.while_loop(
-            cond, body, init
+        (state, ts, ys, gs, ss, k, done, _n, stop, root_t, root_idx) = (
+            jax.lax.while_loop(cond, body, init)
         )
         stop = jnp.where(done, stop, errors.MAX_STEPS_REACHED).astype(jnp.int32)
         return Solution(
-            ts=ts, ys=ys, gs=gs, stop_reason=stop, n_points=k,
+            ts=ts, ys=ys, gs=gs, sens=ss, stop_reason=stop, n_points=k,
             root_t=root_t, root_idx=root_idx, state=state,
         )
 

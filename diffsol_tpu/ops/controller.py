@@ -24,15 +24,23 @@ def pi_controller_raw(error_norm, prev_error_norm, pi_integral, pi_proportional,
     reference uses Option<T>): the proportional term is then dropped.
     ``error_norm`` and ``prev_error_norm`` are squared WRMS norms.
     """
-    order_f = jnp.asarray(eff_order, dtype=jnp.result_type(error_norm))
+    dtype = jnp.result_type(error_norm)
+    order_f = jnp.asarray(eff_order, dtype=dtype)
     ki = pi_integral / order_f
     kp = pi_proportional / order_f
     have_prev = ~jnp.isnan(prev_error_norm)
     use_pi = (pi_proportional != 0.0) & have_prev
-    # guard NaN prev through the power even when unused
-    prev_safe = jnp.where(have_prev, prev_error_norm, 1.0)
-    i_only = error_norm**-ki
-    pi_both = error_norm ** -(ki + kp) * prev_safe**kp
+    # clamp the (squared) norms into a safe range before the pow: x**-k with
+    # x in {0, inf} must give {huge, 0} -- TPU's f64 pow emulation goes through
+    # f32 log/exp internals and yields NaN for bases outside f32 range, which
+    # would poison the factor argmax downstream.  1e+-30 saturates the factor
+    # far beyond the growth/shrink clamps, so nothing of value is lost.
+    tiny = jnp.asarray(1e-30, dtype)
+    huge = 1.0 / tiny
+    err_safe = jnp.clip(error_norm, tiny, huge)
+    prev_safe = jnp.clip(jnp.where(have_prev, prev_error_norm, 1.0), tiny, huge)
+    i_only = err_safe**-ki
+    pi_both = err_safe ** -(ki + kp) * prev_safe**kp
     return jnp.where(use_pi, pi_both, i_only)
 
 

@@ -24,6 +24,8 @@ from typing import Any, Callable
 import jax.numpy as jnp
 import jax.scipy.linalg as jsl
 
+from . import smalllu
+
 
 @dataclass(frozen=True)
 class LinearSolverSpec:
@@ -41,6 +43,7 @@ class LinearSolverSpec:
     factor: Callable[[Any], Any]
     solve: Callable[[Any, Any], Any]
     placeholder_factors: Callable[[int, Any], Any]
+    meta: tuple = ()  # tier parameters, e.g. (ml, mu) for banded
 
 
 def _dense_assemble(mass, jac, c):
@@ -53,10 +56,16 @@ def _dense_assemble(mass, jac, c):
 
 
 def _dense_factor(a):
+    # unrolled jnp LU for small n: works in f64 on TPU (XLA's LuDecomposition
+    # is f32-only there) and compiles to straight-line batched code
+    if a.shape[-1] <= smalllu.MAX_UNROLL_N:
+        return smalllu.lu_factor(a)
     return jsl.lu_factor(a)
 
 
 def _dense_solve(factors, b):
+    if factors[0].shape[-1] <= smalllu.MAX_UNROLL_N:
+        return smalllu.lu_solve(factors, b)
     return jsl.lu_solve(factors, b)
 
 

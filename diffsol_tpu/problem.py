@@ -270,6 +270,11 @@ class OdeBuilder:
     def build(self) -> OdeProblem:
         if self._rhs is None or self._init is None:
             raise ValueError("OdeBuilder requires at least .rhs(...) and .init(...)")
+        if self._linear_solver.name.startswith("banded") and self._rhs_jac is None:
+            from .ops.banded import make_banded_jac
+
+            ml, mu = self._linear_solver.meta
+            self._rhs_jac = make_banded_jac(self._rhs, ml, mu)
         eqn = make_equations(
             self._rhs,
             self._init,

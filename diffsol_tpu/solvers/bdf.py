@@ -194,11 +194,58 @@ def _interp_deriv_from_diff(t, D, t1, h, order):
 class BdfSolver:
     """Variable-order NDF/BDF method on an :class:`OdeProblem`."""
 
-    def __init__(self, problem: OdeProblem, config: Optional[SolverConfig] = None):
+    def __init__(
+        self,
+        problem: OdeProblem,
+        config: Optional[SolverConfig] = None,
+        sens: bool = False,
+    ):
         self.problem = problem
         self.config = config or SolverConfig.from_options(problem.options, "bdf")
         # static partition of algebraic states (zero mass diagonal)
         self._alg_mask = algebraic_mask(problem)
+        # continuous forward sensitivity equations integrated in lockstep
+        # (reference SensEquations + bdf.rs:934-989 sensitivity_solve)
+        self.sens = sens
+        self.has_sens = sens
+
+    # ------------------------------------------------------------------
+    # forward sensitivities: s_i' = J s_i + df/dp_i (M s_i' with mass)
+    def _sens_rhs_parts(self, t, y, params):
+        """Linearize f at (t, y): returns (jvp_rows, f_p) where
+        jvp_rows(S) applies J to each row of S (np, n) and f_p is (np, n)
+        (reference sens_equations.rs:87-135)."""
+        p = self.problem
+        _, jvp_fn = jax.linearize(lambda yy: p.eqn.rhs(t, yy, params), y)
+        f_p = jax.jacfwd(lambda pp: p.eqn.rhs(t, y, pp))(params)  # (n, np)
+        return jax.vmap(jvp_fn), f_p.T
+
+    def _sens_mass_rows(self, t, params, S):
+        return jax.vmap(lambda v: self.problem.eqn.mass_mul(t, params, v))(S)
+
+    def _sens_solve(self, t_pred, y_ctx, params, cval, sD, order, factors, eta):
+        """Solve all nparams sensitivity systems sharing the factorized
+        M - c*J (bdf.rs:934-989).  Returns (s_delta (np,n), ok, niter)."""
+        p = self.problem
+        dtype = y_ctx.dtype
+        jvp_rows, f_p = self._sens_rhs_parts(t_pred, y_ctx, params)
+        s_pred = jax.vmap(lambda Drows: _predict_from_diff(Drows, order))(sD)
+        psi_s = jax.vmap(lambda Drows: _psi(Drows, order, dtype))(sD)
+
+        def residual(S):
+            rhs_s = jvp_rows(S) + f_p
+            tmp = S - s_pred + psi_s
+            return self._sens_mass_rows(t_pred, params, tmp) - cval * rhs_s
+
+        lin_solve = lambda V: p.linear_solver.solve(factors, V)
+        atol = p.sens_atol if p.sens_atol is not None else p.atol
+        rtol = p.sens_rtol if p.sens_rtol is not None else p.rtol
+        res = newton_solve(
+            residual, lin_solve, s_pred, s_pred, atol, rtol, eta,
+            tol=p.options.nonlinear_solver_tolerance,
+            max_iter=self.config.maximum_newton_iterations,
+        )
+        return res.x - s_pred, res.converged, res.niter
 
     @property
     def order(self) -> int:
@@ -330,9 +377,17 @@ class BdfSolver:
             else jnp.zeros((0,), dtype)
         )
         nan = jnp.asarray(jnp.nan, dtype)
+        s_f = sD_f = None
+        if self.sens:
+            t0 = jnp.asarray(p.t0, dtype)
+            s_f = jax.jacfwd(lambda pp: p.eqn.init(t0, pp))(params).T  # (np, n)
+            jvp_rows, f_p = self._sens_rhs_parts(t0, y, params)
+            ds0 = jvp_rows(s_f) + f_p
+            sD_f = jnp.zeros((s_f.shape[0], ND) + y.shape, dtype)
+            sD_f = sD_f.at[:, 0].set(s_f).at[:, 1].set(h * ds0)
         return BdfState(
             y=y, dy=dy, g=g, t=jnp.asarray(p.t0, dtype), h=h,
-            D=D, gD=gD,
+            D=D, gD=gD, s=s_f, sD=sD_f,
             order=jnp.asarray(1, jnp.int32),
             n_equal_steps=jnp.asarray(0, jnp.int32),
             jac=jac, factors=factors,
@@ -383,12 +438,13 @@ class BdfSolver:
         factor = jnp.where(overshoot, (tstop - state.t) / state.h, 1.0)
 
         def rescale(s):
-            D, h, _ = self._rescale_step(s.D, s.h, s.order, factor)
-            gD, _, _ = self._rescale_step(s.gD, s.h, s.order, factor)
+            D, gD, sD, h = self._rescale_all(s.D, s.gD, s.sD, s.h, s.order, factor)
+            upd = dict(sD=sD) if sD is not None else {}
             return s.replace(
                 D=D, gD=gD, h=h,
                 n_equal_steps=jnp.asarray(0, jnp.int32),
                 eta=jnp.asarray(ETA_RESET_TIMESTEP, dtype),
+                **upd,
             )
 
         state = jax.lax.cond(overshoot, rescale, lambda s: s, state)
@@ -399,6 +455,15 @@ class BdfSolver:
         ru = _compute_ru(order, factor, D.dtype)
         D_new = jnp.tensordot(ru, D, axes=[[0], [0]])  # (diff @ RU)^T = RU^T @ D
         return D_new, h * factor, ru
+
+    def _rescale_all(self, D, gD, sD, h, order, factor):
+        """Rescale every difference matrix for a step-size change."""
+        ru = _compute_ru(order, factor, D.dtype)
+        D = jnp.tensordot(ru, D, axes=[[0], [0]])
+        gD = jnp.tensordot(ru, gD, axes=[[0], [0]])
+        if sD is not None:
+            sD = jnp.einsum("ij,pik->pjk", ru, sD)
+        return D, gD, sD, h * factor
 
     # ------------------------------------------------------------------
     def _residual(self, t_pred, y_pred, psi, params, c):
@@ -434,12 +499,20 @@ class BdfSolver:
                     else s.y
                 )
                 gD = jnp.zeros_like(s.gD).at[0].set(s.g).at[1].set(s.h * dg)
+            upd = {}
+            if self.sens:
+                jvp_rows, f_p = self._sens_rhs_parts(s.t, s.y, params)
+                ds = jvp_rows(s.s) + f_p
+                sD = jnp.zeros_like(s.sD)
+                sD = sD.at[:, 0].set(s.s).at[:, 1].set(s.h * ds)
+                upd = dict(s=s.s, sD=sD)
             s = s.replace(
                 D=D, gD=gD,
                 order=jnp.asarray(1, jnp.int32),
                 n_equal_steps=jnp.asarray(0, jnp.int32),
                 prev_error_norm=jnp.asarray(jnp.nan, dtype),
                 state_modified=jnp.asarray(False),
+                **upd,
             )
             if p.eqn.root is not None:
                 s = s.replace(root_g=p.eqn.root(s.t, s.y, params))
@@ -468,6 +541,8 @@ class BdfSolver:
             y_pred=y_pred0, psi=psi0, t_pred=t_pred0,
             d=jnp.zeros_like(state.y),
             g_delta=jnp.zeros_like(state.g),
+            sD=state.sD,
+            s_delta=None if state.sD is None else jnp.zeros_like(state.s),
             conv_fail=jnp.asarray(False),
             err=jnp.asarray(jnp.inf, dtype),
             safety=jnp.asarray(1.0, dtype),
@@ -500,6 +575,20 @@ class BdfSolver:
             )
             d = res.x - c["y_pred"]
 
+            # sensitivity solve sharing the factorization (bdf.rs:934-989)
+            if self.sens:
+                s_delta, sens_ok, s_niter = self._sens_solve(
+                    c["t_pred"], c["y_pred"], params, cval, c["sD"], order,
+                    st["factors"], st["eta"],
+                )
+                st["stats"] = st["stats"]._replace(
+                    newton_iterations=st["stats"].newton_iterations + s_niter
+                )
+                solve_ok = res.converged & sens_ok
+            else:
+                s_delta = c["s_delta"]
+                solve_ok = res.converged
+
             # quadrature delta (op/bdf.rs:45-57: d_g = c*dg - psi_g)
             if integrate_out:
                 dg = (
@@ -523,8 +612,9 @@ class BdfSolver:
                 def second_fail(args):
                     c, st = args
                     # h *= 0.3, refresh linearisation, re-predict (bdf.rs:1380-1393)
-                    D, h, _ = self._rescale_step(c["D"], c["h"], order, 0.3)
-                    gD, _, _ = self._rescale_step(c["gD"], c["h"], order, 0.3)
+                    D, gD, sD, h = self._rescale_all(
+                        c["D"], c["gD"], c["sD"], c["h"], order, 0.3
+                    )
                     st = dict(st, eta=jnp.asarray(ETA_RESET_TIMESTEP, dtype))
                     st = self._jacobian_updates(
                         st, state.t, state.y, params, h * alpha[order],
@@ -536,7 +626,7 @@ class BdfSolver:
                         too_small, errors.STEP_SIZE_TOO_SMALL, c["status"]
                     ).astype(jnp.int32)
                     return dict(
-                        c, st=st, D=D, gD=gD, h=h,
+                        c, st=st, D=D, gD=gD, sD=sD, h=h,
                         y_pred=y_pred, psi=psi, t_pred=t_pred,
                         conv_fail=jnp.asarray(True),
                         h_changed=jnp.asarray(True),
@@ -574,6 +664,13 @@ class BdfSolver:
                         squared_norm(g_delta, state.g, p.out_atol, p.out_rtol)
                         * ec2[order],
                     )
+                if self.sens and p.sens_in_error_control():
+                    s_errs = jax.vmap(
+                        lambda sd, sv: squared_norm(
+                            sd, sv, p.sens_atol, p.sens_rtol
+                        )
+                    )(s_delta, state.s)
+                    err = jnp.maximum(err, jnp.max(s_errs) * ec2[order])
                 niter = res.niter.astype(dtype)
                 m = float(max_newton)
                 safety = 0.9 * (2.0 * m + 1.0) / (2.0 * m + niter)
@@ -587,8 +684,9 @@ class BdfSolver:
                         order + 1,
                     )
                     factor = jnp.maximum(safety * raw, cfg.minimum_timestep_shrink)
-                    D, h, _ = self._rescale_step(c["D"], c["h"], order, factor)
-                    gD, _, _ = self._rescale_step(c["gD"], c["h"], order, factor)
+                    D, gD, sD, h = self._rescale_all(
+                        c["D"], c["gD"], c["sD"], c["h"], order, factor
+                    )
                     st = dict(st, eta=jnp.asarray(ETA_RESET_TIMESTEP, dtype))
                     st["stats"] = st["stats"]._replace(
                         error_test_failures=st["stats"].error_test_failures + 1
@@ -609,7 +707,7 @@ class BdfSolver:
                         errors.STEP_SIZE_TOO_SMALL, status,
                     ).astype(jnp.int32)
                     return dict(
-                        c, st=st, D=D, gD=gD, h=h,
+                        c, st=st, D=D, gD=gD, sD=sD, h=h,
                         y_pred=y_pred, psi=psi, t_pred=t_pred,
                         prev_err=jnp.asarray(jnp.nan, dtype),
                         h_changed=jnp.asarray(True),
@@ -620,7 +718,7 @@ class BdfSolver:
                 def accept(args):
                     c, st = args
                     return dict(
-                        c, st=st, d=d, g_delta=g_delta,
+                        c, st=st, d=d, g_delta=g_delta, s_delta=s_delta,
                         err=err, safety=safety,
                         accepted=jnp.asarray(True),
                     )
@@ -628,7 +726,7 @@ class BdfSolver:
                 return jax.lax.cond(accepted, accept, reject, (c, st))
 
             return jax.lax.cond(
-                res.converged,
+                solve_ok,
                 lambda args: on_converged(*args),
                 lambda args: on_fail(*args),
                 (dict(c, st=st), st),
@@ -643,6 +741,14 @@ class BdfSolver:
         y_new = D_new[0]  # = y_pred + d (corrected)
         t_new = carry["t_pred"]
         dy_new = D_new[1] / carry["h"]
+        if self.sens:
+            sD_new = jax.vmap(lambda Dr, dr: _update_diff(Dr, dr, order))(
+                carry["sD"], carry["s_delta"]
+            )
+            s_new = sD_new[:, 0]
+        else:
+            sD_new = carry["sD"]
+            s_new = state.s
         if integrate_out:
             g_new = _predict_from_diff(carry["gD"], order) + carry["g_delta"]
             gD_new = _update_diff(carry["gD"], carry["g_delta"], order)
@@ -662,21 +768,29 @@ class BdfSolver:
 
         # ---- order selection (bdf.rs:1489-1562) ----
         def order_select(args):
-            D, gD, h, st, order_ = args
+            D, gD, sD, h, st, order_ = args
+
+            def predicted_err(col, const_idx):
+                e = squared_norm(
+                    jnp.take(D, col, axis=0), y_new, p.atol, p.rtol
+                ) * ec2[const_idx]
+                if self.sens and p.sens_in_error_control():
+                    se = jax.vmap(
+                        lambda Dr, sv: squared_norm(
+                            jnp.take(Dr, col, axis=0), sv, p.sens_atol, p.sens_rtol
+                        )
+                    )(sD, s_new)
+                    e = jnp.maximum(e, jnp.max(se) * ec2[const_idx])
+                return e
+
             em = jnp.where(
                 order_ > 1,
-                squared_norm(
-                    jnp.take(D, order_, axis=0), y_new, p.atol, p.rtol
-                )
-                * ec2[jnp.maximum(order_ - 1, 0)],
+                predicted_err(order_, jnp.maximum(order_ - 1, 0)),
                 jnp.inf,
             )
             ep = jnp.where(
                 order_ < MAX_ORDER,
-                squared_norm(
-                    jnp.take(D, order_ + 2, axis=0), y_new, p.atol, p.rtol
-                )
-                * ec2[jnp.minimum(order_ + 1, MAX_ORDER)],
+                predicted_err(order_ + 2, jnp.minimum(order_ + 1, MAX_ORDER)),
                 jnp.inf,
             )
             prev = err  # bdf.rs sets prev_error_norm = err before this block
@@ -697,8 +811,7 @@ class BdfSolver:
             )
 
             def change(_):
-                D2, h2, _ = self._rescale_step(D, h, new_order, factor)
-                gD2, _, _ = self._rescale_step(gD, h, new_order, factor)
+                D2, gD2, sD2, h2 = self._rescale_all(D, gD, sD, h, new_order, factor)
                 st2 = dict(st, eta=jnp.asarray(ETA_RESET_TIMESTEP, dtype))
                 st2 = self._jacobian_updates(
                     st2, t_new, y_new, params, h2 * alpha[new_order],
@@ -708,33 +821,38 @@ class BdfSolver:
                 status = jnp.where(
                     too_small, errors.STEP_SIZE_TOO_SMALL, errors.INTERNAL_TIMESTEP
                 ).astype(jnp.int32)
-                return D2, gD2, h2, st2, new_order, jnp.asarray(0, jnp.int32), status
+                return (
+                    D2, gD2, sD2, h2, st2, new_order,
+                    jnp.asarray(0, jnp.int32), status,
+                )
 
             def keep(_):
                 return (
-                    D, gD, h, st, order_, n_equal,
+                    D, gD, sD, h, st, order_, n_equal,
                     jnp.asarray(errors.INTERNAL_TIMESTEP, jnp.int32),
                 )
 
             return jax.lax.cond(do_change, change, keep, None)
 
         def no_order_select(args):
-            D, gD, h, st, order_ = args
+            D, gD, sD, h, st, order_ = args
             return (
-                D, gD, h, st, order_, n_equal,
+                D, gD, sD, h, st, order_, n_equal,
                 jnp.asarray(errors.INTERNAL_TIMESTEP, jnp.int32),
             )
 
-        D_new, gD_new, h_new, st, order_new, n_equal_new, sel_status = jax.lax.cond(
+        (
+            D_new, gD_new, sD_new, h_new, st, order_new, n_equal_new, sel_status
+        ) = jax.lax.cond(
             n_equal > order,
             order_select,
             no_order_select,
-            (D_new, gD_new, carry["h"], st, order),
+            (D_new, gD_new, sD_new, carry["h"], st, order),
         )
 
         new_state = state.replace(
             y=y_new, dy=dy_new, g=g_new, t=t_new, h=h_new,
-            D=D_new, gD=gD_new,
+            D=D_new, gD=gD_new, s=s_new, sD=sD_new,
             order=order_new, n_equal_steps=n_equal_new,
             prev_error_norm=err,
             newton_fails_total=carry["newton_fails"],
@@ -808,3 +926,8 @@ class BdfSolver:
 
     def interpolate_out(self, state: BdfState, t):
         return _interp_from_diff(t, state.gD, state.t, state.h, state.order)
+
+    def interpolate_sens(self, state: BdfState, t):
+        return jax.vmap(
+            lambda Dr: _interp_from_diff(t, Dr, state.t, state.h, state.order)
+        )(state.sD)

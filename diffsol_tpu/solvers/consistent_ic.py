@@ -95,9 +95,17 @@ def make_consistent(problem, params, y, dy, is_alg):
 
     x0 = jnp.where(is_alg, y, dy)
 
+    # the IC solve always uses a dense factorization regardless of the
+    # problem's linear-solver tier (one-off setup cost; the banded tier's
+    # matrix representation does not apply to the packed IC Jacobian)
+    from ..ops import linsol
+
     def factorize(x):
         jac = _blockwise_jacfwd(residual, x)
-        return p.linear_solver.factor(jac)
+        return linsol.DENSE.factor(jac)
+
+    def lin_solve_dense(factors, v):
+        return linsol.DENSE.solve(factors, v)
 
     def newton_with_linesearch(x, eta):
         """One Newton campaign with a frozen factorization.
@@ -107,7 +115,7 @@ def make_consistent(problem, params, y, dy, is_alg):
         refactorizes and retries.
         """
         factors = factorize(x)
-        lin = lambda v: p.linear_solver.solve(factors, v)
+        lin = lambda v: lin_solve_dense(factors, v)
         delta = lin(residual(x))
         nrm = wrms_norm(delta, y_fixed, p.atol, p.rtol)
 
