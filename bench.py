@@ -58,8 +58,9 @@ def main():
         jax.block_until_ready(sol.ys)
         best = min(best, time.perf_counter() - t0)
 
-    # sanity: mass conservation across the ensemble
-    cons = float(jnp.max(jnp.abs(sol.ys.sum(axis=-1) - 1.0)))
+    # sanity: mass conservation across the ensemble (ys is flat (neval, B*3))
+    ys = sol.ys.reshape(sol.ys.shape[0], NBATCH, 3)
+    cons = float(jnp.max(jnp.abs(ys.sum(axis=-1) - 1.0)))
     assert cons < 1e-3, f"conservation violated: {cons}"
 
     per_instance_us = best / NBATCH * 1e6

@@ -97,6 +97,9 @@ def _make_solve_dense(solver, max_steps):
     has_reset = p.eqn.reset is not None
     integrate_out = p.integrate_out
     has_sens = getattr(solver, "has_sens", False)
+    # reference parity (method.rs:965-999): with an `out` function but no
+    # quadrature, the output columns are out(t, y)
+    out_direct = (p.eqn.out is not None) and not integrate_out
 
     def impl(state, params, t_eval):
         neval = t_eval.shape[0]
@@ -105,7 +108,12 @@ def _make_solve_dense(solver, max_steps):
         n = state.y.shape[-1]
         dtype = state.y.dtype
         ys = jnp.zeros((neval,) + state.y.shape, dtype)
-        gs = jnp.zeros((neval,) + state.g.shape, dtype) if integrate_out else None
+        if integrate_out:
+            gs = jnp.zeros((neval,) + state.g.shape, dtype)
+        elif out_direct:
+            gs = jnp.zeros((neval, p.eqn.nout), dtype)
+        else:
+            gs = None
         ss = (
             jnp.zeros((neval,) + state.s.shape, dtype) if has_sens else None
         )
@@ -118,6 +126,15 @@ def _make_solve_dense(solver, max_steps):
                 g_interp = jax.vmap(lambda tt: solver.interpolate_out(state_new, tt))(
                     t_eval
                 )
+                gs = jnp.where(
+                    mask.reshape((-1,) + (1,) * (gs.ndim - 1)), g_interp, gs
+                )
+            if out_direct:
+                g_interp = jax.vmap(
+                    lambda tt: p.eqn.out(
+                        tt, solver.interpolate(state_new, tt), params
+                    )
+                )(t_eval)
                 gs = jnp.where(
                     mask.reshape((-1,) + (1,) * (gs.ndim - 1)), g_interp, gs
                 )
@@ -226,13 +243,19 @@ def _make_solve(solver, max_steps):
     has_reset = p.eqn.reset is not None
     integrate_out = p.integrate_out
     has_sens = getattr(solver, "has_sens", False)
+    out_direct = (p.eqn.out is not None) and not integrate_out
     nbuf = max_steps + 2
 
     def impl(state, params, final_time):
         dtype = state.y.dtype
         ts = jnp.full((nbuf,), jnp.nan, dtype)
         ys = jnp.zeros((nbuf,) + state.y.shape, dtype)
-        gs = jnp.zeros((nbuf,) + state.g.shape, dtype) if integrate_out else None
+        if integrate_out:
+            gs = jnp.zeros((nbuf,) + state.g.shape, dtype)
+        elif out_direct:
+            gs = jnp.zeros((nbuf, p.eqn.nout), dtype)
+        else:
+            gs = None
         ss = jnp.zeros((nbuf,) + state.s.shape, dtype) if has_sens else None
 
         def write(ts, ys, gs, ss, k, state):
@@ -240,6 +263,8 @@ def _make_solve(solver, max_steps):
             ys = ys.at[k].set(state.y)
             if integrate_out:
                 gs = gs.at[k].set(state.g)
+            elif out_direct:
+                gs = gs.at[k].set(p.eqn.out(state.t, state.y, params))
             if has_sens:
                 ss = ss.at[k].set(state.s)
             return ts, ys, gs, ss, k + 1

@@ -82,12 +82,45 @@ DENSE = LinearSolverSpec(
 )
 
 
+def _dense_f32_factor(a):
+    a32 = a.astype(jnp.float32)
+    if a.shape[-1] <= smalllu.MAX_UNROLL_N:
+        return smalllu.lu_factor(a32)
+    return jsl.lu_factor(a32)
+
+
+def _dense_f32_solve(factors, b):
+    if factors[0].shape[-1] <= smalllu.MAX_UNROLL_N:
+        x = smalllu.lu_solve(factors, b.astype(jnp.float32))
+    else:
+        x = jsl.lu_solve(factors, b.astype(jnp.float32))
+    return x.astype(b.dtype)
+
+
+# Mixed-precision tier: factorize and solve the Newton iteration matrix in
+# f32 while the residuals/error tests stay in the problem dtype.  The LU is
+# only a preconditioner for the Newton iteration, whose convergence control
+# (ops/newton.py) measures the true-dtype update -- accuracy is governed by
+# the f64 residual, speed by the f32 factorization.  On TPU (f64 emulated in
+# software) this trades a slightly slower Newton convergence rate for much
+# cheaper linear algebra.
+DENSE_F32 = LinearSolverSpec(
+    name="dense_f32",
+    assemble=_dense_assemble,
+    factor=_dense_f32_factor,
+    solve=_dense_f32_solve,
+    placeholder_factors=lambda n, dtype: _dense_placeholder(n, jnp.float32),
+)
+
+
 def get_solver(spec) -> LinearSolverSpec:
     """Resolve a tier name or spec into a :class:`LinearSolverSpec`."""
     if isinstance(spec, LinearSolverSpec):
         return spec
     if spec in (None, "dense"):
         return DENSE
+    if spec == "dense_f32":
+        return DENSE_F32
     if isinstance(spec, str) and spec.startswith("banded"):
         raise ValueError("use diffsol_tpu.ops.banded.make_banded_solver(ml, mu)")
     raise ValueError(f"unknown linear solver: {spec!r}")

@@ -53,6 +53,7 @@ def newton_solve(
     *,
     tol: float = 0.2,
     max_iter: int = 10,
+    nbatch: int = 1,
 ) -> NewtonResult:
     """Solve ``residual(x) = 0`` by damped-free Newton with frozen Jacobian.
 
@@ -71,7 +72,7 @@ def newton_solve(
         x, first_norm, eta, niter, _ = carry
         delta = lin_solve(residual(x))
         x = x - delta
-        nrm = wrms_norm(delta, error_y, atol, rtol)
+        nrm = wrms_norm(delta, error_y, atol, rtol, nbatch)
         niter = niter + 1
 
         # first iteration: eta = max(eta_prev, 1e4*eps)^0.8

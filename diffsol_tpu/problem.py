@@ -101,7 +101,12 @@ class SolverConfig:
         )
 
 
-@pytree_dataclass(static=("eqn", "options", "ic_options", "integrate_out", "linear_solver"))
+@pytree_dataclass(
+    static=(
+        "eqn", "options", "ic_options", "integrate_out", "linear_solver",
+        "lockstep_nbatch",
+    )
+)
 class OdeProblem:
     """An ODE/DAE problem ready to be handed to a solver.
 
@@ -121,6 +126,9 @@ class OdeProblem:
     sens_rtol: Any = None
     sens_atol: Any = None
     integrate_out: bool = False
+    # >1 => the state is a FLAT lockstep ensemble of this many member
+    # systems (see diffsol_tpu.ensemble); norms reduce mean-then-max
+    lockstep_nbatch: int = 1
     options: OdeSolverOptions = field(default_factory=OdeSolverOptions)
     ic_options: InitialConditionOptions = field(default_factory=InitialConditionOptions)
     linear_solver: LinearSolverSpec = DENSE
@@ -181,6 +189,7 @@ class OdeBuilder:
         self._options = OdeSolverOptions()
         self._ic_options = InitialConditionOptions()
         self._linear_solver = DENSE
+        self._use_coloring = False
 
     # equations ---------------------------------------------------------
     def rhs(self, f: Callable):
@@ -266,6 +275,12 @@ class OdeBuilder:
         self._linear_solver = get_solver(spec)
         return self
 
+    def use_coloring(self, flag: bool = True):
+        """Compress the Jacobian via sparsity detection + native greedy
+        graph coloring (reference builder.rs use_coloring)."""
+        self._use_coloring = flag
+        return self
+
     # build --------------------------------------------------------------
     def build(self) -> OdeProblem:
         if self._rhs is None or self._init is None:
@@ -275,6 +290,14 @@ class OdeBuilder:
 
             ml, mu = self._linear_solver.meta
             self._rhs_jac = make_banded_jac(self._rhs, ml, mu)
+        elif self._use_coloring and self._rhs_jac is None:
+            from .ops.coloring import colored_jac_for_problem
+
+            p_arr = jnp.asarray(self._p, dtype=jnp.result_type(float))
+            y0 = self._init(jnp.asarray(self._t0), p_arr)
+            self._rhs_jac, _ = colored_jac_for_problem(
+                self._rhs, jnp.asarray(self._t0), y0, p_arr
+            )
         eqn = make_equations(
             self._rhs,
             self._init,

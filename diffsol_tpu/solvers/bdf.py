@@ -204,6 +204,7 @@ class BdfSolver:
         self.config = config or SolverConfig.from_options(problem.options, "bdf")
         # static partition of algebraic states (zero mass diagonal)
         self._alg_mask = algebraic_mask(problem)
+        self._nb = problem.lockstep_nbatch
         # continuous forward sensitivity equations integrated in lockstep
         # (reference SensEquations + bdf.rs:934-989 sensitivity_solve)
         self.sens = sens
@@ -568,6 +569,7 @@ class BdfSolver:
                 residual, lin_solve, c["y_pred"], c["y_pred"],
                 p.atol, p.rtol, st["eta"],
                 tol=opts.nonlinear_solver_tolerance, max_iter=max_newton,
+                nbatch=self._nb,
             )
             st = dict(st, eta=res.eta)
             st["stats"] = st["stats"]._replace(
@@ -656,12 +658,15 @@ class BdfSolver:
             # ---------------- error test ----------------
             def on_converged(c, st):
                 err = (
-                    squared_norm(d, state.y, p.atol, p.rtol) * ec2[order - 1]
+                    squared_norm(d, state.y, p.atol, p.rtol, self._nb)
+                    * ec2[order - 1]
                 )
                 if p.output_in_error_control():
                     err = jnp.maximum(
                         err,
-                        squared_norm(g_delta, state.g, p.out_atol, p.out_rtol)
+                        squared_norm(
+                            g_delta, state.g, p.out_atol, p.out_rtol, self._nb
+                        )
                         * ec2[order],
                     )
                 if self.sens and p.sens_in_error_control():
@@ -772,7 +777,7 @@ class BdfSolver:
 
             def predicted_err(col, const_idx):
                 e = squared_norm(
-                    jnp.take(D, col, axis=0), y_new, p.atol, p.rtol
+                    jnp.take(D, col, axis=0), y_new, p.atol, p.rtol, self._nb
                 ) * ec2[const_idx]
                 if self.sens and p.sens_in_error_control():
                     se = jax.vmap(

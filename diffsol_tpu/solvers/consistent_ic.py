@@ -44,6 +44,9 @@ def algebraic_mask(problem, params=None):
     mask = diag == 0.0
     if not mask.any():
         return None
+    if problem.lockstep_nbatch > 1:
+        # flat lockstep state: tile the member mask across the batch
+        mask = np.tile(mask, problem.lockstep_nbatch)
     return jnp.asarray(mask)
 
 
@@ -71,6 +74,7 @@ def make_consistent(problem, params, y, dy, is_alg):
     ``is_alg`` is the static algebraic mask from :func:`algebraic_mask`.
     """
     p = problem
+    nb = p.lockstep_nbatch
     t0 = jnp.asarray(p.t0, y.dtype)
     ic = p.ic_options
     dtype = y.dtype
@@ -95,17 +99,36 @@ def make_consistent(problem, params, y, dy, is_alg):
 
     x0 = jnp.where(is_alg, y, dy)
 
-    # the IC solve always uses a dense factorization regardless of the
-    # problem's linear-solver tier (one-off setup cost; the banded tier's
-    # matrix representation does not apply to the packed IC Jacobian)
+    # factorization of the packed IC Jacobian: flat lockstep problems use
+    # block-cyclic JVP probes (n_member probes for any batch size) through
+    # the lockstep linear tier; everything else uses a one-off dense LU
     from ..ops import linsol
 
-    def factorize(x):
-        jac = _blockwise_jacfwd(residual, x)
-        return linsol.DENSE.factor(jac)
+    if nb > 1:
+        n_mem = y.shape[-1] // nb
 
-    def lin_solve_dense(factors, v):
-        return linsol.DENSE.solve(factors, v)
+        def factorize(x):
+            basis = jnp.eye(n_mem, dtype=x.dtype)
+
+            def col(e):
+                v = jnp.tile(e, nb)
+                return jax.jvp(residual, (x,), (v,))[1].reshape(nb, n_mem)
+
+            cols = jax.vmap(col)(basis)  # (n_mem, nb, n_mem)
+            jac = jnp.moveaxis(cols, 0, -1)  # (nb, n_mem, n_mem)
+            return p.linear_solver.factor(jac)
+
+        def lin_solve_dense(factors, v):
+            return p.linear_solver.solve(factors, v)
+
+    else:
+
+        def factorize(x):
+            jac = _blockwise_jacfwd(residual, x)
+            return linsol.DENSE.factor(jac)
+
+        def lin_solve_dense(factors, v):
+            return linsol.DENSE.solve(factors, v)
 
     def newton_with_linesearch(x, eta):
         """One Newton campaign with a frozen factorization.
@@ -117,7 +140,7 @@ def make_consistent(problem, params, y, dy, is_alg):
         factors = factorize(x)
         lin = lambda v: lin_solve_dense(factors, v)
         delta = lin(residual(x))
-        nrm = wrms_norm(delta, y_fixed, p.atol, p.rtol)
+        nrm = wrms_norm(delta, y_fixed, p.atol, p.rtol, nb)
 
         def check(niter, nrm, first_norm, eta):
             """Convergence check (convergence.rs:69-130); returns (status, eta)."""
@@ -162,7 +185,7 @@ def make_consistent(problem, params, y, dy, is_alg):
                 (_xt, _dt, _nt, alpha, i, _done, _failed) = ls
                 x_try = x - alpha * delta
                 d_try = lin(residual(x_try))
-                n_try = wrms_norm(d_try, y_fixed, p.atol, p.rtol)
+                n_try = wrms_norm(d_try, y_fixed, p.atol, p.rtol, nb)
                 ok = 0.5 * n_try * n_try <= phi0 - armijo_c * alpha * two_phi0
                 failed = (~ok) & (alpha < min_alpha)
                 return (x_try, d_try, n_try, alpha * tau, i + 1, ok, failed)

@@ -53,6 +53,7 @@ class ErkSolver:
         self.problem = problem
         self.tableau = tab
         self.config = config or SolverConfig.from_options(problem.options, "erk")
+        self._nb = problem.lockstep_nbatch
 
     @property
     def order(self) -> int:
@@ -173,11 +174,12 @@ class ErkSolver:
                 h, state.y, state.dy, g_dg, state.t, params
             )
             err_vec = jnp.tensordot(d_vec, diff, axes=1)
-            err = squared_norm(err_vec, state.y, p.atol, p.rtol)
+            err = squared_norm(err_vec, state.y, p.atol, p.rtol, self._nb)
             if p.output_in_error_control():
                 gerr = jnp.tensordot(d_vec, gdiff, axes=1)
                 err = jnp.maximum(
-                    err, squared_norm(gerr, state.g, p.out_atol, p.out_rtol)
+                    err,
+                    squared_norm(gerr, state.g, p.out_atol, p.out_rtol, self._nb),
                 )
             accepted = err < 1.0
             raw = pi_controller_raw(

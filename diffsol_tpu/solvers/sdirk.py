@@ -68,6 +68,7 @@ class SdirkSolver:
         self.gamma = float(gamma)
         self.config = config or SolverConfig.from_options(problem.options, "sdirk")
         self._alg_mask = algebraic_mask(problem)
+        self._nb = problem.lockstep_nbatch
 
     @property
     def order(self) -> int:
@@ -284,6 +285,7 @@ class SdirkSolver:
                 residual, lin_solve, z0, state.y, p.atol, p.rtol, st["eta"],
                 tol=opts.nonlinear_solver_tolerance,
                 max_iter=cfg.maximum_newton_iterations,
+                nbatch=self._nb,
             )
             st = dict(st, eta=res.eta)
             st["stats"] = st["stats"]._replace(
@@ -383,11 +385,14 @@ class SdirkSolver:
                 if has_mass:
                     err_vec = p.eqn.mass_mul(state.t, params, err_vec)
                 err_vec = p.linear_solver.solve(st["factors"], err_vec)
-                err = squared_norm(err_vec, state.y, p.atol, p.rtol)
+                err = squared_norm(err_vec, state.y, p.atol, p.rtol, self._nb)
                 if p.output_in_error_control():
                     gerr = jnp.tensordot(d_vec, gdiff, axes=1)
                     err = jnp.maximum(
-                        err, squared_norm(gerr, state.g, p.out_atol, p.out_rtol)
+                        err,
+                        squared_norm(
+                            gerr, state.g, p.out_atol, p.out_rtol, self._nb
+                        ),
                     )
                 m = float(cfg.maximum_newton_iterations)
                 safety = (2.0 * m + 1.0) / (2.0 * m + niter.astype(dtype))

@@ -43,17 +43,18 @@ def initial_step_size(problem, params, y0, dy0, solver_order: int):
     of ``problem.h0`` selects integration direction.
     """
     atol, rtol = problem.atol, problem.rtol
+    nb = problem.lockstep_nbatch
     t0 = problem.t0
     is_neg = problem.h0 < 0.0
 
-    d0 = wrms_norm(y0, y0, atol, rtol)
-    d1 = wrms_norm(dy0, y0, atol, rtol)
+    d0 = wrms_norm(y0, y0, atol, rtol, nb)
+    d1 = wrms_norm(dy0, y0, atol, rtol, nb)
     h0 = jnp.where((d0 < 1e-5) | (d1 < 1e-5), 1e-6, 0.01 * (d0 / d1))
 
     t1 = jnp.where(is_neg, t0 - h0, t0 + h0)
     y1 = jnp.where(is_neg, y0 - h0 * dy0, y0 + h0 * dy0)
     f1 = problem.eqn.rhs(t1, y1, params)
-    d2 = wrms_norm(f1 - dy0, y0, atol, rtol) / jnp.abs(h0)
+    d2 = wrms_norm(f1 - dy0, y0, atol, rtol, nb) / jnp.abs(h0)
 
     max_d = jnp.maximum(d1, d2)
     h1_small = jnp.maximum(h0 * 1e-3, 1e-6)

@@ -133,3 +133,44 @@ def test_bdf_vmap_ensemble():
     for i in range(8):
         expected = exponential_decay.soln(t_eval, params[i])
         np.testing.assert_allclose(ys[i], expected, rtol=2e-5, atol=1e-7)
+
+
+def test_bdf_direct_out():
+    """out() defined without integrate_out: outputs are out(t, y)
+    (reference method.rs:982-991)."""
+    problem = (
+        dt.OdeBuilder()
+        .rhs(exponential_decay.rhs)
+        .init(exponential_decay.init)
+        .out(lambda t, y, p: jnp.array([y[0] + y[1]]))
+        .p([0.1, 1.0])
+        .rtol(1e-8)
+        .atol(1e-10)
+        .build()
+    )
+    solver = BdfSolver(problem)
+    t_eval = jnp.linspace(0.0, 1.0, 5)
+    sol = dt.solve_dense(solver, t_eval)
+    expected = exponential_decay.soln(t_eval, problem.params).sum(axis=1)
+    np.testing.assert_allclose(sol.gs[:, 0], expected, rtol=1e-6)
+
+
+def test_bdf_mixed_precision_lu():
+    """dense_f32 tier: f32 LU preconditioner, f64 residuals/error control."""
+    problem = (
+        dt.OdeBuilder()
+        .rhs(lambda t, y, p: jnp.array([-1000.0 * y[0] + 999.0 * y[1], -y[1]]))
+        .init(lambda t, p: jnp.array([2.0, 1.0]))
+        .p([0.0])
+        .rtol(1e-6)
+        .atol(1e-8)
+        .linear_solver("dense_f32")
+        .build()
+    )
+    solver = BdfSolver(problem)
+    t_eval = jnp.linspace(0.0, 10.0, 6)
+    sol = dt.solve_dense(solver, t_eval)
+    assert int(sol.stop_reason) == errors.TSTOP_REACHED
+    t = np.asarray(t_eval)
+    expected = np.stack([np.exp(-t) + np.exp(-1000.0 * t), np.exp(-t)], axis=1)
+    np.testing.assert_allclose(sol.ys, expected, rtol=1e-4, atol=1e-6)

@@ -1,0 +1,68 @@
+"""Native graph-coloring + compressed Jacobian tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import diffsol_tpu as dt
+from diffsol_tpu.ops.coloring import (
+    _load_native,
+    colored_jac_for_problem,
+    greedy_color,
+)
+
+
+def test_native_library_loads():
+    assert _load_native() is not None, "C++ coloring library failed to build"
+
+
+def test_greedy_color_block_diagonal():
+    # 2 blocks of 3x3: columns within a block conflict; across blocks don't
+    rows, cols = [], []
+    for b in range(2):
+        for i in range(3):
+            for j in range(3):
+                rows.append(3 * b + i)
+                cols.append(3 * b + j)
+    colors, nc = greedy_color(np.array(rows), np.array(cols), 6, 6)
+    assert nc == 3
+    # valid coloring: conflicting columns differ
+    for r in range(6):
+        cs = [colors[c] for (rr, c) in zip(rows, cols) if rr == r]
+        assert len(cs) == len(set(cs))
+
+
+def test_colored_jac_matches_dense():
+    from diffsol_tpu.models import misc
+
+    problem = misc.robertson_ode_groups(ngroups=4)
+    eqn = problem.eqn
+    y0 = eqn.init(problem.t0, problem.params)
+    jac_fn, ncolors = colored_jac_for_problem(
+        eqn.rhs, problem.t0, y0, problem.params
+    )
+    assert ncolors == 3  # block-diagonal 3x3 pattern needs 3 probes
+    y = y0 + 0.1
+    J_colored = jac_fn(problem.t0, y, problem.params)
+    J_dense = jax.jacfwd(eqn.rhs, argnums=1)(problem.t0, y, problem.params)
+    np.testing.assert_allclose(np.asarray(J_colored), np.asarray(J_dense), rtol=1e-12)
+
+
+def test_builder_use_coloring_solves():
+    from diffsol_tpu.models import robertson
+
+    problem = (
+        dt.OdeBuilder()
+        .rhs(robertson.rhs_ode)
+        .init(robertson.init)
+        .p(list(robertson.P_DEFAULT))
+        .rtol(1e-4)
+        .atol(jnp.asarray([1e-8, 1e-10, 1e-6]))
+        .use_coloring()
+        .build()
+    )
+    sol = dt.solve_dense(dt.BdfSolver(problem), jnp.asarray([0.4, 4.0, 40.0]))
+    data = robertson.SOLN
+    np.testing.assert_allclose(
+        np.asarray(sol.ys[:, 0]), data[1:4, 1], rtol=5e-3
+    )
