@@ -46,21 +46,25 @@ def main():
         state = solver.init_state(pb)
         return solve_dense(solver, t_eval, params=pb, state=state, max_steps=5000)
 
+    def sync(sol):
+        # NB: on the axon tunnel backend block_until_ready does NOT block;
+        # force a device->host scalar read to time real execution
+        return float(jnp.sum(sol.ys))
+
     # warmup/compile
     sol = run(params)
-    jax.block_until_ready(sol.ys)
+    sync(sol)
     assert int(sol.stop_reason) >= 0, f"solve failed: {int(sol.stop_reason)}"
 
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
         sol = run(params)
-        jax.block_until_ready(sol.ys)
+        sync(sol)
         best = min(best, time.perf_counter() - t0)
 
-    # sanity: mass conservation across the ensemble (ys is flat (neval, B*3))
-    ys = sol.ys.reshape(sol.ys.shape[0], NBATCH, 3)
-    cons = float(jnp.max(jnp.abs(ys.sum(axis=-1) - 1.0)))
+    # sanity: mass conservation across the ensemble (ys is (neval, 3, B))
+    cons = float(jnp.max(jnp.abs(sol.ys.sum(axis=1) - 1.0)))
     assert cons < 1e-3, f"conservation violated: {cons}"
 
     per_instance_us = best / NBATCH * 1e6

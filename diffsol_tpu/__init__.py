@@ -11,6 +11,7 @@ from JAX, ensembles come from ``vmap`` + mesh sharding.
 from . import errors  # noqa: F401
 from .drivers import Solution, solve, solve_dense  # noqa: F401
 from .ensemble import make_lockstep_problem, solve_dense_ensemble  # noqa: F401
+from .factory import METHODS, solver  # noqa: F401
 from .equations import OdeEquations, make_equations  # noqa: F401
 from .problem import (  # noqa: F401
     InitialConditionOptions,

@@ -94,6 +94,7 @@ def solve_dense(solver, t_eval, params=None, state=None, max_steps: int = 100_00
 
 def _make_solve_dense(solver, max_steps):
     p = solver.problem
+    has_root = p.eqn.root is not None
     has_reset = p.eqn.reset is not None
     integrate_out = p.integrate_out
     has_sens = getattr(solver, "has_sens", False)
@@ -111,7 +112,10 @@ def _make_solve_dense(solver, max_steps):
         if integrate_out:
             gs = jnp.zeros((neval,) + state.g.shape, dtype)
         elif out_direct:
-            gs = jnp.zeros((neval, p.eqn.nout), dtype)
+            out_shape = jax.eval_shape(
+                p.eqn.out, state.t, state.y, params
+            ).shape
+            gs = jnp.zeros((neval,) + out_shape, dtype)
         else:
             gs = None
         ss = (
@@ -120,32 +124,44 @@ def _make_solve_dense(solver, max_steps):
 
         def write(state_new, t_upper, written_to, ys, gs, ss):
             mask = (t_eval <= t_upper) & (t_eval > written_to)
-            y_interp = jax.vmap(lambda tt: solver.interpolate(state_new, tt))(t_eval)
-            ys = jnp.where(mask.reshape((-1,) + (1,) * (ys.ndim - 1)), y_interp, ys)
-            if integrate_out:
-                g_interp = jax.vmap(lambda tt: solver.interpolate_out(state_new, tt))(
-                    t_eval
+
+            def do_write(args):
+                ys, gs, ss = args
+                y_interp = jax.vmap(
+                    lambda tt: solver.interpolate(state_new, tt)
+                )(t_eval)
+                ys = jnp.where(
+                    mask.reshape((-1,) + (1,) * (ys.ndim - 1)), y_interp, ys
                 )
-                gs = jnp.where(
-                    mask.reshape((-1,) + (1,) * (gs.ndim - 1)), g_interp, gs
-                )
-            if out_direct:
-                g_interp = jax.vmap(
-                    lambda tt: p.eqn.out(
-                        tt, solver.interpolate(state_new, tt), params
+                if integrate_out:
+                    g_interp = jax.vmap(
+                        lambda tt: solver.interpolate_out(state_new, tt)
+                    )(t_eval)
+                    gs = jnp.where(
+                        mask.reshape((-1,) + (1,) * (gs.ndim - 1)), g_interp, gs
                     )
-                )(t_eval)
-                gs = jnp.where(
-                    mask.reshape((-1,) + (1,) * (gs.ndim - 1)), g_interp, gs
-                )
-            if has_sens:
-                s_interp = jax.vmap(
-                    lambda tt: solver.interpolate_sens(state_new, tt)
-                )(t_eval)
-                ss = jnp.where(
-                    mask.reshape((-1,) + (1,) * (ss.ndim - 1)), s_interp, ss
-                )
-            return ys, gs, ss
+                if out_direct:
+                    g_interp = jax.vmap(
+                        lambda tt: p.eqn.out(
+                            tt, solver.interpolate(state_new, tt), params
+                        )
+                    )(t_eval)
+                    gs = jnp.where(
+                        mask.reshape((-1,) + (1,) * (gs.ndim - 1)), g_interp, gs
+                    )
+                if has_sens:
+                    s_interp = jax.vmap(
+                        lambda tt: solver.interpolate_sens(state_new, tt)
+                    )(t_eval)
+                    ss = jnp.where(
+                        mask.reshape((-1,) + (1,) * (ss.ndim - 1)), s_interp, ss
+                    )
+                return ys, gs, ss
+
+            # most steps bracket no output point: skip the interpolation work
+            return jax.lax.cond(
+                jnp.any(mask), do_write, lambda args: args, (ys, gs, ss)
+            )
 
         def cond(carry):
             (_state, _ys, _gs, _ss, _written_to, done, k, _stop, _rt, _ri) = carry
@@ -166,7 +182,7 @@ def _make_solve_dense(solver, max_steps):
             t_upper = jnp.where(fatal, written_to, t_upper)
             ys, gs, ss = write(new, t_upper, written_to, ys, gs, ss)
 
-            if has_reset:
+            if has_root and has_reset:
                 def on_root(s):
                     pinned = _pin_to(solver, s, s.root_t)
                     return _apply_reset(solver, pinned, params)
@@ -179,7 +195,7 @@ def _make_solve_dense(solver, max_steps):
                     errors.TSTOP_REACHED,
                     jnp.where(fatal, status, stop),
                 ).astype(jnp.int32)
-            else:
+            elif has_root:
                 def on_root(s):
                     return _pin_to(solver, s, s.root_t)
 
@@ -194,6 +210,12 @@ def _make_solve_dense(solver, max_steps):
                 ).astype(jnp.int32)
                 root_t = jnp.where(is_root, new.t, root_t)
                 root_idx = jnp.where(is_root, new.root_idx, root_idx)
+            else:
+                # no root function: the pin/reset machinery is not emitted
+                done = fatal | is_tstop
+                stop = jnp.where(
+                    is_tstop, errors.TSTOP_REACHED, jnp.where(fatal, status, stop)
+                ).astype(jnp.int32)
 
             return (new, ys, gs, ss, t_upper, done, k + 1, stop, root_t, root_idx)
 
@@ -240,6 +262,7 @@ def solve(solver, final_time, params=None, state=None, max_steps: int = 10_000):
 
 def _make_solve(solver, max_steps):
     p = solver.problem
+    has_root = p.eqn.root is not None
     has_reset = p.eqn.reset is not None
     integrate_out = p.integrate_out
     has_sens = getattr(solver, "has_sens", False)
@@ -253,7 +276,10 @@ def _make_solve(solver, max_steps):
         if integrate_out:
             gs = jnp.zeros((nbuf,) + state.g.shape, dtype)
         elif out_direct:
-            gs = jnp.zeros((nbuf, p.eqn.nout), dtype)
+            out_shape = jax.eval_shape(
+                p.eqn.out, state.t, state.y, params
+            ).shape
+            gs = jnp.zeros((nbuf,) + out_shape, dtype)
         else:
             gs = None
         ss = jnp.zeros((nbuf,) + state.s.shape, dtype) if has_sens else None
@@ -284,7 +310,7 @@ def _make_solve(solver, max_steps):
             is_root = status == errors.ROOT_FOUND
             is_tstop = status == errors.TSTOP_REACHED
 
-            if has_reset:
+            if has_root and has_reset:
                 def on_root(s):
                     pinned = _pin_to(solver, s, s.root_t)
                     return _apply_reset(solver, pinned, params)
@@ -297,7 +323,7 @@ def _make_solve(solver, max_steps):
                     errors.TSTOP_REACHED,
                     jnp.where(fatal, status, stop),
                 ).astype(jnp.int32)
-            else:
+            elif has_root:
                 def on_root(s):
                     return _pin_to(solver, s, s.root_t)
 
@@ -312,6 +338,11 @@ def _make_solve(solver, max_steps):
                 ).astype(jnp.int32)
                 root_t = jnp.where(is_root, new.t, root_t)
                 root_idx = jnp.where(is_root, new.root_idx, root_idx)
+            else:
+                done = fatal | is_tstop
+                stop = jnp.where(
+                    is_tstop, errors.TSTOP_REACHED, jnp.where(fatal, status, stop)
+                ).astype(jnp.int32)
 
             ts, ys, gs, ss, k = jax.lax.cond(
                 fatal,

@@ -3,17 +3,20 @@
 The reference's parallelism axis is batched ensemble solving on one GPU via
 the ``nbatch`` execution context (reference crates/diffsol-la/src/context/
 mod.rs:20-51, vector/cuda.rs:34-65 2D kernel grids, cuda/lu.rs per-batch LU;
-error norms reduce MAX across batch members so all members share one
+error norms reduce MAX across batch members so every member shares one
 adaptive step, vector/mod.rs tests:756-775).  The TPU build provides BOTH
 semantics, each sharded over a ``jax.sharding.Mesh``:
 
-* **lockstep** (reference parity): one solve whose state is the FLAT
-  member-major concatenation (nbatch * nstates,) of all members.  The WRMS
-  norms reshape internally and reduce mean-then-max (see
-  :mod:`diffsol_tpu.norms`), so all members share h/order/Jacobian-refresh
-  decisions and the linear solves are batched block LU.  The flat layout is
-  the TPU-critical choice: a (10000, 3) state would occupy 3 of 128 vector
-  lanes; flat (30000,) packs them fully.
+* **lockstep** (reference parity): ONE solve whose state "vector" is the
+  2-D array (nstates, nbatch) -- species in the sublane axis, the huge
+  ensemble axis in the 128-wide lanes.  All solver arithmetic is shape
+  agnostic, the WRMS norms reduce mean-over-states then max-over-members
+  (:mod:`diffsol_tpu.norms`), and the block LU runs batch-LAST on
+  (n, n, nbatch) Jacobian stacks.  This layout is the TPU-critical choice:
+  TPU tiling pads the last two array dims to (8, 128), so a member-major
+  (10000, 3) state or (10000, 3, 3) Jacobian batch bloats 40-280x, and
+  flat->2-D reshapes trigger pathological relayouts; (n, nbatch) arrays
+  have neither problem.
 * **independent**: ``vmap`` of the whole stepper -- JAX's while-loop
   batching gives each member its own adaptive control flow (finished
   members are masked).  More robust for heterogeneous/event-driven
@@ -37,19 +40,48 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .drivers import solve_dense
 from .equations import OdeEquations
+from .ops import smalllu
 from .ops.linsol import LinearSolverSpec
 from .problem import OdeProblem
 
 
-def _wrap_lockstep_spec(spec: LinearSolverSpec, nbatch: int, n: int) -> LinearSolverSpec:
-    """Lift a linear-solver tier to flat lockstep operation: the matrix
-    representation gains a leading batch axis; solve reshapes flat RHS
-    vectors (..., B*n) to (..., B, n) blocks and back."""
+def _lockstep_dense_spec(nbatch: int, n: int) -> LinearSolverSpec:
+    """Batch-last block-dense LU: matrices (n, n, nbatch), RHS (n, nbatch)."""
+
+    def assemble(mass, jac, c):
+        if mass is None:
+            m = jnp.eye(n, dtype=jac.dtype)[:, :, None]
+        else:
+            m = mass
+        return m - c * jac
+
+    def factor(a):
+        return smalllu.lu_factor_batch_last(a)
 
     def solve(factors, b):
-        blocks = b.reshape(b.shape[:-1] + (nbatch, n))
-        x = spec.solve(factors, blocks)
-        return x.reshape(b.shape)
+        return smalllu.lu_solve_batch_last(factors, b)
+
+    def placeholder(_n, dtype):
+        eye = jnp.broadcast_to(jnp.eye(n, dtype=dtype)[:, :, None], (n, n, nbatch))
+        return smalllu.lu_factor_batch_last(eye)
+
+    return LinearSolverSpec(
+        name=f"lockstep_dense({nbatch})",
+        assemble=assemble,
+        factor=factor,
+        solve=solve,
+        placeholder_factors=placeholder,
+        meta=(nbatch,),
+    )
+
+
+def _lockstep_banded_spec(spec: LinearSolverSpec, nbatch: int, n: int) -> LinearSolverSpec:
+    """Lockstep lift of the banded tier: band arrays are batch-LEADING
+    (nbatch, nbands, n); RHS adapters transpose (n, nbatch) <-> (nbatch, n)."""
+
+    def solve(factors, b):
+        x = spec.solve(factors, jnp.moveaxis(b, -1, -2))
+        return jnp.moveaxis(x, -2, -1)
 
     return LinearSolverSpec(
         name=f"lockstep({nbatch})+{spec.name}",
@@ -62,11 +94,10 @@ def _wrap_lockstep_spec(spec: LinearSolverSpec, nbatch: int, n: int) -> LinearSo
 
 
 def make_lockstep_problem(problem: OdeProblem, nbatch: int) -> OdeProblem:
-    """Lift a problem to flat lockstep-batched form (reference `nbatch`
-    context).  The returned problem's state is (nbatch * nstates,)
-    member-major; params gain a leading (nbatch,) axis.  Root functions are
-    not supported in lockstep mode (the reference requires batch-consistent
-    sign changes and panics otherwise)."""
+    """Lift a problem to 2-D (nstates, nbatch) lockstep form (reference
+    `nbatch` context).  params gain a leading (nbatch,) axis.  Root
+    functions are not supported in lockstep mode (the reference requires
+    batch-consistent sign changes and panics otherwise)."""
     eqn = problem.eqn
     if eqn.root is not None:
         raise ValueError(
@@ -75,42 +106,49 @@ def make_lockstep_problem(problem: OdeProblem, nbatch: int) -> OdeProblem:
         )
     n = eqn.nstates
     nout = eqn.nout
+    banded = problem.linear_solver.name.startswith("banded")
 
-    def flatten(f, out_len):
-        def g(t, yf, pb):
-            y = yf.reshape(yf.shape[:-1] + (nbatch, n))
-            return jax.vmap(f, in_axes=(None, 0, 0))(t, y, pb).reshape(
-                yf.shape[:-1] + (out_len,)
-            )
+    def over_members(f):
+        # member function (t, (n,), (np,)) -> vectorized (t, (n,B), (B,np))
+        return jax.vmap(f, in_axes=(None, 1, 0), out_axes=1)
 
-        return g
-
-    b_rhs = flatten(eqn.rhs, nbatch * n)
-    b_reset = None if eqn.reset is None else flatten(eqn.reset, nbatch * n)
-    b_out = None if eqn.out is None else flatten(eqn.out, nbatch * max(nout, 1))
+    b_rhs = over_members(eqn.rhs)
+    b_reset = None if eqn.reset is None else over_members(eqn.reset)
+    b_out = None if eqn.out is None else over_members(eqn.out)
 
     def b_init(t, pb):
-        return jax.vmap(eqn.init, in_axes=(None, 0))(t, pb).reshape(-1)
+        return jax.vmap(eqn.init, in_axes=(None, 0), out_axes=1)(t, pb)  # (n, B)
 
     if eqn.rhs_jac is not None:
         per_member_jac = eqn.rhs_jac
     else:
         per_member_jac = lambda t, y, p: jax.jacfwd(eqn.rhs, argnums=1)(t, y, p)
 
-    def b_jac(t, yf, pb):
-        y = yf.reshape(nbatch, n)
-        return jax.vmap(per_member_jac, in_axes=(None, 0, 0))(t, y, pb)
+    if banded:
+        def b_jac(t, Y, pb):  # (B, nbands, n), batch-leading band arrays
+            return jax.vmap(per_member_jac, in_axes=(None, 1, 0))(t, Y, pb)
+    else:
+        def b_jac(t, Y, pb):  # (n, n, B) dense blocks, batch-last
+            return jax.vmap(per_member_jac, in_axes=(None, 1, 0), out_axes=2)(
+                t, Y, pb
+            )
 
     b_mass = None
     mass_mul_fn = None
     if eqn.mass is not None:
-        def b_mass(t, pb):  # (B, n, n)
-            return jax.vmap(eqn.mass, in_axes=(None, 0))(t, pb)
+        if banded:
+            def b_mass(t, pb):  # (B, n, n)
+                return jax.vmap(eqn.mass, in_axes=(None, 0))(t, pb)
 
-        def mass_mul_fn(t, pb, v):
-            blocks = v.reshape(v.shape[:-1] + (nbatch, n))
-            mv = jnp.einsum("bij,...bj->...bi", b_mass(t, pb), blocks)
-            return mv.reshape(v.shape)
+            def mass_mul_fn(t, pb, v):
+                mv = jnp.einsum("bij,...jb->...ib", b_mass(t, pb), v)
+                return mv
+        else:
+            def b_mass(t, pb):  # (n, n, B)
+                return jax.vmap(eqn.mass, in_axes=(None, 0), out_axes=2)(t, pb)
+
+            def mass_mul_fn(t, pb, v):
+                return jnp.einsum("ijb,...jb->...ib", b_mass(t, pb), v)
 
     new_eqn = OdeEquations(
         rhs=b_rhs,
@@ -121,15 +159,18 @@ def make_lockstep_problem(problem: OdeProblem, nbatch: int) -> OdeProblem:
         reset=b_reset,
         rhs_jac=b_jac,
         mass_mul_fn=mass_mul_fn,
-        nstates=nbatch * n,
-        nout=nbatch * nout,
+        nstates=n,
+        nout=nout,
         nroots=0,
         nparams=eqn.nparams,
     )
     params_b = jnp.broadcast_to(problem.params, (nbatch,) + problem.params.shape)
-    atol_b = jnp.tile(problem.atol, nbatch)
-    out_atol_b = (
-        None if problem.out_atol is None else jnp.tile(problem.out_atol, nbatch)
+    atol_b = problem.atol[:, None]  # broadcasts over the member lanes
+    out_atol_b = None if problem.out_atol is None else problem.out_atol[:, None]
+    spec = (
+        _lockstep_banded_spec(problem.linear_solver, nbatch, n)
+        if banded
+        else _lockstep_dense_spec(nbatch, n)
     )
     return dataclasses.replace(
         problem,
@@ -140,7 +181,7 @@ def make_lockstep_problem(problem: OdeProblem, nbatch: int) -> OdeProblem:
         sens_rtol=None,
         sens_atol=None,
         lockstep_nbatch=nbatch,
-        linear_solver=_wrap_lockstep_spec(problem.linear_solver, nbatch, n),
+        linear_solver=spec,
     )
 
 
@@ -163,7 +204,6 @@ def solve_dense_ensemble(
     """
     params_batch = jnp.asarray(params_batch)
     nbatch = params_batch.shape[0]
-    n = problem.eqn.nstates
 
     if mode == "lockstep":
         lp = make_lockstep_problem(problem, nbatch)
@@ -174,10 +214,10 @@ def solve_dense_ensemble(
             sol = solve_dense(
                 solver, t_eval, params=pb, state=state, max_steps=max_steps
             )
-            ys = sol.ys.reshape(sol.ys.shape[0], nbatch, n)
+            ys = jnp.moveaxis(sol.ys, -1, 1)  # (neval, B, n)
             gs = sol.gs
             if gs is not None and problem.eqn.nout:
-                gs = gs.reshape(gs.shape[0], nbatch, problem.eqn.nout)
+                gs = jnp.moveaxis(gs, -1, 1)
             return sol.replace(ys=ys, gs=gs)
 
         if mesh is not None:

@@ -9,11 +9,11 @@ For batched (ensemble-lockstep) vectors the reference reduces the mean over
 states per batch member, then takes the MAX across batch members so every
 member shares one adaptive step (vector/mod.rs tests:756-775).
 
-TPU layout note: lockstep state vectors are stored FLAT as (nbatch * n,)
-(member-major) so elementwise solver arithmetic fills the 128-wide vector
-lanes regardless of how small each member system is; the norm reshapes to
-(nbatch, n) internally for the mean-then-max reduction.  Extra leading axes
-(e.g. sensitivity rows) are max-reduced as well.
+TPU layout note: lockstep state "vectors" are 2-D arrays (n, nbatch) --
+states in the sublane axis, the huge ensemble axis in the 128-wide lanes --
+so every elementwise solver op is fully vectorized with no reshapes.  The
+norm reduces mean over the states axis (-2) and max over members and any
+extra leading axes (e.g. sensitivity rows).
 """
 
 from __future__ import annotations
@@ -24,16 +24,14 @@ import jax.numpy as jnp
 def squared_norm(x, y, atol, rtol, nbatch: int = 1):
     """Squared WRMS norm of ``x`` scaled by ``|y|*rtol + atol``.
 
-    The trailing axis holds ``nbatch`` member systems of length
-    ``x.shape[-1] // nbatch``: mean over states, max over members and over
-    any extra leading axes.  Returns a scalar (or a vmap-batched scalar).
+    With ``nbatch > 1`` the inputs are 2-D lockstep arrays (..., n, nbatch):
+    mean over the states axis (-2), max over members and any extra leading
+    axes.  Returns a scalar (or a vmap-batched scalar).
     """
     scale = jnp.abs(y) * rtol + atol
     term = x / scale
     sq = term * term
-    if nbatch > 1:
-        sq = sq.reshape(sq.shape[:-1] + (nbatch, sq.shape[-1] // nbatch))
-    per_batch = jnp.mean(sq, axis=-1)
+    per_batch = jnp.mean(sq, axis=-2 if nbatch > 1 else -1)
     return jnp.max(per_batch)
 
 

@@ -39,14 +39,17 @@ def algebraic_mask(problem, params=None):
     params = problem.params if params is None else params
     mass = np.asarray(problem.eqn.mass(problem.t0, params))
     if mass.ndim == 3:  # lockstep-batched mass: the partition is shared
-        mass = mass[0]
+        if problem.linear_solver.name.startswith("lockstep_dense"):
+            mass = mass[:, :, 0]  # batch-LAST layout (n, n, B)
+        else:
+            mass = mass[0]  # batch-leading layout (B, n, n)
     diag = np.diag(mass)
     mask = diag == 0.0
     if not mask.any():
         return None
     if problem.lockstep_nbatch > 1:
-        # flat lockstep state: tile the member mask across the batch
-        mask = np.tile(mask, problem.lockstep_nbatch)
+        # 2-D lockstep state (n, nbatch): broadcast the mask over the lanes
+        return jnp.asarray(mask)[:, None]
     return jnp.asarray(mask)
 
 
@@ -105,21 +108,25 @@ def make_consistent(problem, params, y, dy, is_alg):
     from ..ops import linsol
 
     if nb > 1:
-        n_mem = y.shape[-1] // nb
+        # 2-D lockstep state (n, nb): n member probes (column seeds broadcast
+        # over the lanes) build the batch-last (n, n, nb) block Jacobian
+        from ..ops import smalllu
+
+        n_mem = y.shape[0]
 
         def factorize(x):
             basis = jnp.eye(n_mem, dtype=x.dtype)
 
             def col(e):
-                v = jnp.tile(e, nb)
-                return jax.jvp(residual, (x,), (v,))[1].reshape(nb, n_mem)
+                v = jnp.broadcast_to(e[:, None], x.shape)
+                return jax.jvp(residual, (x,), (v,))[1]  # (n, nb)
 
-            cols = jax.vmap(col)(basis)  # (n_mem, nb, n_mem)
-            jac = jnp.moveaxis(cols, 0, -1)  # (nb, n_mem, n_mem)
-            return p.linear_solver.factor(jac)
+            cols = jax.vmap(col)(basis)  # (probe=col, row, nb)
+            jac = jnp.moveaxis(cols, 0, 1)  # (row, col, nb)
+            return smalllu.lu_factor_batch_last(jac)
 
         def lin_solve_dense(factors, v):
-            return p.linear_solver.solve(factors, v)
+            return smalllu.lu_solve_batch_last(factors, v)
 
     else:
 

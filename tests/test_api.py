@@ -1,0 +1,88 @@
+"""API-surface tests: method factory, resumable staged solves, statistics."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import diffsol_tpu as dt
+from diffsol_tpu import errors
+from diffsol_tpu.models import exponential_decay, logistic
+from diffsol_tpu.utils import stats_dict, stats_json
+
+
+@pytest.mark.parametrize("method", dt.METHODS)
+def test_factory_methods(method):
+    problem = exponential_decay.problem(rtol=1e-6, atol=1e-8)
+    s = dt.solver(problem, method)
+    sol = dt.solve_dense(s, jnp.linspace(0.0, 1.0, 5))
+    expected = exponential_decay.soln(sol.ts, problem.params)
+    np.testing.assert_allclose(sol.ys, expected, rtol=1e-4, atol=1e-6)
+
+
+def test_staged_resume_matches_single_solve():
+    """Reference `solve_soln` semantics (solution.rs resumable solves):
+    a Solution's final state is a restartable checkpoint."""
+    problem = logistic.problem(rtol=1e-8, atol=1e-10)
+    solver = dt.BdfSolver(problem)
+    t1 = jnp.linspace(0.0, 5.0, 6)
+    t2 = jnp.linspace(6.0, 10.0, 5)
+    sol1 = dt.solve_dense(solver, t1)
+    assert int(sol1.stop_reason) == errors.TSTOP_REACHED
+    sol2 = dt.solve_dense(solver, t2, state=sol1.state)
+    expected = logistic.soln(t2, problem.params)
+    np.testing.assert_allclose(sol2.ys, expected, rtol=1e-6, atol=1e-9)
+
+
+def test_state_mut_and_continue():
+    """Reference test_state_mut: mutate the state mid-solve and continue."""
+    problem = exponential_decay.problem(rtol=1e-8, atol=1e-10)
+    solver = dt.BdfSolver(problem)
+    sol1 = dt.solve_dense(solver, jnp.linspace(0.0, 1.0, 3))
+    st = sol1.state
+    # halve the state by hand; the solver must reinitialize (order 1)
+    y_new = st.y * 0.5
+    st = st.replace(
+        y=y_new,
+        dy=problem.eqn.rhs(st.t, y_new, problem.params),
+        state_modified=jnp.asarray(True),
+    )
+    t2 = jnp.asarray([1.5, 2.0])
+    sol2 = dt.solve_dense(solver, t2, state=st)
+    # from t=1 the trajectory is 0.5 * y(1) * exp(-a (t-1))
+    a = float(problem.params[0])
+    base = 0.5 * np.exp(-a * 1.0)
+    expected = base * np.exp(-a * (np.asarray(t2) - 1.0))
+    np.testing.assert_allclose(sol2.ys[:, 0], expected, rtol=1e-6)
+
+
+def test_stats_helpers():
+    problem = logistic.problem()
+    solver = dt.BdfSolver(problem)
+    sol = dt.solve_dense(solver, jnp.linspace(0.0, 5.0, 3))
+    d = stats_dict(sol)
+    assert d["steps"] > 0
+    assert d["newton_iterations"] >= d["steps"]
+    assert "steps" in stats_json(sol)
+
+
+def test_error_status_raises():
+    """Error taxonomy surfaces as DiffsolError at the Python boundary."""
+
+    def bad_rhs(t, y, p):
+        # blows up in finite time: dy/dt = y^2 with y0=1 diverges at t=1
+        return y * y
+
+    problem = (
+        dt.OdeBuilder()
+        .rhs(bad_rhs)
+        .init(lambda t, p: jnp.array([1.0]))
+        .p([0.0])
+        .rtol(1e-8)
+        .atol(1e-10)
+        .build()
+    )
+    solver = dt.BdfSolver(problem)
+    sol = dt.solve_dense(solver, jnp.asarray([0.5, 2.0]), max_steps=2000)
+    assert int(sol.stop_reason) < 0
+    with pytest.raises(errors.DiffsolError):
+        sol.raise_for_status()
