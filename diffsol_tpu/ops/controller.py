@@ -24,24 +24,27 @@ def pi_controller_raw(error_norm, prev_error_norm, pi_integral, pi_proportional,
     reference uses Option<T>): the proportional term is then dropped.
     ``error_norm`` and ``prev_error_norm`` are squared WRMS norms.
     """
-    dtype = jnp.result_type(error_norm)
-    order_f = jnp.asarray(eff_order, dtype=dtype)
-    ki = pi_integral / order_f
-    kp = pi_proportional / order_f
-    have_prev = ~jnp.isnan(prev_error_norm)
+    out_dtype = jnp.result_type(error_norm)
+    # all controller transcendentals run in f32: the result is a step-size
+    # factor clamped to ~[0.5, 2], far below f32 precision limits, and f64
+    # scalar pow/exp/log are SLOW emulated ops on TPU (they showed up as a
+    # dominant fixed per-step cost).  f32 also sidesteps TPU's f64 pow
+    # returning NaN for bases outside f32 range.
+    f32 = jnp.float32
+    err32 = jnp.asarray(error_norm, f32)
+    prev32 = jnp.asarray(prev_error_norm, f32)
+    order_f = jnp.asarray(eff_order, f32)
+    ki = jnp.asarray(pi_integral, f32) / order_f
+    kp = jnp.asarray(pi_proportional, f32) / order_f
+    have_prev = ~jnp.isnan(prev32)
     use_pi = (pi_proportional != 0.0) & have_prev
-    # clamp the (squared) norms into a safe range before the pow: x**-k with
-    # x in {0, inf} must give {huge, 0} -- TPU's f64 pow emulation goes through
-    # f32 log/exp internals and yields NaN for bases outside f32 range, which
-    # would poison the factor argmax downstream.  1e+-30 saturates the factor
-    # far beyond the growth/shrink clamps, so nothing of value is lost.
-    tiny = jnp.asarray(1e-30, dtype)
+    tiny = jnp.asarray(1e-30, f32)
     huge = 1.0 / tiny
-    err_safe = jnp.clip(error_norm, tiny, huge)
-    prev_safe = jnp.clip(jnp.where(have_prev, prev_error_norm, 1.0), tiny, huge)
+    err_safe = jnp.clip(err32, tiny, huge)
+    prev_safe = jnp.clip(jnp.where(have_prev, prev32, 1.0), tiny, huge)
     i_only = err_safe**-ki
     pi_both = err_safe ** -(ki + kp) * prev_safe**kp
-    return jnp.where(use_pi, pi_both, i_only)
+    return jnp.where(use_pi, pi_both, i_only).astype(out_dtype)
 
 
 def clamp_factor(

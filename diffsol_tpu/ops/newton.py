@@ -75,20 +75,32 @@ def newton_solve(
         nrm = wrms_norm(delta, error_y, atol, rtol, nbatch)
         niter = niter + 1
 
+        # convergence-rate bookkeeping in f32: only feeds accept/diverge
+        # decisions and the eta heuristic (f64 scalar pow is slow on TPU)
+        f32 = jnp.float32
+        nrm32 = jnp.asarray(nrm, f32)
         # first iteration: eta = max(eta_prev, 1e4*eps)^0.8
-        eta_first = jnp.maximum(eta, 1e4 * eps) ** jnp.asarray(0.8, dtype)
+        eta_first = jnp.maximum(jnp.asarray(eta, f32), 1e4 * eps) ** jnp.asarray(
+            0.8, f32
+        )
 
         # subsequent iterations: rate-based checks against the first norm
-        k = jnp.maximum(niter - 1, 1).astype(dtype)
-        rate = (nrm / jnp.maximum(first_norm, jnp.asarray(0.0, dtype))) ** (1.0 / k)
-        rate = jnp.where(jnp.isfinite(rate), rate, jnp.asarray(jnp.inf, dtype))
+        k = jnp.maximum(niter - 1, 1).astype(f32)
+        rate = (
+            nrm32 / jnp.maximum(jnp.asarray(first_norm, f32), jnp.asarray(0.0, f32))
+        ) ** (1.0 / k)
+        rate = jnp.where(jnp.isfinite(rate), rate, jnp.asarray(jnp.inf, f32))
         diverged_rate = rate > 0.9
-        proj = rate ** jnp.maximum(max_iter - niter, 0).astype(dtype) / (1.0 - rate) * nrm
-        diverged_proj = proj > tol_
+        proj = (
+            rate ** jnp.maximum(max_iter - niter, 0).astype(f32)
+            / (1.0 - rate)
+            * nrm32
+        )
+        diverged_proj = proj > jnp.asarray(tol_, f32)
         eta_later = rate / (1.0 - rate)
 
         is_first = niter == 1
-        eta_new = jnp.where(is_first, eta_first, eta_later)
+        eta_new = jnp.where(is_first, eta_first, eta_later).astype(dtype)
         diverged = (~is_first) & (diverged_rate | diverged_proj)
         converged = (eta_new * nrm < tol_) & ~diverged
 

@@ -923,6 +923,17 @@ class BdfSolver:
         )
 
     # ------------------------------------------------------------------
+    def jacobian(self, state: BdfState, params=None):
+        """df/dy at the current state (reference OdeSolverMethod::jacobian)."""
+        params = self.problem.params if params is None else params
+        return self.problem.eqn.jac(state.t, state.y, params)
+
+    def mass(self, state: BdfState, params=None):
+        """Mass matrix at the current state (None = identity)."""
+        params = self.problem.params if params is None else params
+        return self.problem.eqn.mass_matrix(state.t, params)
+
+    # ------------------------------------------------------------------
     def interpolate(self, state: BdfState, t):
         return _interp_from_diff(t, state.D, state.t, state.h, state.order)
 
