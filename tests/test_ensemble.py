@@ -85,3 +85,36 @@ def test_sharded_ensemble_runs():
     for i in [0, 15, 31]:
         expected = exponential_decay.soln(t_eval, params[i])
         np.testing.assert_allclose(ys[i], expected, rtol=1e-4, atol=1e-6)
+
+
+def test_lockstep_banded_heat1d():
+    """Lockstep ensemble over the banded linear-solver tier (heat1d MOL
+    with varying diffusivities)."""
+    import dataclasses
+    from diffsol_tpu.models import heat1d
+    from diffsol_tpu.ops.banded import make_banded_jac, make_banded_solver
+
+    problem, soln = heat1d.make(mgrid=12)
+    eqn = dataclasses.replace(
+        problem.eqn, rhs_jac=make_banded_jac(problem.eqn.rhs, 1, 1)
+    )
+    problem = dataclasses.replace(
+        problem, eqn=eqn, linear_solver=make_banded_solver(1, 1)
+    )
+    nb = 4
+    d_values = jnp.asarray([1.0, 1.0, 0.5, 2.0])
+    params = d_values[:, None]
+    t_eval = jnp.asarray([0.51, 0.53])
+    sol = dt.solve_dense_ensemble(
+        dt.BdfSolver, problem, t_eval, params, mode="lockstep"
+    )
+    assert int(sol.stop_reason) == errors.TSTOP_REACHED
+    ys = np.asarray(sol.ys)  # (neval, nb, n)
+    assert ys.shape == (2, nb, 13)
+    # members 0 and 1 share D=1: identical; the analytic solution checks out
+    np.testing.assert_allclose(ys[:, 0], ys[:, 1], rtol=1e-12)
+    # 13-point grid: ~2.5% spatial discretization error vs the continuum
+    expected = soln(np.asarray(t_eval))
+    np.testing.assert_allclose(ys[:, 0], expected, rtol=5e-2)
+    # faster diffusion decays more: max of member 3 < member 2 at t end
+    assert ys[-1, 3].max() < ys[-1, 2].max()
