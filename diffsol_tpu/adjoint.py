@@ -130,8 +130,13 @@ def _adjoint_problem(problem: OdeProblem, table, t_top, nparams: int):
     """Build the time-reversed augmented adjoint problem in sigma = t_top - t.
 
     State z = [lambda (n), g_p (nparams)]:
-        dlambda/dsigma = +J(x(t))^T lambda       (adjoint_equations.rs:330-360)
-        dg_p/dsigma    = +f_p(x(t))^T lambda     (:377-384)
+        M^T dlambda/dsigma = +J(x(t))^T lambda   (adjoint_equations.rs:330-360)
+        dg_p/dsigma        = +f_p(x(t))^T lambda (:377-384)
+
+    A constant NONSINGULAR mass matrix becomes blockdiag(M^T, I) on the
+    augmented system (the reference's AdjointMass transpose operator,
+    adjoint_equations.rs:142-200); singular-mass DAE adjoints are not yet
+    supported.
     """
     eqn = problem.eqn
     n = eqn.nstates
@@ -149,7 +154,14 @@ def _adjoint_problem(problem: OdeProblem, table, t_top, nparams: int):
     def init(sigma, params):
         return jnp.zeros((n + nparams,), problem.atol.dtype)
 
-    adj_eqn = make_equations(rhs, init, problem.params, 0.0)
+    adj_mass = None
+    if eqn.mass is not None:
+        def adj_mass(sigma, params):
+            m_t = eqn.mass(t_top - sigma, params).T
+            out = jnp.eye(n + nparams, dtype=m_t.dtype)
+            return out.at[:n, :n].set(m_t)
+
+    adj_eqn = make_equations(rhs, init, problem.params, 0.0, mass=adj_mass)
     atol = jnp.concatenate(
         [problem.atol, jnp.full((nparams,), jnp.mean(problem.atol))]
     )
@@ -168,12 +180,23 @@ def backward_pass(problem, solver_cls, table, t_eval, ct_ys, params, max_steps):
 
     ``ct_ys``: (neval, n) cotangents dG/dy(t_i).  Returns dG/dp (nparams,).
     """
-    if problem.eqn.mass is not None:
-        raise NotImplementedError(
-            "adjoint currently requires an identity mass matrix"
-        )
     eqn = problem.eqn
     n = eqn.nstates
+    mass_solve = None
+    if eqn.mass is not None:
+        import numpy as _np
+
+        m0 = _np.asarray(eqn.mass(problem.t0, problem.params))
+        if _np.any(_np.abs(_np.diag(m0)) == 0.0):
+            raise NotImplementedError(
+                "adjoint with a SINGULAR mass matrix (DAE) is not yet "
+                "supported; differential mass matrices are"
+            )
+        from .ops import linsol
+
+        def mass_solve(t, params, v):
+            m_t = eqn.mass(t, params).T
+            return linsol.DENSE.solve(linsol.DENSE.factor(m_t), v)
     nparams = int(params.shape[0])
     t_eval = jnp.asarray(t_eval, problem.atol.dtype)
     neval = t_eval.shape[0]
@@ -184,8 +207,13 @@ def backward_pass(problem, solver_cls, table, t_eval, ct_ys, params, max_steps):
     solver = solver_cls(adj_problem)
 
     # initial state at sigma=0 with the jump at the last output time applied
+    # (jumps are mass-transpose solves, reference IntegrateDeltaG,
+    # adjoint.rs:220-260)
+    def jump(ct, t):
+        return ct if mass_solve is None else mass_solve(t, params, ct)
+
     state = solver.init_state(params)
-    z0 = state.y.at[:n].add(ct_ys[-1])
+    z0 = state.y.at[:n].add(jump(ct_ys[-1], t_top))
     state = state.replace(
         y=z0, dy=adj_problem.eqn.rhs(state.t, z0, params),
         state_modified=jnp.asarray(True),
@@ -229,7 +257,7 @@ def backward_pass(problem, solver_cls, table, t_eval, ct_ys, params, max_steps):
             (state, steps_used),
         )
         # apply the jump at this output time
-        y_j = state.y.at[:n].add(cts[i])
+        y_j = state.y.at[:n].add(jump(cts[i], t_top - state.t))
         state = state.replace(
             y=y_j,
             dy=adj_problem.eqn.rhs(state.t, y_j, params),
@@ -270,7 +298,10 @@ def backward_pass(problem, solver_cls, table, t_eval, ct_ys, params, max_steps):
     lam0 = state.y[:n]
     gp = state.y[n:]
     # initial-condition correction (adjoint.rs:151-156 correct_sg_for_init):
-    # dG/dp += (dy0/dp)^T lambda(t0)
+    # dG/dp += (dy0/dp)^T M^T lambda(t0)  (M from the Lagrangian term
+    # lambda^T (M y' - f); identity when no mass matrix)
+    if eqn.mass is not None:
+        lam0 = eqn.mass(t0, params).T @ lam0
     y0_p = jax.jacfwd(lambda pp: eqn.init(t0, pp))(params)  # (n, np)
     return gp + y0_p.T @ lam0
 

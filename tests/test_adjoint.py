@@ -68,3 +68,36 @@ def test_grad_fit_loop_descends():
     assert float(l) < 0.2 * l0
     # r should move toward 1.3
     assert abs(float(p[0]) - 1.3) < abs(1.0 - 1.3)
+
+
+def test_grad_with_mass_matrix():
+    """Adjoint through a constant nonsingular mass matrix: M y' = f.
+
+    Scaled exponential decay: diag(2, 4) y' = -a y  =>  y = y0 exp(-a t / m_i).
+    """
+    m_diag = jnp.array([2.0, 4.0])
+
+    problem = (
+        dt.OdeBuilder()
+        .rhs(lambda t, y, p: -p[0] * y)
+        .init(lambda t, p: jnp.array([p[1], p[1]]))
+        .mass(lambda t, p: jnp.diag(m_diag))
+        .p([0.3, 1.0])
+        .rtol(1e-10)
+        .atol(1e-12)
+        .build()
+    )
+    t_eval = jnp.linspace(0.0, 2.0, 5)
+    ys_of = make_differentiable_solve(problem, t_eval)
+
+    def loss(p):
+        return jnp.sum(ys_of(p))
+
+    g = jax.grad(loss)(problem.params)
+    a, y0 = 0.3, 1.0
+    t = np.asarray(t_eval)
+    m = np.asarray(m_diag)
+    # y_i = y0 exp(-a t / m_i)
+    dda = sum(np.sum(-(t / m[i]) * y0 * np.exp(-a * t / m[i])) for i in range(2))
+    ddy0 = sum(np.sum(np.exp(-a * t / m[i])) for i in range(2))
+    np.testing.assert_allclose(np.asarray(g), [dda, ddy0], rtol=1e-5)
