@@ -86,3 +86,46 @@ def test_error_status_raises():
     assert int(sol.stop_reason) < 0
     with pytest.raises(errors.DiffsolError):
         sol.raise_for_status()
+
+
+def test_nonzero_t0():
+    """Integration starting from t0 != 0 (all fixtures use t0 = 0)."""
+    problem = (
+        dt.OdeBuilder()
+        .rhs(lambda t, y, p: -p[0] * y)
+        .init(lambda t, p: jnp.array([2.0]))
+        .p([0.4])
+        .t0(3.0)
+        .rtol(1e-8)
+        .atol(1e-10)
+        .build()
+    )
+    for method in ("bdf", "tsit45"):
+        s = dt.solver(problem, method)
+        t_eval = jnp.asarray([3.5, 4.0, 5.0])
+        sol = dt.solve_dense(s, t_eval)
+        expected = 2.0 * np.exp(-0.4 * (np.asarray(t_eval) - 3.0))
+        np.testing.assert_allclose(sol.ys[:, 0], expected, rtol=1e-6)
+
+
+def test_interpolate_dy():
+    """Derivative dense output (reference test_interpolate_dy,
+    ode_solver/mod.rs:909)."""
+    import jax
+
+    problem = logistic.problem(rtol=1e-9, atol=1e-11)
+    for method in ("bdf", "tr_bdf2", "tsit45"):
+        s = dt.solver(problem, method)
+        step = jax.jit(s.step)
+        state = s.init_state()
+        for _ in range(25):
+            state = step(state)
+        t_mid = float(state.t) - 0.4 * float(state.t - state.t_prev) if hasattr(
+            state, "t_prev"
+        ) else float(state.t) - 0.3 * float(state.h)
+        y_mid = s.interpolate(state, t_mid)
+        dy_mid = s.interpolate_dy(state, t_mid)
+        expected_dy = logistic.rhs(t_mid, y_mid, problem.params)
+        np.testing.assert_allclose(
+            np.asarray(dy_mid), np.asarray(expected_dy), rtol=1e-4, atol=1e-8
+        )
