@@ -207,6 +207,13 @@ class BdfSolver:
         self._nb = problem.lockstep_nbatch
         # continuous forward sensitivity equations integrated in lockstep
         # (reference SensEquations + bdf.rs:934-989 sensitivity_solve)
+        if sens and problem.eqn.reset is not None:
+            raise NotImplementedError(
+                "continuous sensitivities through reset events need the "
+                "dR/dy correction (reference apply_reset_with_sens, "
+                "state.rs:308-560) -- not yet implemented; use "
+                "jacfwd-through-the-solver (diffsol_tpu.sens) instead"
+            )
         self.sens = sens
         self.has_sens = sens
 
