@@ -1,1 +1,10 @@
-from . import controller, linsol, newton, rootfind  # noqa: F401
+from . import (  # noqa: F401
+    banded,
+    coloring,
+    controller,
+    linsol,
+    newton,
+    pallas_norms,
+    rootfind,
+    smalllu,
+)
