@@ -36,6 +36,7 @@ import jax
 import jax.numpy as jnp
 
 from . import errors
+from .drivers import init_state_jit
 from .equations import OdeEquations, make_equations
 from .problem import OdeProblem
 
@@ -53,7 +54,7 @@ def forward_with_table(solver, t_eval, params, max_steps: int):
     CheckpointingRecorder (method.rs:620-705).
     """
     p = solver.problem
-    state = solver.init_state(params)
+    state = init_state_jit(solver, params)
     t_eval = jnp.asarray(t_eval, state.t.dtype)
     dtype = state.y.dtype
     neval = t_eval.shape[0]
@@ -212,7 +213,7 @@ def backward_pass(problem, solver_cls, table, t_eval, ct_ys, params, max_steps):
     def jump(ct, t):
         return ct if mass_solve is None else mass_solve(t, params, ct)
 
-    state = solver.init_state(params)
+    state = init_state_jit(solver, params)
     z0 = state.y.at[:n].add(jump(ct_ys[-1], t_top))
     state = state.replace(
         y=z0, dy=adj_problem.eqn.rhs(state.t, z0, params),

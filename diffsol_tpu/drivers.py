@@ -51,6 +51,17 @@ class Solution:
         return self
 
 
+def init_state_jit(solver, params):
+    """Jit-compiled ``solver.init_state`` (cached per solver).
+
+    Eager init dispatches hundreds of individual ops; on a remote TPU
+    (~5 ms/dispatch over the tunnel) that costs more than the whole solve,
+    so every driver initializes through this wrapper.
+    """
+    fn = _get_cached(solver, "_init_state_jit", lambda: jax.jit(solver.init_state))
+    return fn(params)
+
+
 def _pin_to(solver, state, t):
     """state_mut_back: move the state back to time t inside the last step."""
     y = solver.interpolate(state, t)
@@ -85,7 +96,24 @@ def solve_dense(solver, t_eval, params=None, state=None, max_steps: int = 100_00
     p = solver.problem
     params = p.params if params is None else params
     if state is None:
-        state = solver.init_state(params)
+        # fold init into the solve program: one device dispatch total
+        # (a separate init call costs a full host<->device round trip)
+        inner = _get_cached(
+            solver,
+            f"_solve_dense_jit_{max_steps}",
+            lambda: _make_solve_dense(solver, max_steps),
+        )
+
+        def init_and_solve(params, t_eval):
+            st = solver.init_state(params)
+            return inner(st, params, jnp.asarray(t_eval, st.t.dtype))
+
+        fn = _get_cached(
+            solver,
+            f"_solve_dense_init_jit_{max_steps}",
+            lambda: jax.jit(init_and_solve),
+        )
+        return fn(params, jnp.asarray(t_eval))
     t_eval = jnp.asarray(t_eval, state.t.dtype)
 
     fn = _get_cached(solver, f"_solve_dense_jit_{max_steps}", lambda: _make_solve_dense(solver, max_steps))
@@ -253,7 +281,7 @@ def solve(solver, final_time, params=None, state=None, max_steps: int = 10_000):
     p = solver.problem
     params = p.params if params is None else params
     if state is None:
-        state = solver.init_state(params)
+        state = init_state_jit(solver, params)
     final_time = jnp.asarray(final_time, state.t.dtype)
 
     fn = _get_cached(solver, f"_solve_jit_{max_steps}", lambda: _make_solve(solver, max_steps))

@@ -38,7 +38,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from .drivers import solve_dense
+from .drivers import init_state_jit, solve_dense
 from .equations import OdeEquations
 from .ops import smalllu
 from .ops.linsol import LinearSolverSpec
@@ -210,7 +210,7 @@ def solve_dense_ensemble(
         solver = make_solver(lp)
 
         def run(pb):
-            state = solver.init_state(pb)
+            state = init_state_jit(solver, pb)
             sol = solve_dense(
                 solver, t_eval, params=pb, state=state, max_steps=max_steps
             )
@@ -230,7 +230,7 @@ def solve_dense_ensemble(
         solver = make_solver(problem)
 
         def run_one(p):
-            state = solver.init_state(p)
+            state = init_state_jit(solver, p)
             return solve_dense(
                 solver, t_eval, params=p, state=state, max_steps=max_steps
             )

@@ -23,7 +23,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .drivers import solve_dense
+from .drivers import init_state_jit, solve_dense
 
 
 def solve_dense_fwd_sens(solver, t_eval, params=None, max_steps: int = 100_000):
@@ -37,7 +37,7 @@ def solve_dense_fwd_sens(solver, t_eval, params=None, max_steps: int = 100_000):
     params = p.params if params is None else jnp.asarray(params)
 
     def ys_of(pp):
-        state = solver.init_state(pp)
+        state = init_state_jit(solver, pp)
         return solve_dense(
             solver, t_eval, params=pp, state=state, max_steps=max_steps
         ).ys

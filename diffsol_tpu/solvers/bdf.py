@@ -123,38 +123,67 @@ def _compute_ru(order, factor, dtype):
     return r @ u
 
 
+# The three D-matrix transforms below are UNROLLED over the ND=8 static rows
+# as masked elementwise FMAs instead of tensordots.  On TPU, an f64
+# contraction over the leading row axis of an (8, n, B) array lowers to
+# relayout transposes + an emulated-f64 dot (measured 180-260 us each at a
+# 10k-member f64 ensemble -- the dominant cost of the whole BDF step); the
+# unrolled row chains fuse into a couple of cheap VPU kernels.
+
+
+def _apply_ru(ru, D):
+    """D <- RU^T @ D as ND row-broadcast FMAs (fuses on the VPU; an f64
+    tensordot here costs ~250 us at a 10k ensemble, this ~30 us)."""
+    shape = (ND,) + (1,) * (D.ndim - 1)
+    acc = ru[0].reshape(shape) * D[0]
+    for i in range(1, ND):
+        acc = acc + ru[i].reshape(shape) * D[i]
+    return acc
+
+
 def _predict_from_diff(D, order):
     """y_pred = sum_{i=0..order} D[i] (bdf.rs:667-672)."""
-    mask = (jnp.arange(ND) <= order).astype(D.dtype)
-    return jnp.tensordot(mask, D, axes=1)
+    acc = D[0]
+    for i in range(1, MAX_ORDER + 1):
+        acc = acc + jnp.where(i <= order, D[i], jnp.zeros((), D.dtype))
+    return acc
 
 
 def _psi(D, order, dtype):
     """psi = alpha[order] * sum_{i=1..order} gamma[i] * D[i] (op/bdf.rs:182-196)."""
-    gamma = jnp.asarray(_GAMMA, dtype)
-    idx = jnp.arange(ND)
-    w = jnp.where((idx >= 1) & (idx <= order), 1.0, 0.0).astype(dtype)
-    coeff = w * jnp.concatenate([gamma, jnp.zeros((ND - gamma.shape[0],), dtype)])
+    gamma = _GAMMA
+    acc = jnp.asarray(gamma[1], dtype) * D[1]
+    for i in range(2, MAX_ORDER + 1):
+        w = jnp.where(i <= order, jnp.asarray(gamma[i], dtype), 0.0)
+        acc = acc + w * D[i]
     alpha_k = jnp.asarray(_ALPHA, dtype)[order]
-    return alpha_k * jnp.tensordot(coeff, D, axes=1)
+    return alpha_k * acc
 
 
 def _update_diff(D, d, order):
     """Difference update after an accepted step (bdf.rs:646-665):
     D[order+2] = d - D[order+1]; D[order+1] = d; D[i] += D[i+1] downward.
     Equivalently D'[i] = sum_{k=i..order} D[k] + d for i <= order."""
-    idx = jnp.arange(ND)
-    row = lambda m: m.reshape((ND,) + (1,) * (D.ndim - 1))  # mask -> row bcast
-    # suffix sums S[i] = sum_{k=i..order} D[k]
-    mask = ((idx[:, None] <= idx[None, :]) & (idx[None, :] <= order)).astype(D.dtype)
-    suffix = jnp.tensordot(mask, D, axes=[[1], [0]])  # (ND, ...)
-    new_rows = suffix + d[None]
-    D_new = jnp.where(row(idx <= order), new_rows, D)
-    # rows order+1 and order+2 via masked writes (traced order)
-    d_old_op1 = jnp.tensordot((idx == order + 1).astype(D.dtype), D, axes=1)
-    D_new = jnp.where(row(idx == order + 1), d[None], D_new)
-    D_new = jnp.where(row(idx == order + 2), (d - d_old_op1)[None], D_new)
-    return D_new
+    zero = jnp.zeros((), D.dtype)
+    d_old_op1 = jax.lax.dynamic_index_in_dim(
+        D, order + 1, axis=0, keepdims=False
+    )
+    # suffix[i] = sum_{k=i..order} D[k], accumulated top-down
+    new_rows = [None] * ND
+    acc = jnp.zeros_like(D[0])
+    for i in range(ND - 1, -1, -1):
+        acc = acc + jnp.where(i <= order, D[i], zero)
+        below = acc + d  # rows i <= order
+        new_rows[i] = jnp.where(
+            i <= order,
+            below,
+            jnp.where(
+                i == order + 1,
+                d,
+                jnp.where(i == order + 2, d - d_old_op1, D[i]),
+            ),
+        )
+    return jnp.stack(new_rows)
 
 
 def _interp_from_diff(t, D, t1, h, order):
@@ -290,73 +319,52 @@ class BdfSolver:
         stats = stats._replace(linear_solver_setups=stats.linear_solver_setups + 1)
         return factors, stats
 
-    def _jacobian_updates(self, st: dict, t, y, params, c, kind):
-        """Jacobian-update policy (bdf.rs:467-505 `_jacobian_updates` +
-        jacobian_update.rs predicates).  ``kind`` is a traced int32 code."""
-        opts = self.problem.options
-        ssj = st["steps_since_jac"]
-        ssrj = st["steps_since_rhs_jac"]
-        c_last = st["c_last"]
-        rel = jnp.abs(c / c_last - 1.0)
+    def _jac_slim(
+        self, jac, factors, stats, eta, ssj, ssrj, c_last,
+        t, y, params, c, rhs_pred, jac_pred,
+    ):
+        """Jacobian-update policy (bdf.rs:467-505 + jacobian_update.rs) with a
+        SLIM cond payload: only (jac, factors) ride the conditional; all the
+        scalar bookkeeping is unconditional select arithmetic.
 
-        rhs_pred = jnp.select(
-            [
-                kind == _STEP_SUCCESS,
-                kind == _FIRST_CONV_FAIL,
-                kind == _SECOND_CONV_FAIL,
-                kind == _ERROR_TEST_FAIL,
-            ],
-            [
-                ssrj >= opts.update_rhs_jacobian_after_steps,
-                rel < opts.threshold_to_update_rhs_jacobian,
-                ssrj > 0,
-                jnp.asarray(False),
-            ],
-            default=jnp.asarray(True),  # Checkpoint
-        )
-        jac_pred = jnp.select(
-            [kind == _STEP_SUCCESS],
-            [
-                (ssj >= opts.update_jacobian_after_steps)
-                | (rel > opts.threshold_to_update_jacobian)
-            ],
-            default=jnp.asarray(True),
-        )
+        ``rhs_pred`` requests a full Jacobian re-evaluation + factorization;
+        ``jac_pred`` a re-factorization of ``M - c*J`` with the stale J.
+        Callers compute the predicates from the reference kind tables.
 
-        def do_rhs(_):
-            jac, factors, stats = self._assemble_and_factor(
-                t, y, params, c, st["stats"]
+        TPU rationale: a lax.cond whose branches return the whole solver
+        carry copies megabytes per step attempt (measured ~26 us per cond at
+        a 10k-member ensemble); paying only the (jac, factors) copy makes the
+        common no-update path nearly free.
+        """
+        p = self.problem
+        do_any = rhs_pred | jac_pred
+
+        def update(args):
+            jac0, factors0 = args
+            jac1 = jax.lax.cond(
+                rhs_pred,
+                lambda _: p.eqn.jac(t, y, params),
+                lambda _: jac0,
+                None,
             )
-            return (
-                jac, factors, stats,
-                jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32), c,
-                jnp.asarray(ETA_RESET_JACOBIAN, c.dtype),
-            )
+            mass = p.eqn.mass_matrix(t, params)
+            a = p.linear_solver.assemble(mass, jac1, c)
+            return jac1, p.linear_solver.factor(a)
 
-        def do_factor(_):
-            factors, stats = self._refactor(t, params, st["jac"], c, st["stats"])
-            return (
-                st["jac"], factors, stats,
-                jnp.asarray(0, jnp.int32), ssrj, c,
-                jnp.asarray(ETA_RESET_JACOBIAN, c.dtype),
-            )
-
-        def do_nothing(_):
-            return (
-                st["jac"], st["factors"], st["stats"],
-                ssj, ssrj, c_last, st["eta"],
-            )
-
-        branch = jnp.where(rhs_pred, 0, jnp.where(jac_pred, 1, 2))
-        jac, factors, stats, ssj, ssrj, c_last, eta = jax.lax.switch(
-            branch, [do_rhs, do_factor, do_nothing], None
+        jac, factors = jax.lax.cond(
+            do_any, update, lambda args: args, (jac, factors)
         )
-        st = dict(st)
-        st.update(
-            jac=jac, factors=factors, stats=stats,
-            steps_since_jac=ssj, steps_since_rhs_jac=ssrj, c_last=c_last, eta=eta,
+        i32 = jnp.int32
+        ssj = jnp.where(do_any, 0, ssj).astype(i32)
+        ssrj = jnp.where(rhs_pred, 0, ssrj).astype(i32)
+        c_last = jnp.where(do_any, c, c_last)
+        eta = jnp.where(do_any, ETA_RESET_JACOBIAN, eta).astype(eta.dtype)
+        stats = stats._replace(
+            linear_solver_setups=stats.linear_solver_setups
+            + do_any.astype(i32),
+            jacobian_evals=stats.jacobian_evals + rhs_pred.astype(i32),
         )
-        return st
+        return jac, factors, stats, eta, ssj, ssrj, c_last
 
     # ------------------------------------------------------------------
     def init_state(self, params=None) -> BdfState:
@@ -461,16 +469,15 @@ class BdfSolver:
     def _rescale_step(self, D, h, order, factor):
         """h *= factor and D[0..order+1] <- (R(factor) U)^T D (bdf.rs:508-577)."""
         ru = _compute_ru(order, factor, D.dtype)
-        D_new = jnp.tensordot(ru, D, axes=[[0], [0]])  # (diff @ RU)^T = RU^T @ D
-        return D_new, h * factor, ru
+        return _apply_ru(ru, D), h * factor, ru
 
     def _rescale_all(self, D, gD, sD, h, order, factor):
         """Rescale every difference matrix for a step-size change."""
         ru = _compute_ru(order, factor, D.dtype)
-        D = jnp.tensordot(ru, D, axes=[[0], [0]])
-        gD = jnp.tensordot(ru, gD, axes=[[0], [0]])
+        D = _apply_ru(ru, D)
+        gD = _apply_ru(ru, gD)
         if sD is not None:
-            sD = jnp.einsum("ij,pik->pjk", ru, sD)
+            sD = jax.vmap(lambda Dr: _apply_ru(ru, Dr))(sD)
         return D, gD, sD, h * factor
 
     # ------------------------------------------------------------------
@@ -485,7 +492,17 @@ class BdfSolver:
         return residual
 
     def step(self, state: BdfState, params=None) -> BdfState:
-        """One adaptive BDF step (bdf.rs:1277-1650)."""
+        """One adaptive BDF step (bdf.rs:1277-1650).
+
+        TPU program-structure note: the step is STRAIGHT-LINE traced
+        arithmetic with `jnp.where` scalar control; `lax.cond` appears only
+        where it skips genuinely heavy work (Jacobian refresh / LU refactor,
+        D-matrix rescaling, order-selection norms) and each such cond carries
+        the minimal payload.  Measured on a v5e at a 10k-member ensemble,
+        whole-carry conds cost ~26 us each and unfused ops ~3 us, so the
+        branch-heavy formulation of the reference costs ~1 ms/step in pure
+        control-flow overhead; this formulation removes most of it.
+        """
         p = self.problem
         cfg = self.config
         opts = p.options
@@ -495,105 +512,130 @@ class BdfSolver:
         ec2 = jnp.asarray(_ERROR_CONST2, dtype)
         max_newton = cfg.maximum_newton_iterations
         integrate_out = p.integrate_out
+        i32 = jnp.int32
+        nan = jnp.asarray(jnp.nan, dtype)
+        eps = jnp.finfo(dtype).eps
 
-        # ---- state-modified reinitialisation (bdf.rs:1291-1319) ----
-        def reinit(s):
-            D = jnp.zeros_like(s.D).at[0].set(s.y).at[1].set(s.h * s.dy)
-            gD = s.gD
-            if integrate_out:
-                dg = (
-                    p.eqn.out(s.t, s.y, params)
-                    if p.eqn.out is not None
-                    else s.y
-                )
-                gD = jnp.zeros_like(s.gD).at[0].set(s.g).at[1].set(s.h * dg)
-            upd = {}
-            if self.sens:
-                jvp_rows, f_p = self._sens_rhs_parts(s.t, s.y, params)
-                ds = jvp_rows(s.s) + f_p
-                sD = jnp.zeros_like(s.sD)
-                sD = sD.at[:, 0].set(s.s).at[:, 1].set(s.h * ds)
-                upd = dict(s=s.s, sD=sD)
-            s = s.replace(
-                D=D, gD=gD,
-                order=jnp.asarray(1, jnp.int32),
-                n_equal_steps=jnp.asarray(0, jnp.int32),
-                prev_error_norm=jnp.asarray(jnp.nan, dtype),
-                state_modified=jnp.asarray(False),
-                **upd,
+        def predict(D, order):
+            return _predict_from_diff(D, order), _psi(D, order, dtype)
+
+        # ---- maskless state-modified reinitialisation (bdf.rs:1291-1319) --
+        # After a reset/pin-back the difference matrix restarts at order 1.
+        # At order 1 the tstop-overshoot D-rescale is exactly h *= factor, so
+        # the reference's reinit (rebuild D, jacobian update, tstop clamp)
+        # folds into unconditional select arithmetic.
+        modified = state.state_modified
+        tstop = state.tstop
+        have_tstop = ~jnp.isnan(tstop)
+        tr0 = 100.0 * eps * (jnp.abs(state.t) + jnp.abs(state.h))
+        reached0 = have_tstop & (jnp.abs(state.t - tstop) <= tr0)
+        fwd = state.h > 0.0
+        overshoot0 = have_tstop & ~reached0 & jnp.where(
+            fwd,
+            state.t + state.h > tstop + tr0,
+            state.t + state.h < tstop - tr0,
+        )
+        h_re = jnp.where(modified & overshoot0, tstop - state.t, state.h)
+        h0 = jnp.where(modified, h_re, state.h)
+        D_re = (
+            jnp.zeros_like(state.D).at[0].set(state.y).at[1].set(h_re * state.dy)
+        )
+        D0 = jnp.where(modified, D_re, state.D)
+        gD0 = state.gD
+        if integrate_out:
+            dg0 = (
+                p.eqn.out(state.t, state.y, params)
+                if p.eqn.out is not None
+                else state.y
             )
-            if p.eqn.root is not None:
-                s = s.replace(root_g=p.eqn.root(s.t, s.y, params))
-            c = s.h * alpha[1]
-            st = self._st_dict(s)
-            st = self._jacobian_updates(
-                st, s.t, s.y, params, c, jnp.asarray(_STEP_SUCCESS, jnp.int32)
+            gD_re = (
+                jnp.zeros_like(state.gD).at[0].set(state.g).at[1].set(h_re * dg0)
             )
-            s = self._st_merge(s, st)
-            reached_ignored, s = self._handle_tstop_pre(s)
-            return s
+            gD0 = jnp.where(modified, gD_re, state.gD)
+        sD0 = state.sD
+        if self.sens:
+            jvp_rows0, f_p0 = self._sens_rhs_parts(state.t, state.y, params)
+            ds0 = jvp_rows0(state.s) + f_p0
+            sD_re = (
+                jnp.zeros_like(state.sD)
+                .at[:, 0].set(state.s)
+                .at[:, 1].set(h_re * ds0)
+            )
+            sD0 = jnp.where(modified, sD_re, state.sD)
+        order = jnp.where(modified, 1, state.order).astype(i32)
+        n_equal0 = jnp.where(modified, 0, state.n_equal_steps).astype(i32)
+        prev_err0 = jnp.where(modified, nan, state.prev_error_norm)
+        # root_g is root(t, y) at the current point in ALL cases (after an
+        # accepted step it was stored as exactly that), so an unconditional
+        # recompute is both correct and branch-free
+        root_g0 = (
+            p.eqn.root(state.t, state.y, params)
+            if p.eqn.root is not None
+            else state.root_g
+        )
+        # reinit jacobian policy (kind StepSuccess, as before the rewrite)
+        c1 = state.h * alpha[1]
+        rel1 = jnp.abs(c1 / state.c_last - 1.0)
+        rhs_pred0 = modified & (
+            state.steps_since_rhs_jac >= opts.update_rhs_jacobian_after_steps
+        )
+        jac_pred0 = modified & (
+            (state.steps_since_jac >= opts.update_jacobian_after_steps)
+            | (rel1 > opts.threshold_to_update_jacobian)
+        )
+        jac0, factors0, stats0, eta0, ssj0, ssrj0, c_last0 = self._jac_slim(
+            state.jac, state.factors, state.stats, state.eta,
+            state.steps_since_jac, state.steps_since_rhs_jac, state.c_last,
+            state.t, state.y, params, c1, rhs_pred0, jac_pred0,
+        )
+        eta0 = jnp.where(modified & overshoot0, ETA_RESET_TIMESTEP, eta0)
 
-        state = jax.lax.cond(state.state_modified, reinit, lambda s: s, state)
-
-        # ---- accept loop (bdf.rs:1324-1465) ----
-        def predict(D, order, t, h):
-            y_pred = _predict_from_diff(D, order)
-            psi = _psi(D, order, dtype)
-            return y_pred, psi, t + h
-
-        st0 = self._st_dict(state)
-        y_pred0, psi0, t_pred0 = predict(state.D, state.order, state.t, state.h)
+        # ---- accept loop (bdf.rs:1324-1465): one iteration per attempt ----
+        y_pred0, psi0 = predict(D0, order)
         carry0 = dict(
-            st=st0,
-            D=state.D, gD=state.gD, h=state.h,
-            y_pred=y_pred0, psi=psi0, t_pred=t_pred0,
+            jac=jac0, factors=factors0, eta=eta0, stats=stats0,
+            ssj=ssj0, ssrj=ssrj0, c_last=c_last0,
+            D=D0, gD=gD0, sD=sD0, h=h0,
+            y_pred=y_pred0, psi=psi0,
             d=jnp.zeros_like(state.y),
             g_delta=jnp.zeros_like(state.g),
-            sD=state.sD,
-            s_delta=None if state.sD is None else jnp.zeros_like(state.s),
+            s_delta=None if sD0 is None else jnp.zeros_like(state.s),
             conv_fail=jnp.asarray(False),
             err=jnp.asarray(jnp.inf, dtype),
             safety=jnp.asarray(1.0, dtype),
-            prev_err=state.prev_error_norm,
+            prev_err=prev_err0,
             newton_fails=state.newton_fails_total,
-            err_fails_step=jnp.asarray(0, jnp.int32),
+            err_fails_step=jnp.asarray(0, i32),
             accepted=jnp.asarray(False),
             h_changed=jnp.asarray(False),
-            status=jnp.asarray(errors.INTERNAL_TIMESTEP, jnp.int32),
+            status=jnp.asarray(errors.INTERNAL_TIMESTEP, i32),
         )
-
-        order = state.order  # order is fixed within the accept loop
 
         def attempt_cond(c):
             return (~c["accepted"]) & (c["status"] == errors.INTERNAL_TIMESTEP)
 
         def attempt_body(c):
-            st = c["st"]
             cval = c["h"] * alpha[order]
-            residual = self._residual(c["t_pred"], c["y_pred"], c["psi"], params, cval)
-            lin_solve = lambda v: p.linear_solver.solve(st["factors"], v)
+            t_pred = state.t + c["h"]
+            residual = self._residual(t_pred, c["y_pred"], c["psi"], params, cval)
+            lin_solve = lambda v: p.linear_solver.solve(c["factors"], v)
             res = newton_solve(
                 residual, lin_solve, c["y_pred"], c["y_pred"],
-                p.atol, p.rtol, st["eta"],
+                p.atol, p.rtol, c["eta"],
                 tol=opts.nonlinear_solver_tolerance, max_iter=max_newton,
                 nbatch=self._nb,
             )
-            st = dict(st, eta=res.eta)
-            st["stats"] = st["stats"]._replace(
-                newton_iterations=st["stats"].newton_iterations + res.niter
-            )
             d = res.x - c["y_pred"]
+            niter_total = res.niter
 
             # sensitivity solve sharing the factorization (bdf.rs:934-989)
             if self.sens:
                 s_delta, sens_ok, s_niter = self._sens_solve(
-                    c["t_pred"], c["y_pred"], params, cval, c["sD"], order,
-                    st["factors"], st["eta"],
-                )
-                st["stats"] = st["stats"]._replace(
-                    newton_iterations=st["stats"].newton_iterations + s_niter
+                    t_pred, c["y_pred"], params, cval, c["sD"], order,
+                    c["factors"], c["eta"],
                 )
                 solve_ok = res.converged & sens_ok
+                niter_total = niter_total + s_niter
             else:
                 s_delta = c["s_delta"]
                 solve_ok = res.converged
@@ -601,7 +643,7 @@ class BdfSolver:
             # quadrature delta (op/bdf.rs:45-57: d_g = c*dg - psi_g)
             if integrate_out:
                 dg = (
-                    p.eqn.out(c["t_pred"], c["y_pred"], params)
+                    p.eqn.out(t_pred, c["y_pred"], params)
                     if p.eqn.out is not None
                     else c["y_pred"]
                 )
@@ -610,148 +652,122 @@ class BdfSolver:
             else:
                 g_delta = c["g_delta"]
 
-            # ---------------- failure handling ----------------
-            def on_fail(c, st):
-                newton_fails = c["newton_fails"] + 1
-                st["stats"] = st["stats"]._replace(
-                    newton_fails=st["stats"].newton_fails + 1
+            # ---- unconditional error test (junk when ~solve_ok, unused) ----
+            err = (
+                squared_norm(d, state.y, p.atol, p.rtol, self._nb)
+                * ec2[order - 1]
+            )
+            if p.output_in_error_control():
+                err = jnp.maximum(
+                    err,
+                    squared_norm(
+                        g_delta, state.g, p.out_atol, p.out_rtol, self._nb
+                    )
+                    * ec2[order],
                 )
-                too_many = newton_fails > cfg.maximum_newton_fails
+            if self.sens and p.sens_in_error_control():
+                s_errs = jax.vmap(
+                    lambda sd, sv: squared_norm(sd, sv, p.sens_atol, p.sens_rtol)
+                )(s_delta, state.s)
+                err = jnp.maximum(err, jnp.max(s_errs) * ec2[order])
+            accepted = solve_ok & (err <= 1.0)
+            m = float(max_newton)
+            safety = 0.9 * (2.0 * m + 1.0) / (2.0 * m + res.niter.astype(dtype))
 
-                def second_fail(args):
-                    c, st = args
-                    # h *= 0.3, refresh linearisation, re-predict (bdf.rs:1380-1393)
-                    D, gD, sD, h = self._rescale_all(
-                        c["D"], c["gD"], c["sD"], c["h"], order, 0.3
-                    )
-                    st = dict(st, eta=jnp.asarray(ETA_RESET_TIMESTEP, dtype))
-                    st = self._jacobian_updates(
-                        st, state.t, state.y, params, h * alpha[order],
-                        jnp.asarray(_SECOND_CONV_FAIL, jnp.int32),
-                    )
-                    y_pred, psi, t_pred = predict(D, order, state.t, h)
-                    too_small = jnp.abs(h) < cfg.minimum_timestep
-                    status = jnp.where(
-                        too_small, errors.STEP_SIZE_TOO_SMALL, c["status"]
-                    ).astype(jnp.int32)
-                    return dict(
-                        c, st=st, D=D, gD=gD, sD=sD, h=h,
-                        y_pred=y_pred, psi=psi, t_pred=t_pred,
-                        conv_fail=jnp.asarray(True),
-                        h_changed=jnp.asarray(True),
-                        prev_err=jnp.asarray(jnp.nan, dtype),
-                        newton_fails=newton_fails, status=status,
-                    )
+            # ---- scalar failure/rejection control (all selects) ----
+            first = (~solve_ok) & ~c["conv_fail"]
+            second = (~solve_ok) & c["conv_fail"]
+            err_fail = solve_ok & ~accepted
+            newton_fails = c["newton_fails"] + (~solve_ok).astype(i32)
+            too_many = (~solve_ok) & (newton_fails > cfg.maximum_newton_fails)
+            raw = pi_controller_raw(
+                err, c["prev_err"],
+                opts.pi_control_integral, opts.pi_control_proportional,
+                order + 1,
+            )
+            rej_factor = jnp.maximum(safety * raw, cfg.minimum_timestep_shrink)
+            # error-test reject: PI factor; 2nd Newton failure: h *= 0.3
+            factor = jnp.where(
+                err_fail, rej_factor, jnp.asarray(0.3, dtype)
+            )
+            do_rescale = err_fail | second
+            h_new = c["h"] * jnp.where(do_rescale, factor, 1.0)
 
-                def first_fail(args):
-                    c, st = args
-                    st = self._jacobian_updates(
-                        st, state.t, state.y, params, c["h"] * alpha[order],
-                        jnp.asarray(_FIRST_CONV_FAIL, jnp.int32),
-                    )
-                    return dict(
-                        c, st=st,
-                        conv_fail=jnp.asarray(True),
-                        prev_err=jnp.asarray(jnp.nan, dtype),
-                        newton_fails=newton_fails,
-                    )
+            # jacobian-update predicates per failure kind
+            # (jacobian_update.rs: FIRST -> rhs if |c/c_last-1| below thresh;
+            # SECOND -> rhs if any rhs-jac age; ERROR_TEST -> refactor only;
+            # every failure kind triggers at least a refactor)
+            c_jac = h_new * alpha[order]
+            rel = jnp.abs(c_jac / c["c_last"] - 1.0)
+            rhs_pred = (
+                first & (rel < opts.threshold_to_update_rhs_jacobian)
+            ) | (second & (c["ssrj"] > 0))
+            stats = c["stats"]._replace(
+                newton_iterations=c["stats"].newton_iterations + niter_total,
+                newton_fails=c["stats"].newton_fails + (~solve_ok).astype(i32),
+                error_test_failures=c["stats"].error_test_failures
+                + err_fail.astype(i32),
+            )
+            jac, factors, stats, eta, ssj, ssrj, c_last = self._jac_slim(
+                c["jac"], c["factors"], stats, res.eta,
+                c["ssj"], c["ssrj"], c["c_last"],
+                state.t, state.y, params, c_jac, rhs_pred, ~accepted,
+            )
 
-                out = jax.lax.cond(c["conv_fail"], second_fail, first_fail, (c, st))
-                out["status"] = jnp.where(
-                    too_many, errors.TOO_MANY_NONLINEAR_SOLVER_FAILURES, out["status"]
-                ).astype(jnp.int32)
-                return out
+            # ---- D rescale + re-predict, slim cond (bdf.rs:508-577) ----
+            def do_resc(args):
+                D, gD, sD, _yp, _psi = self._unpack5(args)
+                D2, gD2, sD2, _h = self._rescale_all(D, gD, sD, c["h"], order, factor)
+                y_p2, psi2 = predict(D2, order)
+                return self._pack5(D2, gD2, sD2, y_p2, psi2)
 
-            # ---------------- error test ----------------
-            def on_converged(c, st):
-                err = (
-                    squared_norm(d, state.y, p.atol, p.rtol, self._nb)
-                    * ec2[order - 1]
-                )
-                if p.output_in_error_control():
-                    err = jnp.maximum(
-                        err,
-                        squared_norm(
-                            g_delta, state.g, p.out_atol, p.out_rtol, self._nb
-                        )
-                        * ec2[order],
-                    )
-                if self.sens and p.sens_in_error_control():
-                    s_errs = jax.vmap(
-                        lambda sd, sv: squared_norm(
-                            sd, sv, p.sens_atol, p.sens_rtol
-                        )
-                    )(s_delta, state.s)
-                    err = jnp.maximum(err, jnp.max(s_errs) * ec2[order])
-                niter = res.niter.astype(dtype)
-                m = float(max_newton)
-                safety = 0.9 * (2.0 * m + 1.0) / (2.0 * m + niter)
-                accepted = err <= 1.0
+            packed = jax.lax.cond(
+                do_rescale,
+                do_resc,
+                lambda a: a,
+                self._pack5(c["D"], c["gD"], c["sD"], c["y_pred"], c["psi"]),
+            )
+            D, gD, sD, y_pred, psi = self._unpack5(packed)
 
-                def reject(args):
-                    c, st = args
-                    raw = pi_controller_raw(
-                        err, c["prev_err"],
-                        opts.pi_control_integral, opts.pi_control_proportional,
-                        order + 1,
-                    )
-                    factor = jnp.maximum(safety * raw, cfg.minimum_timestep_shrink)
-                    D, gD, sD, h = self._rescale_all(
-                        c["D"], c["gD"], c["sD"], c["h"], order, factor
-                    )
-                    st = dict(st, eta=jnp.asarray(ETA_RESET_TIMESTEP, dtype))
-                    st["stats"] = st["stats"]._replace(
-                        error_test_failures=st["stats"].error_test_failures + 1
-                    )
-                    st = self._jacobian_updates(
-                        st, state.t, state.y, params, h * alpha[order],
-                        jnp.asarray(_ERROR_TEST_FAIL, jnp.int32),
-                    )
-                    y_pred, psi, t_pred = predict(D, order, state.t, h)
-                    err_fails = c["err_fails_step"] + 1
-                    status = c["status"]
-                    status = jnp.where(
-                        err_fails >= cfg.maximum_error_test_failures,
-                        errors.TOO_MANY_ERROR_TEST_FAILURES, status,
-                    )
-                    status = jnp.where(
-                        jnp.abs(h) < cfg.minimum_timestep,
-                        errors.STEP_SIZE_TOO_SMALL, status,
-                    ).astype(jnp.int32)
-                    return dict(
-                        c, st=st, D=D, gD=gD, sD=sD, h=h,
-                        y_pred=y_pred, psi=psi, t_pred=t_pred,
-                        prev_err=jnp.asarray(jnp.nan, dtype),
-                        h_changed=jnp.asarray(True),
-                        err_fails_step=err_fails,
-                        err=err, safety=safety, status=status,
-                    )
+            # ---- status ladder (precedence mirrors the branch ordering) ----
+            err_fails_step = c["err_fails_step"] + err_fail.astype(i32)
+            status = c["status"]
+            status = jnp.where(
+                err_fail & (err_fails_step >= cfg.maximum_error_test_failures),
+                errors.TOO_MANY_ERROR_TEST_FAILURES, status,
+            )
+            status = jnp.where(
+                do_rescale & (jnp.abs(h_new) < cfg.minimum_timestep),
+                errors.STEP_SIZE_TOO_SMALL, status,
+            )
+            status = jnp.where(
+                too_many, errors.TOO_MANY_NONLINEAR_SOLVER_FAILURES, status
+            ).astype(i32)
 
-                def accept(args):
-                    c, st = args
-                    return dict(
-                        c, st=st, d=d, g_delta=g_delta, s_delta=s_delta,
-                        err=err, safety=safety,
-                        accepted=jnp.asarray(True),
-                    )
-
-                return jax.lax.cond(accepted, accept, reject, (c, st))
-
-            return jax.lax.cond(
-                solve_ok,
-                lambda args: on_converged(*args),
-                lambda args: on_fail(*args),
-                (dict(c, st=st), st),
+            return dict(
+                jac=jac, factors=factors, eta=eta, stats=stats,
+                ssj=ssj, ssrj=ssrj, c_last=c_last,
+                D=D, gD=gD, sD=sD, h=h_new,
+                y_pred=y_pred, psi=psi,
+                d=d, g_delta=g_delta, s_delta=s_delta,
+                conv_fail=c["conv_fail"] | ~solve_ok,
+                err=jnp.where(solve_ok, err, c["err"]),
+                safety=jnp.where(solve_ok, safety, c["safety"]),
+                prev_err=jnp.where(accepted, c["prev_err"], nan),
+                newton_fails=newton_fails,
+                err_fails_step=err_fails_step,
+                accepted=accepted,
+                h_changed=c["h_changed"] | do_rescale,
+                status=status,
             )
 
         carry = jax.lax.while_loop(attempt_cond, attempt_body, carry0)
         failed = carry["status"] != errors.INTERNAL_TIMESTEP
 
         # ---- accepted step (bdf.rs:1469-1486) ----
-        st = carry["st"]
         D_new = _update_diff(carry["D"], carry["d"], order)
         y_new = D_new[0]  # = y_pred + d (corrected)
-        t_new = carry["t_pred"]
+        t_new = state.t + carry["h"]
         dy_new = D_new[1] / carry["h"]
         if self.sens:
             sD_new = jax.vmap(lambda Dr, dr: _update_diff(Dr, dr, order))(
@@ -768,52 +784,52 @@ class BdfSolver:
             g_new = state.g
             gD_new = carry["gD"]
 
-        st["stats"] = st["stats"]._replace(steps=st["stats"].steps + 1)
-        st["steps_since_jac"] = st["steps_since_jac"] + 1
-        st["steps_since_rhs_jac"] = st["steps_since_rhs_jac"] + 1
+        stats = carry["stats"]._replace(steps=carry["stats"].steps + 1)
+        ssj = carry["ssj"] + 1
+        ssrj = carry["ssrj"] + 1
+        eta = carry["eta"]
+        c_last = carry["c_last"]
+        jac = carry["jac"]
+        factors = carry["factors"]
         err = carry["err"]
         # a step-size change during the attempt loop resets the equal-step
         # counter (reference _update_step_size, bdf.rs:508-519)
-        n_equal = jnp.where(carry["h_changed"], 1, state.n_equal_steps + 1).astype(
-            jnp.int32
-        )
+        n_equal = jnp.where(carry["h_changed"], 1, n_equal0 + 1).astype(i32)
 
-        # ---- order selection (bdf.rs:1489-1562) ----
-        def order_select(args):
-            D, gD, sD, h, st, order_ = args
-
+        # ---- order selection (bdf.rs:1489-1562): scalar-payload decision --
+        def order_decide(_):
             def predicted_err(col, const_idx):
                 e = squared_norm(
-                    jnp.take(D, col, axis=0), y_new, p.atol, p.rtol, self._nb
+                    jnp.take(D_new, col, axis=0), y_new, p.atol, p.rtol, self._nb
                 ) * ec2[const_idx]
                 if self.sens and p.sens_in_error_control():
                     se = jax.vmap(
                         lambda Dr, sv: squared_norm(
                             jnp.take(Dr, col, axis=0), sv, p.sens_atol, p.sens_rtol
                         )
-                    )(sD, s_new)
+                    )(sD_new, s_new)
                     e = jnp.maximum(e, jnp.max(se) * ec2[const_idx])
                 return e
 
             em = jnp.where(
-                order_ > 1,
-                predicted_err(order_, jnp.maximum(order_ - 1, 0)),
+                order > 1,
+                predicted_err(order, jnp.maximum(order - 1, 0)),
                 jnp.inf,
             )
             ep = jnp.where(
-                order_ < MAX_ORDER,
-                predicted_err(order_ + 2, jnp.minimum(order_ + 1, MAX_ORDER)),
+                order < MAX_ORDER,
+                predicted_err(order + 2, jnp.minimum(order + 1, MAX_ORDER)),
                 jnp.inf,
             )
             prev = err  # bdf.rs sets prev_error_norm = err before this block
             pi_i, pi_p = opts.pi_control_integral, opts.pi_control_proportional
-            f_m = pi_controller_raw(em, prev, pi_i, pi_p, order_)
-            f_0 = pi_controller_raw(err, prev, pi_i, pi_p, order_ + 1)
-            f_p = pi_controller_raw(ep, prev, pi_i, pi_p, order_ + 2)
-            factors = jnp.stack([f_m, f_0, f_p])
-            max_index = jnp.argmax(factors).astype(jnp.int32)
-            new_order = (order_ + max_index - 1).astype(jnp.int32)
-            factor = carry["safety"] * factors[max_index]
+            f_m = pi_controller_raw(em, prev, pi_i, pi_p, order)
+            f_0 = pi_controller_raw(err, prev, pi_i, pi_p, order + 1)
+            f_p = pi_controller_raw(ep, prev, pi_i, pi_p, order + 2)
+            factors3 = jnp.stack([f_m, f_0, f_p])
+            max_index = jnp.argmax(factors3).astype(i32)
+            new_order = (order + max_index - 1).astype(i32)
+            factor = carry["safety"] * factors3[max_index]
             factor = jnp.minimum(factor, cfg.maximum_timestep_growth)
             factor = jnp.maximum(factor, cfg.minimum_timestep_shrink)
             do_change = (
@@ -821,46 +837,50 @@ class BdfSolver:
                 | (factor <= cfg.maximum_timestep_shrink)
                 | (max_index != 1)
             )
+            return new_order, factor.astype(dtype), do_change
 
-            def change(_):
-                D2, gD2, sD2, h2 = self._rescale_all(D, gD, sD, h, new_order, factor)
-                st2 = dict(st, eta=jnp.asarray(ETA_RESET_TIMESTEP, dtype))
-                st2 = self._jacobian_updates(
-                    st2, t_new, y_new, params, h2 * alpha[new_order],
-                    jnp.asarray(_STEP_SUCCESS, jnp.int32),
-                )
-                too_small = jnp.abs(h2) < cfg.minimum_timestep
-                status = jnp.where(
-                    too_small, errors.STEP_SIZE_TOO_SMALL, errors.INTERNAL_TIMESTEP
-                ).astype(jnp.int32)
-                return (
-                    D2, gD2, sD2, h2, st2, new_order,
-                    jnp.asarray(0, jnp.int32), status,
-                )
-
-            def keep(_):
-                return (
-                    D, gD, sD, h, st, order_, n_equal,
-                    jnp.asarray(errors.INTERNAL_TIMESTEP, jnp.int32),
-                )
-
-            return jax.lax.cond(do_change, change, keep, None)
-
-        def no_order_select(args):
-            D, gD, sD, h, st, order_ = args
-            return (
-                D, gD, sD, h, st, order_, n_equal,
-                jnp.asarray(errors.INTERNAL_TIMESTEP, jnp.int32),
-            )
-
-        (
-            D_new, gD_new, sD_new, h_new, st, order_new, n_equal_new, sel_status
-        ) = jax.lax.cond(
+        new_order, sel_factor, do_change = jax.lax.cond(
             n_equal > order,
-            order_select,
-            no_order_select,
-            (D_new, gD_new, sD_new, carry["h"], st, order),
+            order_decide,
+            lambda _: (
+                order, jnp.asarray(1.0, dtype), jnp.asarray(False)
+            ),
+            None,
         )
+        order_new = jnp.where(do_change, new_order, order).astype(i32)
+        h_new = carry["h"] * jnp.where(do_change, sel_factor, 1.0)
+
+        def apply_change(args):
+            D, gD, sD = self._pack3_un(args)
+            D2, gD2, sD2, _h = self._rescale_all(
+                D, gD, sD, carry["h"], new_order, sel_factor
+            )
+            return self._pack3(D2, gD2, sD2)
+
+        packed = jax.lax.cond(
+            do_change,
+            apply_change,
+            lambda a: a,
+            self._pack3(D_new, gD_new, sD_new),
+        )
+        D_new, gD_new, sD_new = self._pack3_un(packed)
+        eta = jnp.where(do_change, ETA_RESET_TIMESTEP, eta)
+        c2 = h_new * alpha[order_new]
+        rel2 = jnp.abs(c2 / c_last - 1.0)
+        rhs_pred2 = do_change & (ssrj >= opts.update_rhs_jacobian_after_steps)
+        jac_pred2 = do_change & (
+            (ssj >= opts.update_jacobian_after_steps)
+            | (rel2 > opts.threshold_to_update_jacobian)
+        )
+        jac, factors, stats, eta, ssj, ssrj, c_last = self._jac_slim(
+            jac, factors, stats, eta, ssj, ssrj, c_last,
+            t_new, y_new, params, c2, rhs_pred2, jac_pred2,
+        )
+        n_equal_new = jnp.where(do_change, 0, n_equal).astype(i32)
+        sel_status = jnp.where(
+            do_change & (jnp.abs(h_new) < cfg.minimum_timestep),
+            errors.STEP_SIZE_TOO_SMALL, errors.INTERNAL_TIMESTEP,
+        ).astype(i32)
 
         new_state = state.replace(
             y=y_new, dy=dy_new, g=g_new, t=t_new, h=h_new,
@@ -869,42 +889,68 @@ class BdfSolver:
             prev_error_norm=err,
             newton_fails_total=carry["newton_fails"],
             state_modified=jnp.asarray(False),
+            jac=jac, factors=factors, eta=eta, stats=stats,
+            steps_since_jac=ssj, steps_since_rhs_jac=ssrj, c_last=c_last,
+            root_g=root_g0,
         )
-        new_state = self._st_merge(new_state, st)
 
         # ---- root check (bdf.rs:1566-1579) ----
         stop = sel_status
-        root_t = jnp.asarray(jnp.nan, dtype)
-        root_idx = jnp.asarray(-1, jnp.int32)
+        root_t = nan
+        root_idx = jnp.asarray(-1, i32)
         if p.eqn.root is not None:
             res_root = check_root(
                 lambda tt, yy: p.eqn.root(tt, yy, params),
                 lambda tt: self.interpolate(new_state, tt),
-                new_state.root_g, state.t, y_new, t_new,
+                root_g0, state.t, y_new, t_new,
             )
             found = res_root.found & (stop == errors.INTERNAL_TIMESTEP)
-            stop = jnp.where(found, errors.ROOT_FOUND, stop).astype(jnp.int32)
+            stop = jnp.where(found, errors.ROOT_FOUND, stop).astype(i32)
             root_t = jnp.where(found, res_root.t_root, root_t)
             root_idx = jnp.where(found, res_root.root_idx, root_idx)
             new_state = new_state.replace(root_g=res_root.g0_next)
 
-        # ---- tstop ----
-        def tstop_branch(s):
-            reached, s = self._handle_tstop_pre(s)
-            return s, reached
+        # ---- tstop (bdf.rs:694-731), slim in-step form ----
+        tr1 = 100.0 * eps * (jnp.abs(t_new) + jnp.abs(h_new))
+        reached = have_tstop & (jnp.abs(t_new - tstop) <= tr1)
+        overshoot = have_tstop & ~reached & jnp.where(
+            h_new > 0.0,
+            t_new + h_new > tstop + tr1,
+            t_new + h_new < tstop - tr1,
+        )
+        ts_factor = jnp.where(overshoot, (tstop - t_new) / h_new, 1.0)
 
-        new_state, reached = tstop_branch(new_state)
+        def apply_ts(args):
+            D, gD, sD = self._pack3_un(args)
+            D2, gD2, sD2, _h = self._rescale_all(
+                D, gD, sD, h_new, order_new, ts_factor
+            )
+            return self._pack3(D2, gD2, sD2)
+
+        packed = jax.lax.cond(
+            overshoot,
+            apply_ts,
+            lambda a: a,
+            self._pack3(new_state.D, new_state.gD, new_state.sD),
+        )
+        D_ts, gD_ts, sD_ts = self._pack3_un(packed)
+        new_state = new_state.replace(
+            D=D_ts, gD=gD_ts, sD=sD_ts,
+            h=h_new * ts_factor,
+            n_equal_steps=jnp.where(overshoot, 0, new_state.n_equal_steps).astype(i32),
+            eta=jnp.where(overshoot, ETA_RESET_TIMESTEP, new_state.eta),
+        )
         stop = jnp.where(
             (stop == errors.INTERNAL_TIMESTEP) & reached,
             errors.TSTOP_REACHED, stop,
-        ).astype(jnp.int32)
+        ).astype(i32)
         new_state = new_state.replace(
             status=stop, root_t=root_t, root_idx=root_idx
         )
 
         # on fatal error keep the old state, record status
         final_status = jnp.where(failed, carry["status"], new_state.status).astype(
-            jnp.int32
+            i32
         )
         out = jax.tree_util.tree_map(
             lambda new, old: jnp.where(failed, old, new), new_state, state
@@ -912,22 +958,24 @@ class BdfSolver:
         return out.replace(status=final_status)
 
     # ------------------------------------------------------------------
-    # small helpers to move the jacobian-machinery fields in/out of dicts
-    def _st_dict(self, s: BdfState) -> dict:
-        return dict(
-            jac=s.jac, factors=s.factors, eta=s.eta, stats=s.stats,
-            steps_since_jac=s.steps_since_jac,
-            steps_since_rhs_jac=s.steps_since_rhs_jac,
-            c_last=s.c_last,
-        )
+    # cond-payload packing (sD is None unless sens; conds cannot carry None)
+    def _pack5(self, D, gD, sD, y_pred, psi):
+        return (D, gD, sD, y_pred, psi) if self.sens else (D, gD, y_pred, psi)
 
-    def _st_merge(self, s: BdfState, st: dict) -> BdfState:
-        return s.replace(
-            jac=st["jac"], factors=st["factors"], eta=st["eta"], stats=st["stats"],
-            steps_since_jac=st["steps_since_jac"],
-            steps_since_rhs_jac=st["steps_since_rhs_jac"],
-            c_last=st["c_last"],
-        )
+    def _unpack5(self, packed):
+        if self.sens:
+            return packed
+        D, gD, y_pred, psi = packed
+        return D, gD, None, y_pred, psi
+
+    def _pack3(self, D, gD, sD):
+        return (D, gD, sD) if self.sens else (D, gD)
+
+    def _pack3_un(self, packed):
+        if self.sens:
+            return packed
+        D, gD = packed
+        return D, gD, None
 
     # ------------------------------------------------------------------
     def jacobian(self, state: BdfState, params=None):
