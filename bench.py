@@ -106,6 +106,39 @@ def run_tpu(rtol, atol):
     return best
 
 
+def run_heat2d_banded(mgrid=20, nbatch=32):
+    """MOL banded workload (Pallas banded LU on TPU): heat2d DAE ensemble.
+
+    Validates the round-2 banded deliverable on real hardware: the XLA
+    formulation could not even compile here (docs/round1_status.md).
+    Returns (total_s, steps).
+    """
+    from diffsol_tpu.ensemble import make_lockstep_problem
+    from diffsol_tpu.drivers import solve_dense
+    from diffsol_tpu.models import heat2d
+    from diffsol_tpu.solvers.bdf import BdfSolver
+
+    problem = heat2d.make(mgrid=mgrid)
+    lp = make_lockstep_problem(problem, nbatch)
+    params = jnp.ones((nbatch, 1), lp.params.dtype)
+    solver = BdfSolver(lp)
+    t_eval = jnp.asarray([0.01, 0.03, 0.1])
+
+    def run(pb):
+        return solve_dense(solver, t_eval, params=pb, max_steps=2000)
+
+    sol = run(params)
+    assert int(sol.stop_reason) >= 0, f"heat2d failed: {int(sol.stop_reason)}"
+    float(jnp.sum(sol.ys))
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        sol = run(params)
+        float(jnp.sum(sol.ys))
+        best = min(best, time.perf_counter() - t0)
+    return best, int(sol.state.stats.steps)
+
+
 def main():
     # f64 for stiff-tolerance parity; XLA emulates f64 on TPU.
     jax.config.update("jax_enable_x64", True)
@@ -114,6 +147,7 @@ def main():
     lsoda_lo = measure_lsoda(1e-6, 1e-8)
     t_hi = run_tpu(1e-4, 1e-6)
     t_lo = run_tpu(1e-6, 1e-8)
+    heat2d_s, heat2d_steps = run_heat2d_banded()
 
     per_hi = t_hi / NBATCH
     per_lo = t_lo / NBATCH
@@ -134,6 +168,8 @@ def main():
                 "vs_diffsol_ngroups10k": round(
                     DIFFSOL_NGROUPS10K_S / t_hi, 2
                 ),
+                "heat2d_mgrid20_b32_total_s": round(heat2d_s, 4),
+                "heat2d_mgrid20_b32_steps": heat2d_steps,
             }
         )
     )

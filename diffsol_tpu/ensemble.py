@@ -75,22 +75,10 @@ def _lockstep_dense_spec(nbatch: int, n: int) -> LinearSolverSpec:
     )
 
 
-def _lockstep_banded_spec(spec: LinearSolverSpec, nbatch: int, n: int) -> LinearSolverSpec:
-    """Lockstep lift of the banded tier: band arrays are batch-LEADING
-    (nbatch, nbands, n); RHS adapters transpose (n, nbatch) <-> (nbatch, n)."""
-
-    def solve(factors, b):
-        x = spec.solve(factors, jnp.moveaxis(b, -1, -2))
-        return jnp.moveaxis(x, -2, -1)
-
-    return LinearSolverSpec(
-        name=f"lockstep({nbatch})+{spec.name}",
-        assemble=spec.assemble,
-        factor=spec.factor,
-        solve=solve,
-        placeholder_factors=spec.placeholder_factors,
-        meta=(nbatch,) + spec.meta,
-    )
+# NOTE: the banded tier needs no lockstep wrapper -- both its kernels accept
+# batch-LAST (nbands, n, B) band arrays natively (members on the 128-wide
+# lane axis, ops/banded.py + ops/pallas_banded.py), matching the lockstep
+# state layout (n, B) without any transposes in the hot path.
 
 
 def make_lockstep_problem(problem: OdeProblem, nbatch: int) -> OdeProblem:
@@ -124,31 +112,20 @@ def make_lockstep_problem(problem: OdeProblem, nbatch: int) -> OdeProblem:
     else:
         per_member_jac = lambda t, y, p: jax.jacfwd(eqn.rhs, argnums=1)(t, y, p)
 
-    if banded:
-        def b_jac(t, Y, pb):  # (B, nbands, n), batch-leading band arrays
-            return jax.vmap(per_member_jac, in_axes=(None, 1, 0))(t, Y, pb)
-    else:
-        def b_jac(t, Y, pb):  # (n, n, B) dense blocks, batch-last
-            return jax.vmap(per_member_jac, in_axes=(None, 1, 0), out_axes=2)(
-                t, Y, pb
-            )
+    def b_jac(t, Y, pb):
+        # batch-last: (nbands, n, B) band arrays or (n, n, B) dense blocks
+        return jax.vmap(per_member_jac, in_axes=(None, 1, 0), out_axes=2)(
+            t, Y, pb
+        )
 
     b_mass = None
     mass_mul_fn = None
     if eqn.mass is not None:
-        if banded:
-            def b_mass(t, pb):  # (B, n, n)
-                return jax.vmap(eqn.mass, in_axes=(None, 0))(t, pb)
+        def b_mass(t, pb):  # (n, n, B)
+            return jax.vmap(eqn.mass, in_axes=(None, 0), out_axes=2)(t, pb)
 
-            def mass_mul_fn(t, pb, v):
-                mv = jnp.einsum("bij,...jb->...ib", b_mass(t, pb), v)
-                return mv
-        else:
-            def b_mass(t, pb):  # (n, n, B)
-                return jax.vmap(eqn.mass, in_axes=(None, 0), out_axes=2)(t, pb)
-
-            def mass_mul_fn(t, pb, v):
-                return jnp.einsum("ijb,...jb->...ib", b_mass(t, pb), v)
+        def mass_mul_fn(t, pb, v):
+            return jnp.einsum("ijb,...jb->...ib", b_mass(t, pb), v)
 
     new_eqn = OdeEquations(
         rhs=b_rhs,
@@ -168,9 +145,7 @@ def make_lockstep_problem(problem: OdeProblem, nbatch: int) -> OdeProblem:
     atol_b = problem.atol[:, None]  # broadcasts over the member lanes
     out_atol_b = None if problem.out_atol is None else problem.out_atol[:, None]
     spec = (
-        _lockstep_banded_spec(problem.linear_solver, nbatch, n)
-        if banded
-        else _lockstep_dense_spec(nbatch, n)
+        problem.linear_solver if banded else _lockstep_dense_spec(nbatch, n)
     )
     return dataclasses.replace(
         problem,

@@ -172,40 +172,95 @@ def _band_lu_solve(bandp, b, ml: int, mu: int):
     return x[..., :n]
 
 
-def make_banded_solver(ml: int, mu: int) -> LinearSolverSpec:
+def make_banded_solver(ml: int, mu: int, kernel: str = "auto") -> LinearSolverSpec:
     """A :class:`LinearSolverSpec` for matrices with bandwidth (ml, mu).
 
     The matrix representation through assemble/factor is the (ml+mu+1, n)
-    band array; the equations' ``rhs_jac`` must produce this representation
-    (the OdeBuilder installs :func:`make_banded_jac` automatically when this
-    tier is selected).
+    band array (batch-last (ml+mu+1, n, B) under lockstep); the equations'
+    ``rhs_jac`` must produce this representation (the OdeBuilder installs
+    :func:`make_banded_jac` automatically when this tier is selected).
+
+    ``kernel`` selects the factorization backend:
+
+    * ``"pallas"`` -- one-kernel f32 Pallas factor/solve with the band
+      resident in VMEM (:mod:`diffsol_tpu.ops.pallas_banded`); the LU is a
+      preconditioner, residuals stay in the problem dtype.  This is the TPU
+      path: the XLA formulation compiles pathologically there.
+    * ``"xla"`` -- the fori_loop/dynamic-slice formulation below, full
+      dtype; fast to compile on CPU, used for f64 parity testing.
+    * ``"auto"`` (default) -- "pallas" when the default JAX backend is TPU
+      at spec-construction time, else "xla".
     """
+    if kernel == "auto":
+        import jax
+
+        kernel = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if kernel not in ("pallas", "xla"):
+        raise ValueError(f"unknown banded kernel {kernel!r}")
 
     def assemble(mass, jac_band, c):
-        n = jac_band.shape[-1]
         if mass is None:
-            m_band = jnp.zeros_like(jac_band).at[..., mu, :].set(1.0)
-        elif mass.ndim >= 2 and mass.shape[-1] == mass.shape[-2]:
+            # identity mass: 1.0 on the main-diagonal band row (axis 0 = d)
+            m_band = jnp.zeros_like(jac_band).at[mu].set(1.0)
+        elif mass.ndim == 2 and mass.shape[-1] == mass.shape[-2]:
             m_band = dense_to_band(mass, ml, mu)
+            if jac_band.ndim == 3:  # lockstep batch-last: broadcast members
+                m_band = m_band[:, :, None]
+        elif mass.ndim == 3 and mass.shape[0] == mass.shape[1]:
+            # lockstep batch-last dense mass blocks (n, n, B)
+            m_band = jnp.moveaxis(
+                dense_to_band(jnp.moveaxis(mass, -1, 0), ml, mu), 0, -1
+            )
         else:
             m_band = mass
         return m_band - c * jac_band
 
-    def factor(a_band):
-        return (_band_lu_factor(a_band, ml, mu),)
+    if kernel == "pallas":
+        from . import pallas_banded
 
-    def solve(factors, b):
-        return _band_lu_solve(factors[0], b, ml, mu)
+        def factor(a_band):
+            return (pallas_banded.band_lu_factor(a_band, ml, mu),)
 
-    def placeholder(n, dtype):
-        band = jnp.zeros((ml + mu + 1, n), dtype).at[mu, :].set(1.0)
-        return (_band_lu_factor(band, ml, mu),)
+        def solve(factors, b):
+            x = pallas_banded.band_lu_solve(factors[0], b, ml, mu)
+            return x.astype(b.dtype)
+
+        def placeholder(n, dtype):
+            band = jnp.zeros((ml + mu + 1, n), jnp.float64).at[mu, :].set(1.0)
+            return (pallas_banded.band_lu_factor(band, ml, mu),)
+
+    else:
+
+        def factor(a_band):
+            if a_band.ndim == 3:
+                # lockstep batch-last (nb, n, B) -> batch-leading for the
+                # "..." convention of the fori implementation
+                return (
+                    jnp.moveaxis(
+                        _band_lu_factor(jnp.moveaxis(a_band, -1, 0), ml, mu),
+                        0, -1,
+                    ),
+                )
+            return (_band_lu_factor(a_band, ml, mu),)
+
+        def solve(factors, b):
+            f = factors[0]
+            if f.ndim == 3:
+                x = _band_lu_solve(
+                    jnp.moveaxis(f, -1, 0), jnp.moveaxis(b, -1, 0), ml, mu
+                )
+                return jnp.moveaxis(x, 0, -1)
+            return _band_lu_solve(f, b, ml, mu)
+
+        def placeholder(n, dtype):
+            band = jnp.zeros((ml + mu + 1, n), dtype).at[mu, :].set(1.0)
+            return (_band_lu_factor(band, ml, mu),)
 
     return LinearSolverSpec(
-        name=f"banded({ml},{mu})",
+        name=f"banded({ml},{mu},{kernel})",
         assemble=assemble,
         factor=factor,
         solve=solve,
         placeholder_factors=placeholder,
-        meta=(ml, mu),
+        meta=(ml, mu, kernel),
     )

@@ -288,7 +288,7 @@ class OdeBuilder:
         if self._linear_solver.name.startswith("banded") and self._rhs_jac is None:
             from .ops.banded import make_banded_jac
 
-            ml, mu = self._linear_solver.meta
+            ml, mu = self._linear_solver.meta[:2]
             self._rhs_jac = make_banded_jac(self._rhs, ml, mu)
         elif self._use_coloring and self._rhs_jac is None:
             from .ops.coloring import colored_jac_for_problem

@@ -38,11 +38,8 @@ def algebraic_mask(problem, params=None):
         return None
     params = problem.params if params is None else params
     mass = np.asarray(problem.eqn.mass(problem.t0, params))
-    if mass.ndim == 3:  # lockstep-batched mass: the partition is shared
-        if problem.linear_solver.name.startswith("lockstep_dense"):
-            mass = mass[:, :, 0]  # batch-LAST layout (n, n, B)
-        else:
-            mass = mass[0]  # batch-leading layout (B, n, n)
+    if mass.ndim == 3:  # lockstep-batched mass (n, n, B): partition shared
+        mass = mass[:, :, 0]
     diag = np.diag(mass)
     mask = diag == 0.0
     if not mask.any():
@@ -107,7 +104,42 @@ def make_consistent(problem, params, y, dy, is_alg):
     # the lockstep linear tier; everything else uses a one-off dense LU
     from ..ops import linsol
 
-    if nb > 1:
+    spec = p.linear_solver
+    if spec.name.startswith("banded"):
+        # The packed IC residual inherits the rhs band structure (plus the
+        # in-band mass diagonal), so factor it through the problem's banded
+        # tier: ml+mu+1 cyclic JVP probes for ANY state size / batch, and no
+        # dense O(n^3) LU (which cannot even compile at f64 on TPU).
+        ml, mu = spec.meta[:2]
+        nc = ml + mu + 1
+        n_state = y.shape[0]
+        import numpy as _np
+
+        d_i = _np.arange(nc)[:, None]
+        j_i = _np.arange(n_state)[None, :]
+        i_i = j_i + d_i - mu
+        valid = jnp.asarray((i_i >= 0) & (i_i < n_state))
+        i_c = _np.clip(i_i, 0, n_state - 1)
+        color = _np.broadcast_to(j_i % nc, (nc, n_state))
+
+        def factorize(x):
+            idx = jnp.arange(n_state)
+
+            def probe(c):
+                e = jnp.where(idx % nc == c, 1.0, 0.0).astype(x.dtype)
+                v = e if x.ndim == 1 else jnp.broadcast_to(e[:, None], x.shape)
+                return jax.jvp(residual, (x,), (v,))[1]
+
+            probes = jax.vmap(probe)(jnp.arange(nc))  # (nc, n[, nb])
+            band = probes[color, i_c]  # (nc, n[, nb])
+            vmask = valid if band.ndim == 2 else valid[..., None]
+            band = jnp.where(vmask, band, 0.0)
+            return spec.factor(band)
+
+        def lin_solve_dense(factors, v):
+            return spec.solve(factors, v)
+
+    elif nb > 1:
         # 2-D lockstep state (n, nb): n member probes (column seeds broadcast
         # over the lanes) build the batch-last (n, n, nb) block Jacobian
         from ..ops import smalllu

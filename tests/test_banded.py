@@ -34,7 +34,8 @@ def test_banded_lu_random():
 
 
 def test_banded_lu_batched():
-    """vmap/lockstep batching of factor+solve."""
+    """Lockstep batching of factor+solve: batch-LAST (nb, n, B) band arrays
+    and (n, B) right-hand sides (members on the lane axis)."""
     rng = np.random.default_rng(3)
     n, ml, mu, B = 12, 2, 2, 5
     a = rng.standard_normal((B, n, n)) * 0.1
@@ -42,10 +43,12 @@ def test_banded_lu_batched():
         a[b] += np.eye(n) * 4.0
         a[b] *= np.abs(np.arange(n)[None, :] - np.arange(n)[:, None]) <= 2
     spec = make_banded_solver(ml, mu)
-    bands = jax.vmap(lambda m: dense_to_band(m, ml, mu))(jnp.asarray(a))
-    rhs = jnp.asarray(rng.standard_normal((B, n)))
+    bands = jnp.moveaxis(
+        jax.vmap(lambda m: dense_to_band(m, ml, mu))(jnp.asarray(a)), 0, -1
+    )  # (nb, n, B)
+    rhs = jnp.asarray(rng.standard_normal((B, n))).T  # (n, B)
     xs = spec.solve(spec.factor(bands), rhs)
-    res = jnp.einsum("bij,bj->bi", jnp.asarray(a), xs) - rhs
+    res = jnp.einsum("bij,jb->ib", jnp.asarray(a), xs) - rhs
     assert float(jnp.max(jnp.abs(res))) < 1e-10
 
 
@@ -96,3 +99,59 @@ def test_heat2d_banded_bdf():
         & ((idx // mgrid) < mgrid - 1)
     )
     assert np.abs(ys[:, boundary]).max() < 1e-8
+
+
+def test_pallas_band_kernels_match_xla():
+    """The Pallas f32 factor/solve (interpret on CPU) agrees with the XLA
+    f64 path to f32 accuracy, single and batch-last batched."""
+    from diffsol_tpu.ops import pallas_banded
+
+    rng = np.random.default_rng(7)
+    for ml, mu, n in [(1, 1, 12), (3, 2, 20), (0, 3, 9), (3, 0, 9), (4, 4, 33)]:
+        a = np.eye(n) * 4.0 + rng.standard_normal((n, n)) * 0.2
+        a *= np.abs(np.arange(n)[None, :] - np.arange(n)[:, None]) <= max(ml, mu)
+        a *= (np.arange(n)[:, None] - np.arange(n)[None, :] <= ml)
+        a *= (np.arange(n)[None, :] - np.arange(n)[:, None] <= mu)
+        band = dense_to_band(jnp.asarray(a), ml, mu)
+        b = jnp.asarray(rng.standard_normal(n))
+        x_ref = np.linalg.solve(a, np.asarray(b))
+        f = pallas_banded.band_lu_factor(band, ml, mu)
+        x = pallas_banded.band_lu_solve(f, b, ml, mu)
+        assert float(jnp.max(jnp.abs(x - x_ref))) < 1e-4, (ml, mu, n)
+        # batch-last: 3 scaled copies
+        B = 3
+        bandB = band[:, :, None] * (1.0 + 0.1 * jnp.arange(B))
+        bB = b[:, None] * jnp.ones((1, B))
+        fB = pallas_banded.band_lu_factor(bandB, ml, mu)
+        xB = pallas_banded.band_lu_solve(fB, bB, ml, mu)
+        for k in range(B):
+            xk_ref = np.linalg.solve(a * (1.0 + 0.1 * k), np.asarray(b))
+            assert float(jnp.max(jnp.abs(xB[:, k] - xk_ref))) < 1e-4
+
+
+def test_pallas_banded_bdf_heat1d():
+    """Full BDF solve through the Pallas banded tier (f32 preconditioner,
+    interpret mode on CPU): accuracy is governed by the f64 residual."""
+    from diffsol_tpu.models import heat1d
+    from diffsol_tpu.solvers.bdf import BdfSolver
+    from diffsol_tpu.drivers import solve_dense
+    import dataclasses
+
+    problem, _soln = heat1d.make(mgrid=15)
+    spec = make_banded_solver(1, 1, kernel="pallas")
+    from diffsol_tpu.ops.banded import make_banded_jac
+
+    banded_problem = dataclasses.replace(
+        problem,
+        linear_solver=spec,
+        eqn=dataclasses.replace(
+            problem.eqn, rhs_jac=make_banded_jac(problem.eqn.rhs, 1, 1)
+        ),
+    )
+    t_eval = jnp.asarray([0.01, 0.05, 0.1])
+    sol = solve_dense(BdfSolver(banded_problem), t_eval, max_steps=2000)
+    sol.raise_for_status()
+    # same spatial discretization through the dense tier is the oracle
+    ref = solve_dense(BdfSolver(problem), t_eval, max_steps=2000)
+    err = np.max(np.abs(np.asarray(sol.ys) - np.asarray(ref.ys)))
+    assert err < 1e-4, err
