@@ -76,8 +76,12 @@ def _pin_to(solver, state, t):
 
 def _apply_reset(solver, state, params):
     """Apply the reset operator R(t, y) and refresh dy (reference
-    state.rs:246-320 apply_reset / apply_reset_with_mass)."""
+    state.rs:246-320 apply_reset / apply_reset_with_mass); augmented rows
+    (continuous sensitivities) get the event-jump correction
+    (state.rs:308-560 apply_reset_with_sens)."""
     p = solver.problem
+    y_minus, dy_minus = state.y, state.dy
+    s_minus = getattr(state, "s", None)
     y_new = p.eqn.reset(state.t, state.y, params)
     state = state.replace(y=y_new, state_modified=jnp.asarray(True))
     if hasattr(solver, "reinit_after_reset"):
@@ -85,6 +89,13 @@ def _apply_reset(solver, state, params):
     else:
         dy_new = p.eqn.rhs(state.t, y_new, params)
         state = state.replace(dy=dy_new)
+    aug = getattr(solver, "aug", None)
+    if aug is not None and s_minus is not None:
+        s_plus = aug.apply_reset(
+            state.t, y_minus, dy_minus, state.y, state.dy, params,
+            s_minus, state.root_idx,
+        )
+        state = state.replace(s=s_plus)
     return state
 
 

@@ -59,6 +59,10 @@ def _lockstep_dense_spec(nbatch: int, n: int) -> LinearSolverSpec:
         return smalllu.lu_factor_batch_last(a)
 
     def solve(factors, b):
+        if b.ndim == 3:  # augmented rows (naug, n, B): one factorization
+            return jax.vmap(
+                lambda v: smalllu.lu_solve_batch_last(factors, v)
+            )(b)
         return smalllu.lu_solve_batch_last(factors, b)
 
     def placeholder(_n, dtype):
@@ -144,6 +148,9 @@ def make_lockstep_problem(problem: OdeProblem, nbatch: int) -> OdeProblem:
     params_b = jnp.broadcast_to(problem.params, (nbatch,) + problem.params.shape)
     atol_b = problem.atol[:, None]  # broadcasts over the member lanes
     out_atol_b = None if problem.out_atol is None else problem.out_atol[:, None]
+    sens_atol_b = (
+        None if problem.sens_atol is None else jnp.asarray(problem.sens_atol)[:, None]
+    )
     spec = (
         problem.linear_solver if banded else _lockstep_dense_spec(nbatch, n)
     )
@@ -153,8 +160,8 @@ def make_lockstep_problem(problem: OdeProblem, nbatch: int) -> OdeProblem:
         params=params_b,
         atol=atol_b,
         out_atol=out_atol_b,
-        sens_rtol=None,
-        sens_atol=None,
+        sens_rtol=problem.sens_rtol,
+        sens_atol=sens_atol_b,
         lockstep_nbatch=nbatch,
         linear_solver=spec,
     )

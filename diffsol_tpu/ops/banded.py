@@ -222,7 +222,26 @@ def make_banded_solver(ml: int, mu: int, kernel: str = "auto") -> LinearSolverSp
             return (pallas_banded.band_lu_factor(a_band, ml, mu),)
 
         def solve(factors, b):
-            x = pallas_banded.band_lu_solve(factors[0], b, ml, mu)
+            f = factors[0]
+            if b.ndim == 3 and f.ndim == 3:
+                # augmented rows (naug, n, B) against per-member factors:
+                # fold rows into the lane axis (one kernel launch)
+                naug, n, nbatch = b.shape
+                b2 = jnp.moveaxis(b, 0, -1).reshape(n, nbatch * naug)
+                fb = jnp.repeat(f[..., None], naug, axis=-1).reshape(
+                    f.shape[0], f.shape[1], nbatch * naug
+                )
+                x = pallas_banded.band_lu_solve(fb, b2, ml, mu)
+                return jnp.moveaxis(
+                    x.reshape(n, nbatch, naug), -1, 0
+                ).astype(b.dtype)
+            if b.ndim == 2 and f.ndim == 2:
+                # disambiguate (n, k) lanes vs (naug, n) leading rows
+                n = f.shape[0] - mu
+                if b.shape[0] != n and b.shape[-1] == n:
+                    x = pallas_banded.band_lu_solve(f, b.T, ml, mu)
+                    return x.T.astype(b.dtype)
+            x = pallas_banded.band_lu_solve(f, b, ml, mu)
             return x.astype(b.dtype)
 
         def placeholder(n, dtype):
@@ -246,6 +265,8 @@ def make_banded_solver(ml: int, mu: int, kernel: str = "auto") -> LinearSolverSp
         def solve(factors, b):
             f = factors[0]
             if f.ndim == 3:
+                if b.ndim == 3:  # augmented rows (naug, n, B)
+                    return jax.vmap(lambda v: solve(factors, v))(b)
                 x = _band_lu_solve(
                     jnp.moveaxis(f, -1, 0), jnp.moveaxis(b, -1, 0), ml, mu
                 )

@@ -228,44 +228,38 @@ class BdfSolver:
         problem: OdeProblem,
         config: Optional[SolverConfig] = None,
         sens: bool = False,
+        augmented=None,
     ):
         self.problem = problem
         self.config = config or SolverConfig.from_options(problem.options, "bdf")
         # static partition of algebraic states (zero mass diagonal)
         self._alg_mask = algebraic_mask(problem)
         self._nb = problem.lockstep_nbatch
-        # continuous forward sensitivity equations integrated in lockstep
-        # (reference SensEquations + bdf.rs:934-989 sensitivity_solve)
-        if sens and problem.eqn.reset is not None:
-            raise NotImplementedError(
-                "continuous sensitivities through reset events need the "
-                "dR/dy correction (reference apply_reset_with_sens, "
-                "state.rs:308-560) -- not yet implemented; use "
-                "jacfwd-through-the-solver (diffsol_tpu.sens) instead"
-            )
-        self.sens = sens
-        self.has_sens = sens
+        # augmented equation sets integrated in lockstep with the main
+        # system (reference AugmentedOdeEquations; sens=True installs the
+        # continuous SensEquations, bdf.rs:934-989 sensitivity_solve)
+        if augmented is None and sens:
+            from ..augmented import SensEquations
+
+            augmented = SensEquations(problem)
+        self.aug = augmented
+        self.sens = augmented is not None
+        self.has_sens = self.sens
 
     # ------------------------------------------------------------------
-    # forward sensitivities: s_i' = J s_i + df/dp_i (M s_i' with mass)
+    # augmented rows: M s_i' = J s_i + forcing_i, all rows at once
     def _sens_rhs_parts(self, t, y, params):
-        """Linearize f at (t, y): returns (jvp_rows, f_p) where
-        jvp_rows(S) applies J to each row of S (np, n) and f_p is (np, n)
-        (reference sens_equations.rs:87-135)."""
-        p = self.problem
-        _, jvp_fn = jax.linearize(lambda yy: p.eqn.rhs(t, yy, params), y)
-        f_p = jax.jacfwd(lambda pp: p.eqn.rhs(t, y, pp))(params)  # (n, np)
-        return jax.vmap(jvp_fn), f_p.T
+        return self.aug.linear_parts(t, y, params)
 
     def _sens_mass_rows(self, t, params, S):
-        return jax.vmap(lambda v: self.problem.eqn.mass_mul(t, params, v))(S)
+        return self.aug.mass_rows(self.problem, t, params, S)
 
     def _sens_solve(self, t_pred, y_ctx, params, cval, sD, order, factors, eta):
-        """Solve all nparams sensitivity systems sharing the factorized
-        M - c*J (bdf.rs:934-989).  Returns (s_delta (np,n), ok, niter)."""
+        """Solve all augmented systems sharing the factorized M - c*J
+        (bdf.rs:934-989).  Returns (s_delta (naug,n), ok, niter)."""
         p = self.problem
         dtype = y_ctx.dtype
-        jvp_rows, f_p = self._sens_rhs_parts(t_pred, y_ctx, params)
+        jvp_rows, f_p = self.aug.linear_parts(t_pred, y_ctx, params)
         s_pred = jax.vmap(lambda Drows: _predict_from_diff(Drows, order))(sD)
         psi_s = jax.vmap(lambda Drows: _psi(Drows, order, dtype))(sD)
 
@@ -275,12 +269,12 @@ class BdfSolver:
             return self._sens_mass_rows(t_pred, params, tmp) - cval * rhs_s
 
         lin_solve = lambda V: p.linear_solver.solve(factors, V)
-        atol = p.sens_atol if p.sens_atol is not None else p.atol
-        rtol = p.sens_rtol if p.sens_rtol is not None else p.rtol
         res = newton_solve(
-            residual, lin_solve, s_pred, s_pred, atol, rtol, eta,
+            residual, lin_solve, s_pred, s_pred,
+            self.aug.atol(p), self.aug.rtol(p), eta,
             tol=p.options.nonlinear_solver_tolerance,
             max_iter=self.config.maximum_newton_iterations,
+            nbatch=self._nb,
         )
         return res.x - s_pred, res.converged, res.niter
 
@@ -396,9 +390,13 @@ class BdfSolver:
         s_f = sD_f = None
         if self.sens:
             t0 = jnp.asarray(p.t0, dtype)
-            s_f = jax.jacfwd(lambda pp: p.eqn.init(t0, pp))(params).T  # (np, n)
-            jvp_rows, f_p = self._sens_rhs_parts(t0, y, params)
-            ds0 = jvp_rows(s_f) + f_p
+            s_f, ds0 = self.aug.init(t0, y, dy, params)
+            if self._alg_mask is not None and hasattr(self.aug, "consistent_init"):
+                # sens-consistent DAE rows (reference state.rs:167-239,
+                # :1032 new_with_sensitivities_and_consistent)
+                s_f, ds0 = self.aug.consistent_init(
+                    t0, y, dy, params, s_f, self._alg_mask
+                )
             sD_f = jnp.zeros((s_f.shape[0], ND) + y.shape, dtype)
             sD_f = sD_f.at[:, 0].set(s_f).at[:, 1].set(h * ds0)
         return BdfState(
@@ -667,7 +665,9 @@ class BdfSolver:
                 )
             if self.sens and p.sens_in_error_control():
                 s_errs = jax.vmap(
-                    lambda sd, sv: squared_norm(sd, sv, p.sens_atol, p.sens_rtol)
+                    lambda sd, sv: squared_norm(
+                        sd, sv, p.sens_atol, p.sens_rtol, self._nb
+                    )
                 )(s_delta, state.s)
                 err = jnp.maximum(err, jnp.max(s_errs) * ec2[order])
             accepted = solve_ok & (err <= 1.0)
@@ -805,7 +805,8 @@ class BdfSolver:
                 if self.sens and p.sens_in_error_control():
                     se = jax.vmap(
                         lambda Dr, sv: squared_norm(
-                            jnp.take(Dr, col, axis=0), sv, p.sens_atol, p.sens_rtol
+                            jnp.take(Dr, col, axis=0), sv,
+                            p.sens_atol, p.sens_rtol, self._nb
                         )
                     )(sD_new, s_new)
                     e = jnp.maximum(e, jnp.max(se) * ec2[const_idx])

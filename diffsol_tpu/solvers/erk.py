@@ -26,7 +26,9 @@ from ..norms import squared_norm
 from ..ops.controller import clamp_factor, pi_controller_raw
 from ..ops.rootfind import check_root
 from ..problem import OdeProblem, SolverConfig
-from .rk_common import RkState, Stats, interp_dy, interp_out, interp_y, tstop_check
+from .rk_common import (
+    RkState, Stats, interp_dy, interp_out, interp_sens, interp_y, tstop_check,
+)
 from .state import initial_state, initial_step_size
 from .tableau import Tableau, tsit45
 
@@ -39,6 +41,8 @@ class ErkSolver:
         problem: OdeProblem,
         tableau: Optional[Tableau] = None,
         config: Optional[SolverConfig] = None,
+        sens: bool = False,
+        augmented=None,
     ):
         if problem.eqn.mass is not None:
             raise ValueError("explicit RK does not support mass matrices")
@@ -54,6 +58,15 @@ class ErkSolver:
         self.tableau = tab
         self.config = config or SolverConfig.from_options(problem.options, "erk")
         self._nb = problem.lockstep_nbatch
+        # augmented rows integrated through the same stages (reference
+        # AugmentedOdeEquations + do_stage, runge_kutta.rs:537-608)
+        if augmented is None and sens:
+            from ..augmented import SensEquations
+
+            augmented = SensEquations(problem)
+        self.aug = augmented
+        self.sens = augmented is not None
+        self.has_sens = self.sens
 
     @property
     def order(self) -> int:
@@ -75,6 +88,11 @@ class ErkSolver:
             else jnp.zeros((0,), dtype)
         )
         nan = jnp.asarray(jnp.nan, dtype)
+        s_f = ds_f = sdiff_f = None
+        if self.sens:
+            t0 = jnp.asarray(p.t0, dtype)
+            s_f, ds_f = self.aug.init(t0, y, dy, params)
+            sdiff_f = jnp.zeros((s_f.shape[0], s) + y.shape, dtype)
         return RkState(
             y=y, dy=dy, g=g, t=jnp.asarray(p.t0, dtype), h=h,
             y_prev=y, dy_prev=dy, g_prev=g, t_prev=jnp.asarray(p.t0, dtype),
@@ -88,7 +106,12 @@ class ErkSolver:
             root_idx=jnp.asarray(-1, jnp.int32),
             state_modified=jnp.asarray(False),
             stats=Stats.zeros(),
+            s=s_f, ds=ds_f, sdiff=sdiff_f, s_prev=s_f,
         )
+
+    def reinit_after_reset(self, state: RkState, params) -> RkState:
+        dy = self.problem.eqn.rhs(state.t, state.y, params)
+        return state.replace(dy=dy)
 
     def set_stop_time(self, state: RkState, tstop) -> RkState:
         tstop = jnp.asarray(tstop, state.t.dtype)
@@ -98,8 +121,11 @@ class ErkSolver:
         return state.replace(tstop=tstop, h=h_adj)
 
     # ------------------------------------------------------------------
-    def _stages(self, h, y, dy, g_dg, t, params):
-        """Unrolled explicit stages; returns (diff, gdiff, y_new, dy_new, dg_new)."""
+    def _stages(self, h, y, dy, g_dg, t, params, s_rows=None, ds_rows=None):
+        """Unrolled explicit stages; returns
+        (diff, gdiff, y_new, dy_new, dg_new, sdiff, s_new, ds_new).
+        Augmented rows run through the same stages
+        (reference do_stage, runge_kutta.rs:537-608)."""
         p = self.problem
         tab = self.tableau
         s = tab.s
@@ -111,6 +137,10 @@ class ErkSolver:
         integrate_out = p.integrate_out
         if integrate_out:
             gdiff_rows.append(h * g_dg)
+        sens = self.sens and s_rows is not None
+        if sens:
+            sdiff_rows = [h * ds_rows]
+            s_i, dS_i = s_rows, ds_rows
         y_i = y
         k_i = dy
         for i in range(1, s):
@@ -119,6 +149,11 @@ class ErkSolver:
             t_i = t + c[i] * h
             k_i = p.eqn.rhs(t_i, y_i, params)
             diff_rows.append(h * k_i)
+            if sens:
+                # stage rows: s + sum_j a_ij sdiff_j (stacked axis 0 = stage)
+                s_i = s_rows + jnp.tensordot(arow, jnp.stack(sdiff_rows[:i]), axes=1)
+                dS_i = self.aug.rhs(t_i, y_i, params, s_i)
+                sdiff_rows.append(h * dS_i)
             if integrate_out:
                 if p.eqn.out is not None:
                     dg_i = p.eqn.out(t_i, y_i, params)
@@ -132,7 +167,10 @@ class ErkSolver:
         else:
             gdiff = jnp.zeros((s,) + g_dg.shape, dtype)
             dg_new = g_dg
-        return diff, gdiff, y_i, k_i, dg_new
+        if sens:
+            sdiff = jnp.stack(sdiff_rows, axis=1)  # (naug, s, ...)
+            return diff, gdiff, y_i, k_i, dg_new, sdiff, s_i, dS_i
+        return diff, gdiff, y_i, k_i, dg_new, None, None, None
 
     def step(self, state: RkState, params=None) -> RkState:
         """One adaptive step (explicit_rk.rs:196-243)."""
@@ -164,14 +202,28 @@ class ErkSolver:
         else:
             g_dg = jnp.zeros((0,), dtype)
 
+        # after a reset the augmented-row derivatives must be refreshed at
+        # the corrected rows (the driver corrected s via aug.apply_reset)
+        if self.sens:
+            ds0 = jnp.where(
+                state.state_modified,
+                self.aug.rhs(state.t, state.y, params, state.s),
+                state.ds,
+            )
+        else:
+            ds0 = None
+
         def attempt_cond(c):
-            (_h, _diff, _gdiff, _ynew, _dynew, _dgnew, _natt, _prev, err, status, accepted) = c
-            return (~accepted) & (status == errors.INTERNAL_TIMESTEP)
+            return (~c["accepted"]) & (c["status"] == errors.INTERNAL_TIMESTEP)
 
         def attempt_body(c):
-            (h, _diff, _gdiff, _ynew, _dynew, _dgnew, natt, prev, _err, status, _acc) = c
-            diff, gdiff, y_new, dy_new, dg_new = self._stages(
-                h, state.y, state.dy, g_dg, state.t, params
+            h = c["h"]
+            (diff, gdiff, y_new, dy_new, dg_new, sdiff, s_new, ds_new) = (
+                self._stages(
+                    h, state.y, state.dy, g_dg, state.t, params,
+                    s_rows=state.s if self.sens else None,
+                    ds_rows=ds0,
+                )
             )
             err_vec = jnp.tensordot(d_vec, diff, axes=1)
             err = squared_norm(err_vec, state.y, p.atol, p.rtol, self._nb)
@@ -181,9 +233,17 @@ class ErkSolver:
                     err,
                     squared_norm(gerr, state.g, p.out_atol, p.out_rtol, self._nb),
                 )
+            if self.sens and p.sens_in_error_control():
+                serr_rows = jnp.tensordot(sdiff, d_vec, axes=[[1], [0]])
+                s_errs = jax.vmap(
+                    lambda sd, sv: squared_norm(
+                        sd, sv, self.aug.atol(p), self.aug.rtol(p), self._nb
+                    )
+                )(serr_rows, state.s)
+                err = jnp.maximum(err, jnp.max(s_errs))
             accepted = err < 1.0
             raw = pi_controller_raw(
-                err, prev,
+                err, c["prev"],
                 p.options.pi_control_integral, p.options.pi_control_proportional,
                 self.order + 1,
             )
@@ -193,28 +253,37 @@ class ErkSolver:
                 cfg.minimum_timestep_growth, cfg.maximum_timestep_growth,
             )
             h_next = jnp.where(accepted, h, h * factor)
-            natt = jnp.where(accepted, natt, natt + 1)
-            prev = jnp.where(accepted, prev, jnp.asarray(jnp.nan, dtype))
+            natt = jnp.where(accepted, c["natt"], c["natt"] + 1)
+            prev = jnp.where(accepted, c["prev"], jnp.asarray(jnp.nan, dtype))
             too_many = (~accepted) & (natt >= cfg.maximum_error_test_failures)
             too_small = (~accepted) & (jnp.abs(h_next) < cfg.minimum_timestep)
             status = jnp.where(
                 too_many,
                 errors.TOO_MANY_ERROR_TEST_FAILURES,
-                jnp.where(too_small, errors.STEP_SIZE_TOO_SMALL, status),
+                jnp.where(too_small, errors.STEP_SIZE_TOO_SMALL, c["status"]),
             ).astype(jnp.int32)
-            return (h_next, diff, gdiff, y_new, dy_new, dg_new, natt, prev, err, status, accepted)
+            return dict(
+                h=h_next, diff=diff, gdiff=gdiff, y_new=y_new, dy_new=dy_new,
+                dg_new=dg_new, sdiff=sdiff, s_new=s_new, ds_new=ds_new,
+                natt=natt, prev=prev, err=err, status=status,
+                accepted=accepted,
+            )
 
-        init = (
-            state.h,
-            state.diff, state.gdiff, state.y, state.dy, g_dg,
-            jnp.asarray(0, jnp.int32),
-            state.prev_error_norm,
-            jnp.asarray(jnp.inf, dtype),
-            jnp.asarray(errors.INTERNAL_TIMESTEP, jnp.int32),
-            jnp.asarray(False),
+        init = dict(
+            h=state.h, diff=state.diff, gdiff=state.gdiff,
+            y_new=state.y, dy_new=state.dy, dg_new=g_dg,
+            sdiff=state.sdiff, s_new=state.s, ds_new=ds0,
+            natt=jnp.asarray(0, jnp.int32),
+            prev=state.prev_error_norm,
+            err=jnp.asarray(jnp.inf, dtype),
+            status=jnp.asarray(errors.INTERNAL_TIMESTEP, jnp.int32),
+            accepted=jnp.asarray(False),
         )
-        (h, diff, gdiff, y_new, dy_new, dg_new, natt, _prev, err, status, accepted) = (
-            jax.lax.while_loop(attempt_cond, attempt_body, init)
+        carry = jax.lax.while_loop(attempt_cond, attempt_body, init)
+        (h, diff, gdiff, y_new, dy_new, dg_new, natt, err, status) = (
+            carry["h"], carry["diff"], carry["gdiff"], carry["y_new"],
+            carry["dy_new"], carry["dg_new"], carry["natt"], carry["err"],
+            carry["status"],
         )
 
         # compute controller factor for the accepted step
@@ -233,6 +302,12 @@ class ErkSolver:
         g_new = state.g + jnp.tensordot(b_vec, gdiff, axes=1) if p.integrate_out else state.g
         t_new = state.t + h
 
+        sens_upd = {}
+        if self.sens:
+            sens_upd = dict(
+                s=carry["s_new"], ds=carry["ds_new"], sdiff=carry["sdiff"],
+                s_prev=state.s,
+            )
         new_state = state.replace(
             y=y_new, dy=dy_new, g=g_new, t=t_new, h=h * factor,
             y_prev=state.y, dy_prev=state.dy, g_prev=state.g, t_prev=state.t,
@@ -244,6 +319,7 @@ class ErkSolver:
                 steps=state.stats.steps + 1,
                 error_test_failures=state.stats.error_test_failures + natt,
             ),
+            **sens_upd,
         )
 
         # root check inside the accepted step
@@ -284,3 +360,6 @@ class ErkSolver:
 
     def interpolate_out(self, state: RkState, t):
         return interp_out(self.tableau, state, t)
+
+    def interpolate_sens(self, state: RkState, t):
+        return interp_sens(self.tableau, state, t)

@@ -80,10 +80,11 @@ class RkState:
     steps_since_jac: Optional[jax.Array] = None
     steps_since_rhs_jac: Optional[jax.Array] = None
     h_at_last_jac: Optional[jax.Array] = None
-    # sensitivities (None unless enabled)
-    s: Optional[jax.Array] = None  # (nparams, n)
-    ds: Optional[jax.Array] = None  # (nparams, n)
-    sdiff: Optional[jax.Array] = None  # (nparams, s, n)
+    # augmented rows / sensitivities (None unless enabled)
+    s: Optional[jax.Array] = None  # (naug, n)
+    ds: Optional[jax.Array] = None  # (naug, n)
+    sdiff: Optional[jax.Array] = None  # (naug, s, n)
+    s_prev: Optional[jax.Array] = None  # (naug, n), pre-step (dense output)
 
 
 def tableau_arrays(tab: Tableau, dtype):
@@ -143,6 +144,20 @@ def interp_out(tab: Tableau, state: RkState, t):
         bf = _beta_poly(tab, theta, dtype, deriv=False)
         return state.g_prev + state.gdiff.T @ bf
     return _hermite(theta, state.g_prev, state.g, state.gdiff)
+
+
+def interp_sens(tab: Tableau, state: RkState, t):
+    """Interpolate the augmented rows inside [t_prev, t] (per-row analog of
+    :func:`interp_y`; reference interpolate_sens, runge_kutta.rs:1083+)."""
+    dtype = state.y.dtype
+    dt = state.t - state.t_prev
+    theta = jnp.where(dt == 0.0, 1.0, (t - state.t_prev) / dt)
+    if tab.beta is not None:
+        bf = _beta_poly(tab, theta, dtype, deriv=False)
+        return state.s_prev + jnp.tensordot(state.sdiff, bf, axes=[[1], [0]])
+    return jax.vmap(lambda u0, u1, df: _hermite(theta, u0, u1, df))(
+        state.s_prev, state.s, state.sdiff
+    )
 
 
 def _hermite(theta, u0, u1, diff):

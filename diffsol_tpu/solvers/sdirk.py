@@ -31,7 +31,9 @@ from ..ops.newton import ETA_RESET_JACOBIAN, ETA_RESET_TIMESTEP, newton_solve
 from ..ops.rootfind import check_root
 from ..problem import OdeProblem, SolverConfig
 from .consistent_ic import algebraic_mask, make_consistent
-from .rk_common import RkState, Stats, interp_dy, interp_out, interp_y, tstop_check
+from .rk_common import (
+    RkState, Stats, interp_dy, interp_out, interp_sens, interp_y, tstop_check,
+)
 from .state import initial_state, initial_step_size
 from .tableau import Tableau, tr_bdf2
 
@@ -51,6 +53,8 @@ class SdirkSolver:
         problem: OdeProblem,
         tableau: Optional[Tableau] = None,
         config: Optional[SolverConfig] = None,
+        sens: bool = False,
+        augmented=None,
     ):
         tab = tableau if tableau is not None else tr_bdf2()
         a = np.asarray(tab.a)
@@ -69,6 +73,15 @@ class SdirkSolver:
         self.config = config or SolverConfig.from_options(problem.options, "sdirk")
         self._alg_mask = algebraic_mask(problem)
         self._nb = problem.lockstep_nbatch
+        # augmented rows solved per stage with the shared (M - h*gamma*J)
+        # factorization (reference do_stage_sdirk, runge_kutta.rs:633-750)
+        if augmented is None and sens:
+            from ..augmented import SensEquations
+
+            augmented = SensEquations(problem)
+        self.aug = augmented
+        self.sens = augmented is not None
+        self.has_sens = self.sens
 
     @property
     def order(self) -> int:
@@ -180,6 +193,15 @@ class SdirkSolver:
             else jnp.zeros((0,), dtype)
         )
         nan = jnp.asarray(jnp.nan, dtype)
+        s_f = ds_f = sdiff_f = None
+        if self.sens:
+            t0 = jnp.asarray(p.t0, dtype)
+            s_f, ds_f = self.aug.init(t0, y, dy, params)
+            if self._alg_mask is not None and hasattr(self.aug, "consistent_init"):
+                s_f, ds_f = self.aug.consistent_init(
+                    t0, y, dy, params, s_f, self._alg_mask
+                )
+            sdiff_f = jnp.zeros((s_f.shape[0], s) + y.shape, dtype)
         return RkState(
             y=y, dy=dy, g=g, t=jnp.asarray(p.t0, dtype), h=h,
             y_prev=y, dy_prev=dy, g_prev=g, t_prev=jnp.asarray(p.t0, dtype),
@@ -196,6 +218,7 @@ class SdirkSolver:
             steps_since_jac=jnp.asarray(0, jnp.int32),
             steps_since_rhs_jac=jnp.asarray(0, jnp.int32),
             h_at_last_jac=h,
+            s=s_f, ds=ds_f, sdiff=sdiff_f, s_prev=s_f,
         )
 
     def set_stop_time(self, state: RkState, tstop) -> RkState:
@@ -222,6 +245,17 @@ class SdirkSolver:
         c = np.asarray(tab.c)
         cc = (c[i] - c[i - 2]) / (c[i - 1] - c[i - 2])
         return (1.0 + cc) * diff[i - 1] - cc * diff[i - 2]
+
+    def _stage_predict_rows(self, i: int, h, ds0, sdiff):
+        """Stage prediction for the augmented rows (sdiff is (naug, s, ...))."""
+        tab = self.tableau
+        if i == 0:
+            return h * ds0
+        if i == 1:
+            return sdiff[:, 0]
+        c = np.asarray(tab.c)
+        cc = (c[i] - c[i - 2]) / (c[i - 1] - c[i - 2])
+        return (1.0 + cc) * sdiff[:, i - 1] - cc * sdiff[:, i - 2]
 
     def step(self, state: RkState, params=None) -> RkState:
         """One adaptive SDIRK step (sdirk.rs:409-545)."""
@@ -265,8 +299,20 @@ class SdirkSolver:
             h_at_last_jac=state.h_at_last_jac,
         )
 
-        def solve_stage(i, h, diff, st, failed):
-            """Solve stage i; returns (diff, y_stage, dy_stage_z, st, failed, niter)."""
+        if self.sens:
+            # refresh row derivatives at reset-corrected rows (see drivers
+            # _apply_reset + aug.apply_reset)
+            ds0 = jnp.where(
+                state.state_modified,
+                self.aug.rhs(state.t, state.y, params, state.s),
+                state.ds,
+            )
+        else:
+            ds0 = None
+
+        def solve_stage(i, h, diff, sdiff, st, failed):
+            """Solve stage i (+ augmented rows); returns
+            (diff, y_stage, z, sdiff, s_stage, sz, st, failed, niter)."""
             t_i = state.t + c_np[i] * h
             arow = jnp.asarray(a_np[i, :i], dtype) if i > 0 else None
             if i > 0:
@@ -288,14 +334,51 @@ class SdirkSolver:
                 nbatch=self._nb,
             )
             st = dict(st, eta=res.eta)
-            st["stats"] = st["stats"]._replace(
-                newton_iterations=st["stats"].newton_iterations + res.niter
-            )
+            niter = res.niter
             z = res.x
             y_stage = phi + gamma * z
             diff = diff.at[i].set(z)
             failed = failed | ~res.converged
-            return diff, y_stage, z, st, failed, res.niter
+
+            # augmented stage rows: M sz = h (J (sphi + gamma sz) + f_p),
+            # Newton against the SAME factorization (runge_kutta.rs:695-740)
+            if self.sens:
+                jvp_rows, f_p = self.aug.linear_parts(t_i, y_stage, params)
+                if i > 0:
+                    sphi = state.s + jnp.tensordot(
+                        arow, sdiff[:, :i], axes=[[0], [1]]
+                    )
+                else:
+                    sphi = state.s
+                sz0 = self._stage_predict_rows(i, h, ds0, sdiff)
+
+                def residual_s(SZ):
+                    s_state = sphi + gamma * SZ
+                    rhs_s = jvp_rows(s_state) + f_p
+                    return (
+                        self.aug.mass_rows(p, t_i, params, SZ) - h * rhs_s
+                    )
+
+                res_s = newton_solve(
+                    residual_s, lin_solve, sz0, state.s,
+                    self.aug.atol(p), self.aug.rtol(p), st["eta"],
+                    tol=opts.nonlinear_solver_tolerance,
+                    max_iter=cfg.maximum_newton_iterations,
+                    nbatch=self._nb,
+                )
+                sz = res_s.x
+                sdiff = sdiff.at[:, i].set(sz)
+                s_stage = sphi + gamma * sz
+                failed = failed | ~res_s.converged
+                niter = niter + res_s.niter
+            else:
+                s_stage = state.s
+                sz = None
+
+            st["stats"] = st["stats"]._replace(
+                newton_iterations=st["stats"].newton_iterations + niter
+            )
+            return diff, y_stage, z, sdiff, s_stage, sz, st, failed, niter
 
         def attempt_cond(c):
             return (~c["accepted"]) & (c["status"] == errors.INTERNAL_TIMESTEP)
@@ -305,26 +388,40 @@ class SdirkSolver:
             st = c["st"]
             diff = jnp.zeros_like(state.diff)
             gdiff = jnp.zeros_like(state.gdiff)
+            sdiff = None if state.sdiff is None else jnp.zeros_like(state.sdiff)
             if start == 1:
                 diff = diff.at[0].set(h * state.dy)
                 if integrate_out:
                     gdiff = gdiff.at[0].set(h * g_dg)
+                if self.sens:
+                    sdiff = sdiff.at[:, 0].set(h * ds0)
 
             failed = jnp.asarray(False)
             y_stage = state.y
             z_last = diff[0]
+            s_stage = state.s
+            sz_last = None if state.s is None else (
+                sdiff[:, 0] if start == 1 else jnp.zeros_like(state.s)
+            )
             niter = jnp.asarray(0, jnp.int32)
             for i in range(start, s):
                 # skip stage work if a previous stage already failed
                 def do(args):
-                    diff, _ys, _z, st, failed, _ni = args
-                    return solve_stage(i, h, diff, st, failed)
+                    diff, _ys, _z, sdiff, _ss, _sz, st, failed, _ni = args
+                    return solve_stage(i, h, diff, sdiff, st, failed)
 
                 def skip(args):
                     return args
 
-                diff, y_stage, z_last, st, failed, niter = jax.lax.cond(
-                    failed, skip, do, (diff, y_stage, z_last, st, failed, niter)
+                (
+                    diff, y_stage, z_last, sdiff, s_stage, sz_last, st,
+                    failed, niter,
+                ) = jax.lax.cond(
+                    failed, skip, do,
+                    (
+                        diff, y_stage, z_last, sdiff, s_stage, sz_last, st,
+                        failed, niter,
+                    ),
                 )
                 if integrate_out:
                     t_i = state.t + c_np[i] * h
@@ -394,6 +491,21 @@ class SdirkSolver:
                             gerr, state.g, p.out_atol, p.out_rtol, self._nb
                         ),
                     )
+                if self.sens and p.sens_in_error_control():
+                    serr_rows = jnp.tensordot(sdiff, d_vec, axes=[[1], [0]])
+                    if has_mass:
+                        serr_rows = self.aug.mass_rows(
+                            p, state.t, params, serr_rows
+                        )
+                    serr_rows = jax.vmap(
+                        lambda v: p.linear_solver.solve(st["factors"], v)
+                    )(serr_rows)
+                    s_errs = jax.vmap(
+                        lambda sd, sv: squared_norm(
+                            sd, sv, self.aug.atol(p), self.aug.rtol(p), self._nb
+                        )
+                    )(serr_rows, state.s)
+                    err = jnp.maximum(err, jnp.max(s_errs))
                 m = float(cfg.maximum_newton_iterations)
                 safety = (2.0 * m + 1.0) / (2.0 * m + niter.astype(dtype))
                 raw = pi_controller_raw(
@@ -439,8 +551,9 @@ class SdirkSolver:
                     c, st = args
                     return dict(
                         c, st=st,
-                        diff=diff, gdiff=gdiff,
+                        diff=diff, gdiff=gdiff, sdiff=sdiff,
                         y_new=y_stage, z_last=z_last,
+                        s_new=s_stage, sz_last=sz_last,
                         err=err, factor=factor,
                         accepted=jnp.asarray(True),
                     )
@@ -451,8 +564,10 @@ class SdirkSolver:
 
         carry0 = dict(
             st=st0, h=state.h,
-            diff=state.diff, gdiff=state.gdiff,
+            diff=state.diff, gdiff=state.gdiff, sdiff=state.sdiff,
             y_new=state.y, z_last=state.diff[0] if s > 0 else state.dy,
+            s_new=state.s,
+            sz_last=None if state.sdiff is None else state.sdiff[:, 0],
             err=jnp.asarray(jnp.inf, dtype),
             factor=jnp.asarray(1.0, dtype),
             prev_err=state.prev_error_norm,
@@ -494,6 +609,12 @@ class SdirkSolver:
             if integrate_out
             else state.g
         )
+        sens_upd = {}
+        if self.sens:
+            sens_upd = dict(
+                s=carry["s_new"], ds=carry["sz_last"] / h,
+                sdiff=carry["sdiff"], s_prev=state.s,
+            )
 
         new_state = state.replace(
             y=y_new, dy=dy_new, g=g_new, t=t_new, h=new_h,
@@ -502,6 +623,7 @@ class SdirkSolver:
             prev_error_norm=carry["err"],
             root_g=root_g,
             state_modified=jnp.asarray(False),
+            **sens_upd,
             jac=st["jac"], factors=st["factors"], eta=st["eta"],
             steps_since_jac=st["steps_since_jac"],
             steps_since_rhs_jac=st["steps_since_rhs_jac"],
@@ -551,3 +673,6 @@ class SdirkSolver:
 
     def interpolate_out(self, state: RkState, t):
         return interp_out(self.tableau, state, t)
+
+    def interpolate_sens(self, state: RkState, t):
+        return interp_sens(self.tableau, state, t)

