@@ -66,17 +66,17 @@ def measure_lsoda(rtol, atol, nsolve=30):
     return best
 
 
-def run_tpu(rtol, atol):
+def run_tpu(rtol, atol, nbatch=NBATCH):
     from diffsol_tpu.ensemble import make_lockstep_problem
     from diffsol_tpu.drivers import solve_dense
     from diffsol_tpu.models import robertson
     from diffsol_tpu.solvers.bdf import BdfSolver
 
     problem = robertson.problem_ode(rtol=rtol, atol=atol)
-    lp = make_lockstep_problem(problem, NBATCH)
-    k1 = 0.04 * (1.0 + 0.1 * jnp.linspace(-1.0, 1.0, NBATCH))
+    lp = make_lockstep_problem(problem, nbatch)
+    k1 = 0.04 * (1.0 + 0.1 * jnp.linspace(-1.0, 1.0, nbatch))
     params = jnp.stack(
-        [k1, jnp.full((NBATCH,), 1.0e4), jnp.full((NBATCH,), 3.0e7)], axis=1
+        [k1, jnp.full((nbatch,), 1.0e4), jnp.full((nbatch,), 3.0e7)], axis=1
     ).astype(lp.params.dtype)
     solver = BdfSolver(lp)
     t_eval = jnp.asarray(T_EVAL)
@@ -147,6 +147,9 @@ def main():
     lsoda_lo = measure_lsoda(1e-6, 1e-8)
     t_hi = run_tpu(1e-4, 1e-6)
     t_lo = run_tpu(1e-6, 1e-8)
+    # ensemble-size sweep (reference book/src/benchmarks/python.md ngroups
+    # table: per-instance time vs batch size)
+    sweep = {b: run_tpu(1e-4, 1e-6, nbatch=b) for b in (100, 1000)}
     heat2d_s, heat2d_steps = run_heat2d_banded()
 
     per_hi = t_hi / NBATCH
@@ -170,6 +173,8 @@ def main():
                 ),
                 "heat2d_mgrid20_b32_total_s": round(heat2d_s, 4),
                 "heat2d_mgrid20_b32_steps": heat2d_steps,
+                "per_instance_us_b100": round(sweep[100] / 100 * 1e6, 2),
+                "per_instance_us_b1000": round(sweep[1000] / 1000 * 1e6, 2),
             }
         )
     )

@@ -46,14 +46,27 @@ from .problem import OdeProblem
 # --------------------------------------------------------------------------
 
 
+MAX_EVENTS = 32  # static capacity of the reset-event record
+
+
 def forward_with_table(solver, t_eval, params, max_steps: int):
     """solve_dense + record (t, y, dy) at every accepted step.
 
-    Returns (ys, table) where table = (ts_tab, ys_tab, dys_tab, n_valid).
-    The forward recording is the dense-storage analog of the reference's
-    CheckpointingRecorder (method.rs:620-705).
+    Returns (ys, g, table, events).  table = (ts_tab, ys_tab, dys_tab,
+    n_valid) is the dense-storage analog of the reference's
+    CheckpointingRecorder (method.rs:620-705).  If the problem has
+    root+reset events, the solve follows the full reset protocol and
+    ``events`` records up to MAX_EVENTS boundaries
+    (t*, y-, dy-, y+, dy+, root_idx, count) for the backward-pass
+    corrections (reference checkpoint-path splitting at resets,
+    checkpointing.rs:172-250); the step table gets TWO knots at each event
+    so the Hermite interpolant never smears the discontinuity.
     """
+    from .drivers import _apply_reset, _pin_to
+
     p = solver.problem
+    has_reset = p.eqn.root is not None and p.eqn.reset is not None
+    max_ev = MAX_EVENTS if has_reset else 0
     state = init_state_jit(solver, params)
     t_eval = jnp.asarray(t_eval, state.t.dtype)
     dtype = state.y.dtype
@@ -62,44 +75,101 @@ def forward_with_table(solver, t_eval, params, max_steps: int):
     final_time = t_eval[-1]
     state = solver.set_stop_time(state, final_time)
 
-    ts_tab = jnp.full((max_steps + 1,), jnp.inf, dtype)
-    ys_tab = jnp.zeros((max_steps + 1, n), dtype)
-    dys_tab = jnp.zeros((max_steps + 1, n), dtype)
+    nrows = max_steps + 2 * max_ev + 1
+    ts_tab = jnp.full((nrows,), jnp.inf, dtype)
+    ys_tab = jnp.zeros((nrows, n), dtype)
+    dys_tab = jnp.zeros((nrows, n), dtype)
     ts_tab = ts_tab.at[0].set(state.t)
     ys_tab = ys_tab.at[0].set(state.y)
     dys_tab = dys_tab.at[0].set(state.dy)
     ys = jnp.zeros((neval, n), dtype)
+    g0 = state.g
+    ev = dict(
+        t=jnp.full((max_ev,), jnp.inf, dtype),
+        y_minus=jnp.zeros((max_ev, n), dtype),
+        dy_minus=jnp.zeros((max_ev, n), dtype),
+        y_plus=jnp.zeros((max_ev, n), dtype),
+        dy_plus=jnp.zeros((max_ev, n), dtype),
+        idx=jnp.full((max_ev,), -1, jnp.int32),
+        count=jnp.asarray(0, jnp.int32),
+    )
 
     def cond(c):
-        (_s, _ys, _tt, _yt, _dt, k, done, _w) = c
+        (_s, _ys, _tt, _yt, _dt, _ev, k, done, _w) = c
         return (~done) & (k < max_steps)
 
     def body(c):
-        (state, ys, ts_tab, ys_tab, dys_tab, k, _done, written_to) = c
+        (state, ys, ts_tab, ys_tab, dys_tab, ev, k, _done, written_to) = c
         new = solver.step(state, params)
         status = new.status
         fatal = status < 0
         is_tstop = status == errors.TSTOP_REACHED
-        t_upper = jnp.where(is_tstop, jnp.maximum(new.t, final_time), new.t)
+        is_root = has_reset & (status == errors.ROOT_FOUND)
+        t_upper = jnp.where(is_root, new.root_t, new.t)
+        t_upper = jnp.where(is_tstop, jnp.maximum(new.t, final_time), t_upper)
         t_upper = jnp.where(fatal, written_to, t_upper)
         mask = (t_eval <= t_upper) & (t_eval > written_to)
         y_interp = jax.vmap(lambda tt: solver.interpolate(new, tt))(t_eval)
         ys = jnp.where(mask[:, None], y_interp, ys)
-        ts_tab = jnp.where(fatal, ts_tab, ts_tab.at[k + 1].set(new.t))
-        ys_tab = jnp.where(fatal, ys_tab, ys_tab.at[k + 1].set(new.y))
-        dys_tab = jnp.where(fatal, dys_tab, dys_tab.at[k + 1].set(new.dy))
-        done = fatal | is_tstop
-        return (new, ys, ts_tab, ys_tab, dys_tab, k + 1, done, t_upper)
+        # record the accepted step knot (pin-backs overwrite it below)
+        row = 2 * ev["count"] + k + 1
+        write = lambda tab, val: jnp.where(fatal, tab, tab.at[row].set(val))
+
+        if has_reset:
+            def on_root(args):
+                new, ev, ts_tab, ys_tab, dys_tab = args
+                pinned = _pin_to(solver, new, new.root_t)
+                after = _apply_reset(solver, pinned, params)
+                i = ev["count"]
+                room = i < max_ev
+                upd = lambda a, v: jnp.where(room, a.at[i].set(v), a)
+                ev2 = dict(
+                    t=upd(ev["t"], pinned.t),
+                    y_minus=upd(ev["y_minus"], pinned.y),
+                    dy_minus=upd(ev["dy_minus"], pinned.dy),
+                    y_plus=upd(ev["y_plus"], after.y),
+                    dy_plus=upd(ev["dy_plus"], after.dy),
+                    idx=upd(ev["idx"], new.root_idx),
+                    count=jnp.where(room, i + 1, i),
+                )
+                # two table knots at t*: the pre- and post-event states
+                r2 = 2 * i + k + 1
+                ts2 = ts_tab.at[r2].set(pinned.t).at[r2 + 1].set(after.t)
+                ys2 = ys_tab.at[r2].set(pinned.y).at[r2 + 1].set(after.y)
+                dys2 = dys_tab.at[r2].set(pinned.dy).at[r2 + 1].set(after.dy)
+                return after, ev2, ts2, ys2, dys2
+
+            def no_root(args):
+                new, ev, ts_tab, ys_tab, dys_tab = args
+                return (
+                    new, ev,
+                    write(ts_tab, new.t),
+                    write(ys_tab, new.y),
+                    write(dys_tab, new.dy),
+                )
+
+            new, ev, ts_tab, ys_tab, dys_tab = jax.lax.cond(
+                is_root, on_root, no_root,
+                (new, ev, ts_tab, ys_tab, dys_tab),
+            )
+            root_done = is_root & (new.t >= final_time)
+            done = fatal | is_tstop | root_done
+        else:
+            ts_tab = write(ts_tab, new.t)
+            ys_tab = write(ys_tab, new.y)
+            dys_tab = write(dys_tab, new.dy)
+            done = fatal | is_tstop
+        return (new, ys, ts_tab, ys_tab, dys_tab, ev, k + 1, done, t_upper)
 
     init = (
-        state, ys, ts_tab, ys_tab, dys_tab,
+        state, ys, ts_tab, ys_tab, dys_tab, ev,
         jnp.asarray(0, jnp.int32), state.status < 0,
         jnp.asarray(-jnp.inf, dtype),
     )
-    (state, ys, ts_tab, ys_tab, dys_tab, k, _done, _w) = jax.lax.while_loop(
+    (state, ys, ts_tab, ys_tab, dys_tab, ev, k, _done, _w) = jax.lax.while_loop(
         cond, body, init
     )
-    return ys, (ts_tab, ys_tab, dys_tab, k)
+    return ys, state.g, (ts_tab, ys_tab, dys_tab, k), ev
 
 
 def hermite_interp(table, t):
@@ -114,7 +184,10 @@ def hermite_interp(table, t):
     f0, f1 = dys[k - 1], dys[k]
     dt = t1 - t0
     safe_dt = jnp.where(dt == 0.0, 1.0, dt)
-    theta = jnp.where(dt == 0.0, 1.0, (t - t0) / safe_dt)
+    # dt == 0 happens at the padded-+inf table edge (t == last knot) and at
+    # duplicated event knots: return the LEFT knot (the right one may be the
+    # zero-padded region)
+    theta = jnp.where(dt == 0.0, 0.0, (t - t0) / safe_dt)
     h00 = (1.0 + 2.0 * theta) * (1.0 - theta) ** 2
     h10 = theta * (1.0 - theta) ** 2
     h01 = theta**2 * (3.0 - 2.0 * theta)
@@ -127,17 +200,21 @@ def hermite_interp(table, t):
 # --------------------------------------------------------------------------
 
 
-def _adjoint_problem(problem: OdeProblem, table, t_top, nparams: int):
+def _adjoint_problem(problem: OdeProblem, table, t_top, nparams: int,
+                     ct_g=None):
     """Build the time-reversed augmented adjoint problem in sigma = t_top - t.
 
     State z = [lambda (n), g_p (nparams)]:
-        M^T dlambda/dsigma = +J(x(t))^T lambda   (adjoint_equations.rs:330-360)
-        dg_p/dsigma        = +f_p(x(t))^T lambda (:377-384)
+        M^T dlambda/dsigma = +J(x(t))^T lambda [+ u_y(x)^T ct_g]
+        dg_p/dsigma        = +f_p(x(t))^T lambda [+ u_p(x)^T ct_g]
+    (adjoint_equations.rs:330-360 AdjointRhs with/without `with_out`,
+    :377-460 AdjointOut).  ``ct_g`` is the cotangent of the quadrature
+    output G = int u dt (None for pure output-time objectives).
 
-    A constant NONSINGULAR mass matrix becomes blockdiag(M^T, I) on the
-    augmented system (the reference's AdjointMass transpose operator,
-    adjoint_equations.rs:142-200); singular-mass DAE adjoints are not yet
-    supported.
+    The mass matrix becomes blockdiag(M^T, I) on the augmented system (the
+    reference's AdjointMass transpose operator, adjoint_equations.rs:142-200);
+    a SINGULAR M makes the corresponding lambda rows algebraic, handled by
+    the solver's consistent-IC machinery exactly as on the forward problem.
     """
     eqn = problem.eqn
     n = eqn.nstates
@@ -150,6 +227,14 @@ def _adjoint_problem(problem: OdeProblem, table, t_top, nparams: int):
         _, vjp_p = jax.vjp(lambda pp: eqn.rhs(t, x, pp), params)
         dlam = vjp_y(lam)[0]
         dgp = vjp_p(lam)[0]
+        if ct_g is not None:
+            out_fn = eqn.out if eqn.out is not None else (
+                lambda tt, yy, pp: yy
+            )
+            _, vjp_uy = jax.vjp(lambda yy: out_fn(t, yy, params), x)
+            _, vjp_up = jax.vjp(lambda pp: out_fn(t, x, pp), params)
+            dlam = dlam + vjp_uy(ct_g)[0]
+            dgp = dgp + vjp_up(ct_g)[0]
         return jnp.concatenate([dlam, dgp])
 
     def init(sigma, params):
@@ -163,9 +248,15 @@ def _adjoint_problem(problem: OdeProblem, table, t_top, nparams: int):
             return out.at[:n, :n].set(m_t)
 
     adj_eqn = make_equations(rhs, init, problem.params, 0.0, mass=adj_mass)
-    atol = jnp.concatenate(
-        [problem.atol, jnp.full((nparams,), jnp.mean(problem.atol))]
-    )
+    # gp-row tolerances: param_atol (scaled by param_scales) when configured
+    # (reference adjoint_equations.rs:580-581), else the mean state atol
+    if problem.param_atol is not None:
+        gp_atol = problem.param_atol
+        if problem.param_scales is not None:
+            gp_atol = gp_atol * problem.param_scales
+    else:
+        gp_atol = jnp.full((nparams,), jnp.mean(problem.atol))
+    atol = jnp.concatenate([problem.atol, gp_atol])
     return dataclasses.replace(
         problem,
         eqn=adj_eqn,
@@ -176,131 +267,211 @@ def _adjoint_problem(problem: OdeProblem, table, t_top, nparams: int):
     )
 
 
-def backward_pass(problem, solver_cls, table, t_eval, ct_ys, params, max_steps):
-    """Integrate the adjoint backward through all output times.
+def backward_pass(problem, solver_cls, table, events, t_eval, ct_ys, params,
+                  max_steps, ct_g=None):
+    """Integrate the adjoint backward through all output times and reset
+    events.
 
-    ``ct_ys``: (neval, n) cotangents dG/dy(t_i).  Returns dG/dp (nparams,).
+    ``ct_ys``: (neval, n) cotangents dG/dy(t_i) (zeros allowed);
+    ``ct_g``: optional (nout,) cotangent of the quadrature output
+    G = int u dt.  Returns dG/dp (nparams,).
+
+    Handles (reference citations):
+    * discrete output jumps, incl. the singular-mass DAE partition
+      lambda_d += M_dd^{-1}(v_d - A_da A_aa^{-1} v_a), A = f_y^T, plus the
+      parameter term -f_{p,a}^T A_aa^{-1} v_a
+      (adjoint.rs:292-366 apply_delta_g_out_mass_alg);
+    * reset-event boundary corrections
+      lambda- = R_y^T lambda+ - alpha r_{y,k}^T,
+      gp += R_p^T lambda+ - alpha r_{p,k}^T,
+      alpha = (lambda+ . c + (u- - u+) . ct_g) / d,
+      c = R_y f- + R_t - f+, d = (r_y f- + r_t)_k
+      (adjoint.rs:106-148 + state.rs:560-692 apply_reset_with_adjoint);
+    * the init-condition correction (adjoint.rs:151-156).
     """
+    from .solvers.consistent_ic import algebraic_mask
+    from .ops import linsol
+
     eqn = problem.eqn
     n = eqn.nstates
-    mass_solve = None
-    if eqn.mass is not None:
-        import numpy as _np
-
-        m0 = _np.asarray(eqn.mass(problem.t0, problem.params))
-        if _np.any(_np.abs(_np.diag(m0)) == 0.0):
-            raise NotImplementedError(
-                "adjoint with a SINGULAR mass matrix (DAE) is not yet "
-                "supported; differential mass matrices are"
-            )
-        from .ops import linsol
-
-        def mass_solve(t, params, v):
-            m_t = eqn.mass(t, params).T
-            return linsol.DENSE.solve(linsol.DENSE.factor(m_t), v)
+    dtype = problem.atol.dtype
     nparams = int(params.shape[0])
-    t_eval = jnp.asarray(t_eval, problem.atol.dtype)
+    t_eval = jnp.asarray(t_eval, dtype)
     neval = t_eval.shape[0]
     t_top = t_eval[-1]
     t0 = problem.t0
+    alg = algebraic_mask(problem)  # None unless singular mass
 
-    adj_problem = _adjoint_problem(problem, table, t_top, nparams)
+    # ---- discrete output jump: z[:n] += correction(ct) -------------------
+    if eqn.mass is None:
+        def jump(z, gp_rows, v, t):
+            return z + v, gp_rows
+    elif alg is None:
+        def jump(z, gp_rows, v, t):
+            m_t = eqn.mass(t, params).T
+            return z + linsol.DENSE.solve(linsol.DENSE.factor(m_t), v), gp_rows
+    else:
+        alg_np = jnp.asarray(alg)
+
+        def jump(z, gp_rows, v, t):
+            x = hermite_interp(table, t)
+            J = jax.jacfwd(lambda yy: eqn.rhs(t, yy, params))(x)
+            A = J.T
+            diag_d = jnp.diag(jnp.where(alg_np, 0.0, 1.0).astype(dtype))
+            Ap = jnp.where(alg_np[:, None] & alg_np[None, :], A, 0.0) + diag_d
+            va = linsol.DENSE.solve(
+                linsol.DENSE.factor(Ap), jnp.where(alg_np, v, 0.0)
+            )
+            va = jnp.where(alg_np, va, 0.0)
+            w = jnp.where(alg_np, 0.0, v - A @ va)
+            m_t = eqn.mass(t, params).T
+            diag_a = jnp.diag(jnp.where(alg_np, 1.0, 0.0).astype(dtype))
+            Mp = (
+                jnp.where(
+                    (~alg_np)[:, None] & (~alg_np)[None, :], m_t, 0.0
+                )
+                + diag_a
+            )
+            lam_d = linsol.DENSE.solve(linsol.DENSE.factor(Mp), w)
+            z = z + jnp.where(alg_np, 0.0, lam_d)
+            # parameter contribution of the algebraic constraint
+            _, vjp_p = jax.vjp(lambda pp: eqn.rhs(t, x, pp), params)
+            gp_rows = gp_rows - vjp_p(va)[0]
+            return z, gp_rows
+
+    adj_problem = _adjoint_problem(problem, table, t_top, nparams, ct_g=ct_g)
     solver = solver_cls(adj_problem)
 
-    # initial state at sigma=0 with the jump at the last output time applied
-    # (jumps are mass-transpose solves, reference IntegrateDeltaG,
-    # adjoint.rs:220-260)
-    def jump(ct, t):
-        return ct if mass_solve is None else mass_solve(t, params, ct)
-
     state = init_state_jit(solver, params)
-    z0 = state.y.at[:n].add(jump(ct_ys[-1], t_top))
-    state = state.replace(
-        y=z0, dy=adj_problem.eqn.rhs(state.t, z0, params),
-        state_modified=jnp.asarray(True),
+
+    # ---- merged boundary schedule: output times + reset events, desc t ---
+    max_ev = events["t"].shape[0]
+    ev_valid = jnp.arange(max_ev) < events["count"]
+    ev_t = jnp.where(ev_valid, events["t"], -jnp.inf)
+    bt = jnp.concatenate([t_eval, ev_t])
+    btype = jnp.concatenate(
+        [jnp.zeros((neval,), jnp.int32), jnp.ones((max_ev,), jnp.int32)]
     )
+    bslot = jnp.concatenate(
+        [jnp.arange(neval, dtype=jnp.int32),
+         jnp.arange(max_ev, dtype=jnp.int32)]
+    )
+    order = jnp.argsort(-bt)
+    sigma_end = t_top - t0
+    out_fn = eqn.out if eqn.out is not None else (lambda tt, yy, pp: yy)
 
-    # integrate segment by segment: sigma targets are t_top - t_eval reversed
-    sigmas = t_top - t_eval[::-1]  # ascending, sigmas[0] = 0
-    cts = ct_ys[::-1]
-
-    def seg_body(i, carry):
-        state, steps_used = carry
-        target = sigmas[i]
-
-        def run_segment(args):
-            state, steps_used = args
-            state = solver.set_stop_time(state, target)
+    def integrate_to(state, target_sigma):
+        def run(args):
+            (state,) = args
+            state = solver.set_stop_time(
+                state.replace(
+                    status=jnp.asarray(errors.INTERNAL_TIMESTEP, jnp.int32)
+                ),
+                target_sigma,
+            )
 
             def cond(c):
                 s, k = c
-                return (
-                    (s.status == errors.INTERNAL_TIMESTEP)
-                    & (k < max_steps)
-                )
+                return (s.status == errors.INTERNAL_TIMESTEP) & (k < max_steps)
 
             def body(c):
                 s, k = c
                 return solver.step(s, params), k + 1
 
-            state, steps_used = jax.lax.while_loop(
-                cond, body, (state.replace(
-                    status=jnp.asarray(errors.INTERNAL_TIMESTEP, jnp.int32)
-                ), steps_used)
+            state, _ = jax.lax.while_loop(
+                cond, body, (state, jnp.asarray(0, jnp.int32))
             )
-            return state, steps_used
+            return (state,)
 
-        # skip zero-length segments (duplicate times / the first boundary)
-        state, steps_used = jax.lax.cond(
-            target > state.t,
-            run_segment,
-            lambda args: args,
-            (state, steps_used),
-        )
-        # apply the jump at this output time
-        y_j = state.y.at[:n].add(jump(cts[i], t_top - state.t))
-        state = state.replace(
-            y=y_j,
-            dy=adj_problem.eqn.rhs(state.t, y_j, params),
-            state_modified=jnp.asarray(True),
-        )
-        return (state, steps_used)
-
-    state, _ = jax.lax.fori_loop(1, neval, seg_body, (state, jnp.asarray(0, jnp.int32)))
-
-    # final segment down to t0 (sigma = t_top - t0); skipped when
-    # t_eval[0] == t0 (zero length)
-    sigma_end = t_top - t0
-
-    def final_segment(state):
-        def cond(c):
-            s, k = c
-            return (s.status == errors.INTERNAL_TIMESTEP) & (k < max_steps)
-
-        def body(c):
-            s, k = c
-            return solver.step(s, params), k + 1
-
-        state = solver.set_stop_time(
-            state.replace(
-                status=jnp.asarray(errors.INTERNAL_TIMESTEP, jnp.int32)
-            ),
-            sigma_end,
-        )
-        state, _ = jax.lax.while_loop(
-            cond, body, (state, jnp.asarray(0, jnp.int32))
+        (state,) = jax.lax.cond(
+            target_sigma > state.t, run, lambda a: a, (state,)
         )
         return state
 
-    state = jax.lax.cond(
-        sigma_end > state.t, final_segment, lambda s: s, state
-    )
+    def reinit(state):
+        """Mark modified + restore DAE consistency of the lambda rows."""
+        state = state.replace(state_modified=jnp.asarray(True))
+        if hasattr(solver, "reinit_after_reset"):
+            state = solver.reinit_after_reset(state, params)
+        else:
+            state = state.replace(
+                dy=adj_problem.eqn.rhs(state.t, state.y, params)
+            )
+        return state
+
+    def apply_output_jump(state, slot):
+        t = t_top - state.t
+        lam, gp_rows = state.y[:n], state.y[n:]
+        lam, gp_rows = jump(lam, gp_rows, ct_ys[slot], t)
+        return reinit(state.replace(y=jnp.concatenate([lam, gp_rows])))
+
+    def apply_event_correction(state, slot):
+        t_star = events["t"][slot]
+        y_m = events["y_minus"][slot]
+        dy_m = events["dy_minus"][slot]
+        y_p = events["y_plus"][slot]
+        dy_p = events["dy_plus"][slot]
+        k = events["idx"][slot]
+        lam, gp_rows = state.y[:n], state.y[n:]
+
+        reset_f = lambda yy: eqn.reset(t_star, yy, params)
+        root_f = lambda yy: eqn.root(t_star, yy, params)
+        R_t = jax.jvp(
+            lambda tt: eqn.reset(tt, y_m, params), (t_star,),
+            (jnp.ones_like(t_star),),
+        )[1]
+        r_t = jax.jvp(
+            lambda tt: eqn.root(tt, y_m, params), (t_star,),
+            (jnp.ones_like(t_star),),
+        )[1]
+        Ry_f, vjp_Ry = jax.vjp(reset_f, y_m)
+        del Ry_f
+        c_dir = (
+            jax.jvp(reset_f, (y_m,), (dy_m,))[1] + R_t - dy_p
+        )
+        d = (jax.jvp(root_f, (y_m,), (dy_m,))[1] + r_t)[k]
+        alpha_num = jnp.sum(lam * c_dir)
+        if ct_g is not None:
+            u_m = out_fn(t_star, y_m, params)
+            u_p = out_fn(t_star, y_p, params)
+            alpha_num = alpha_num + jnp.sum((u_m - u_p) * ct_g)
+        alpha = alpha_num / d
+        nroots = eqn.nroots
+        e_k = jnp.zeros((nroots,), dtype).at[k].set(alpha)
+        _, vjp_ry = jax.vjp(root_f, y_m)
+        lam_new = vjp_Ry(lam)[0] - vjp_ry(e_k)[0]
+        _, vjp_Rp = jax.vjp(lambda pp: eqn.reset(t_star, y_m, pp), params)
+        _, vjp_rp = jax.vjp(lambda pp: eqn.root(t_star, y_m, pp), params)
+        gp_new = gp_rows + vjp_Rp(lam)[0] - vjp_rp(e_k)[0]
+        return reinit(state.replace(y=jnp.concatenate([lam_new, gp_new])))
+
+    def seg_body(i, state):
+        j = order[i]
+        t_b = bt[j]
+        valid = jnp.isfinite(t_b)
+
+        def process(state):
+            state = integrate_to(state, t_top - t_b)
+            if eqn.reset is not None and eqn.root is not None:
+                return jax.lax.cond(
+                    btype[j] == 0,
+                    lambda s: apply_output_jump(s, bslot[j]),
+                    lambda s: apply_event_correction(s, bslot[j]),
+                    state,
+                )
+            return apply_output_jump(state, bslot[j])
+
+        return jax.lax.cond(valid, process, lambda s: s, state)
+
+    state = jax.lax.fori_loop(0, neval + max_ev, seg_body, state)
+    state = integrate_to(state, sigma_end)
 
     lam0 = state.y[:n]
     gp = state.y[n:]
     # initial-condition correction (adjoint.rs:151-156 correct_sg_for_init):
     # dG/dp += (dy0/dp)^T M^T lambda(t0)  (M from the Lagrangian term
-    # lambda^T (M y' - f); identity when no mass matrix)
+    # lambda^T (M y' - f); identity when no mass matrix; a singular M
+    # automatically zeroes the algebraic rows)
     if eqn.mass is not None:
         lam0 = eqn.mass(t0, params).T @ lam0
     y0_p = jax.jacfwd(lambda pp: eqn.init(t0, pp))(params)  # (n, np)
@@ -335,19 +506,81 @@ def make_differentiable_solve(
 
     @jax.custom_vjp
     def ys_of(params):
-        ys, _ = forward_with_table(solver, t_eval, params, max_steps)
+        ys, _g, _table, _ev = forward_with_table(
+            solver, t_eval, params, max_steps
+        )
         return ys
 
     def fwd(params):
-        ys, table = forward_with_table(solver, t_eval, params, max_steps)
-        return ys, (params, table)
+        ys, _g, table, ev = forward_with_table(
+            solver, t_eval, params, max_steps
+        )
+        return ys, (params, table, ev)
 
     def bwd(res, ct_ys):
-        params, table = res
+        params, table, ev = res
         grad_p = backward_pass(
-            problem, bwd_solver_cls, table, t_eval, ct_ys, params, bwd_max_steps
+            problem, bwd_solver_cls, table, ev, t_eval, ct_ys, params,
+            bwd_max_steps,
         )
         return (grad_p,)
 
     ys_of.defvjp(fwd, bwd)
     return ys_of
+
+
+def make_differentiable_quadrature(
+    problem: OdeProblem,
+    t_final,
+    solver_cls=None,
+    max_steps: int = 16_384,
+    bwd_solver_cls=None,
+    bwd_max_steps: Optional[int] = None,
+):
+    """Return ``g_of(params) -> (nout,)``: the quadrature output
+    G = int_{t0}^{t_final} u(t, y, p) dt, reverse-differentiable through the
+    continuous adjoint with the -u_y^T forcing term (reference AdjointRhs
+    `with_out`, adjoint_equations.rs:330-360, and AdjointOut :377-460).
+
+    The problem must be built with ``integrate_out`` (the forward pass
+    accumulates g); ``u`` defaults to the identity on the state when no
+    ``out`` function is configured, matching the reference.
+    """
+    from .solvers.bdf import BdfSolver
+
+    if not problem.integrate_out:
+        raise ValueError(
+            "make_differentiable_quadrature needs a problem built with "
+            ".integrate_out()"
+        )
+    solver_cls = solver_cls or BdfSolver
+    bwd_solver_cls = bwd_solver_cls or solver_cls
+    bwd_max_steps = bwd_max_steps or max_steps
+    solver = solver_cls(problem)
+    t_eval = jnp.asarray([t_final])
+
+    @jax.custom_vjp
+    def g_of(params):
+        _ys, g, _table, _ev = forward_with_table(
+            solver, t_eval, params, max_steps
+        )
+        return g
+
+    def fwd(params):
+        _ys, g, table, ev = forward_with_table(
+            solver, t_eval, params, max_steps
+        )
+        return g, (params, table, ev)
+
+    def bwd(res, ct_g):
+        params, table, ev = res
+        n = problem.eqn.nstates
+        zeros_ct = jnp.zeros((1, n), problem.atol.dtype)
+        grad_p = backward_pass(
+            problem, bwd_solver_cls, table, ev, t_eval, zeros_ct, params,
+            bwd_max_steps, ct_g=ct_g,
+        )
+        return (grad_p,)
+
+    g_of.defvjp(fwd, bwd)
+    return g_of

@@ -6,8 +6,10 @@ TooManyNonlinearSolverFailures, InitialConditionDidNotConverge; see reference
 crates/diffsol/src/error.rs and ode_solver/problem.rs:100-116).  Inside a
 jit-compiled ``lax.while_loop`` we cannot raise, so each solver carries an
 integer status code in its state; drivers stop stepping on a negative status
-and the Python-level API raises the matching exception (or returns per-member
-status vectors for ensembles).
+and the Python-level API raises the matching exception.  Ensembles follow
+the reference's shared-fate lockstep semantics: one member failing fails
+(and reports for) the whole batch; per-member failure isolation needs the
+independent (vmap) ensemble mode, where each member carries its own status.
 """
 
 from __future__ import annotations

@@ -125,6 +125,12 @@ class OdeProblem:
     out_atol: Any = None
     sens_rtol: Any = None
     sens_atol: Any = None
+    # adjoint parameter-gradient row tolerances (reference builder.rs:36-40
+    # param_rtol/param_atol/param_scales; used by AdjointEquations,
+    # adjoint_equations.rs:580-581)
+    param_rtol: Any = None
+    param_atol: Any = None
+    param_scales: Any = None
     integrate_out: bool = False
     # >1 => the state is a FLAT lockstep ensemble of this many member
     # systems (see diffsol_tpu.ensemble); norms reduce mean-then-max
@@ -185,6 +191,9 @@ class OdeBuilder:
         self._out_atol = None
         self._sens_rtol = None
         self._sens_atol = None
+        self._param_rtol = None
+        self._param_atol = None
+        self._param_scales = None
         self._integrate_out = False
         self._options = OdeSolverOptions()
         self._ic_options = InitialConditionOptions()
@@ -257,6 +266,41 @@ class OdeBuilder:
 
     def sens_atol(self, v):
         self._sens_atol = v
+        return self
+
+    def param_rtol(self, v):
+        self._param_rtol = v
+        return self
+
+    def param_atol(self, v):
+        self._param_atol = v
+        return self
+
+    def param_scales(self, v):
+        """Absolute-tolerance scale per parameter for the adjoint
+        parameter-gradient rows (reference builder.rs param_scales)."""
+        self._param_scales = v
+        return self
+
+    def turn_off_sensitivities_error_control(self):
+        """Exclude the sensitivity rows from the error test
+        (reference builder.rs:1501)."""
+        self._sens_rtol = None
+        self._sens_atol = None
+        return self
+
+    def turn_off_output_error_control(self):
+        """Exclude the quadrature output from the error test
+        (reference builder.rs:1511)."""
+        self._out_rtol = None
+        self._out_atol = None
+        return self
+
+    def turn_off_param_error_control(self):
+        """Exclude the adjoint parameter-gradient rows from the error
+        test (reference builder.rs:1521)."""
+        self._param_rtol = None
+        self._param_atol = None
         return self
 
     def integrate_out(self, flag: bool = True):
@@ -333,6 +377,9 @@ class OdeBuilder:
             out_atol=_vecify(self._out_atol, eqn.nout),
             sens_rtol=None if self._sens_rtol is None else jnp.asarray(self._sens_rtol, dtype),
             sens_atol=_vecify(self._sens_atol, eqn.nstates),
+            param_rtol=None if self._param_rtol is None else jnp.asarray(self._param_rtol, dtype),
+            param_atol=_vecify(self._param_atol, eqn.nparams),
+            param_scales=_vecify(self._param_scales, eqn.nparams),
             integrate_out=self._integrate_out,
             options=self._options,
             ic_options=self._ic_options,

@@ -315,7 +315,7 @@ class BdfSolver:
 
     def _jac_slim(
         self, jac, factors, stats, eta, ssj, ssrj, c_last,
-        t, y, params, c, rhs_pred, jac_pred,
+        t, y, params, c, rhs_pred, jac_pred, causes=None,
     ):
         """Jacobian-update policy (bdf.rs:467-505 + jacobian_update.rs) with a
         SLIM cond payload: only (jac, factors) ride the conditional; all the
@@ -353,11 +353,22 @@ class BdfSolver:
         ssrj = jnp.where(rhs_pred, 0, ssrj).astype(i32)
         c_last = jnp.where(do_any, c, c_last)
         eta = jnp.where(do_any, ETA_RESET_JACOBIAN, eta).astype(eta.dtype)
-        stats = stats._replace(
+        upd = dict(
             linear_solver_setups=stats.linear_solver_setups
             + do_any.astype(i32),
             jacobian_evals=stats.jacobian_evals + rhs_pred.astype(i32),
         )
+        if causes is not None:
+            # per-cause LU-setup breakdown (ode_solver/mod.rs:53-70)
+            names = (
+                "lu_from_checkpoint", "lu_from_first_fail",
+                "lu_from_second_fail", "lu_from_error_test",
+                "lu_from_step_success",
+            )
+            for name, flag in zip(names, causes):
+                inc = (do_any & jnp.asarray(flag)).astype(i32)
+                upd[name] = getattr(stats, name) + inc
+        stats = stats._replace(**upd)
         return jac, factors, stats, eta, ssj, ssrj, c_last
 
     # ------------------------------------------------------------------
@@ -380,6 +391,9 @@ class BdfSolver:
         stats = Stats.zeros()
         jac, factors, stats = self._assemble_and_factor(
             jnp.asarray(p.t0, dtype), y, params, c0, stats
+        )
+        stats = stats._replace(
+            lu_from_checkpoint=stats.lu_from_checkpoint + 1
         )
         root_g = (
             p.eqn.root(p.t0, y, params)
@@ -425,7 +439,9 @@ class BdfSolver:
         dy = p.eqn.rhs(state.t, state.y, params)
         if self._alg_mask is None:
             return state.replace(dy=dy)
-        y, dy, status = make_consistent(p, params, state.y, dy, self._alg_mask)
+        y, dy, status = make_consistent(
+            p, params, state.y, dy, self._alg_mask, t=state.t
+        )
         return state.replace(y=y, dy=dy, status=status)
 
     def set_stop_time(self, state: BdfState, tstop) -> BdfState:
@@ -433,7 +449,9 @@ class BdfSolver:
         state = state.replace(tstop=tstop)
         # adjust h (rescaling D) if the next step would overshoot
         reached, state = self._handle_tstop_pre(state)
-        return state
+        from .state import _flag_past_tstop
+
+        return _flag_past_tstop(state, tstop)
 
     def _handle_tstop_pre(self, state: BdfState):
         """tstop handling (bdf.rs:694-731): returns (reached, state)."""
@@ -585,6 +603,7 @@ class BdfSolver:
             state.jac, state.factors, state.stats, state.eta,
             state.steps_since_jac, state.steps_since_rhs_jac, state.c_last,
             state.t, state.y, params, c1, rhs_pred0, jac_pred0,
+            causes=(True, False, False, False, False),
         )
         eta0 = jnp.where(modified & overshoot0, ETA_RESET_TIMESTEP, eta0)
 
@@ -712,6 +731,7 @@ class BdfSolver:
                 c["jac"], c["factors"], stats, res.eta,
                 c["ssj"], c["ssrj"], c["c_last"],
                 state.t, state.y, params, c_jac, rhs_pred, ~accepted,
+                causes=(False, first, second, err_fail, False),
             )
 
             # ---- D rescale + re-predict, slim cond (bdf.rs:508-577) ----
@@ -876,6 +896,7 @@ class BdfSolver:
         jac, factors, stats, eta, ssj, ssrj, c_last = self._jac_slim(
             jac, factors, stats, eta, ssj, ssrj, c_last,
             t_new, y_new, params, c2, rhs_pred2, jac_pred2,
+            causes=(False, False, False, False, True),
         )
         n_equal_new = jnp.where(do_change, 0, n_equal).astype(i32)
         sel_status = jnp.where(

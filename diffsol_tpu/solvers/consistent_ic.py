@@ -68,14 +68,19 @@ def _blockwise_jacfwd(f, x):
     return jnp.moveaxis(cols, 0, -1)
 
 
-def make_consistent(problem, params, y, dy, is_alg):
-    """Solve for consistent (y, dy); returns (y, dy, status).
+def make_consistent(problem, params, y, dy, is_alg, t=None):
+    """Solve for consistent (y, dy) at time ``t`` (default: problem.t0);
+    returns (y, dy, status).
 
     ``is_alg`` is the static algebraic mask from :func:`algebraic_mask`.
+    ``t`` matters for non-autonomous equations (e.g. the adjoint system,
+    whose Jacobian tracks the interpolated forward trajectory): resets and
+    discrete adjoint jumps re-establish consistency at the CURRENT time,
+    not at t0.
     """
     p = problem
     nb = p.lockstep_nbatch
-    t0 = jnp.asarray(p.t0, y.dtype)
+    t0 = jnp.asarray(p.t0 if t is None else t, y.dtype)
     ic = p.ic_options
     dtype = y.dtype
     eps = jnp.finfo(dtype).eps

@@ -29,7 +29,7 @@ from ..problem import OdeProblem, SolverConfig
 from .rk_common import (
     RkState, Stats, interp_dy, interp_out, interp_sens, interp_y, tstop_check,
 )
-from .state import initial_state, initial_step_size
+from .state import _flag_past_tstop, initial_state, initial_step_size
 from .tableau import Tableau, tsit45
 
 
@@ -118,7 +118,8 @@ class ErkSolver:
         # adjust h immediately if the next step would overshoot
         # (reference runge_kutta.rs:436-444 set_stop_time -> handle_tstop)
         _, h_adj = tstop_check(state.t, state.h, tstop, state.t.dtype)
-        return state.replace(tstop=tstop, h=h_adj)
+        state = state.replace(tstop=tstop, h=h_adj)
+        return _flag_past_tstop(state, tstop)
 
     # ------------------------------------------------------------------
     def _stages(self, h, y, dy, g_dg, t, params, s_rows=None, ds_rows=None):

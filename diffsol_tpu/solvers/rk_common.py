@@ -26,7 +26,11 @@ from .tableau import Tableau
 
 class Stats(NamedTuple):
     """Solver statistics (reference `OdeSolverStatistics`,
-    ode_solver/mod.rs:28-77), carried as traced counters."""
+    ode_solver/mod.rs:28-77), carried as traced counters.
+
+    The five ``lu_from_*`` counters are the reference's per-cause LU-setup
+    breakdown (`record_linear_solver_setup`, ode_solver/mod.rs:53-70); they
+    sum to ``linear_solver_setups``."""
 
     steps: jax.Array
     error_test_failures: jax.Array
@@ -34,11 +38,16 @@ class Stats(NamedTuple):
     newton_fails: jax.Array
     linear_solver_setups: jax.Array
     jacobian_evals: jax.Array
+    lu_from_checkpoint: jax.Array
+    lu_from_first_fail: jax.Array
+    lu_from_second_fail: jax.Array
+    lu_from_error_test: jax.Array
+    lu_from_step_success: jax.Array
 
     @staticmethod
     def zeros() -> "Stats":
         z = jnp.asarray(0, jnp.int32)
-        return Stats(z, z, z, z, z, z)
+        return Stats(z, z, z, z, z, z, z, z, z, z, z)
 
 
 @pytree_dataclass

@@ -34,7 +34,7 @@ from .consistent_ic import algebraic_mask, make_consistent
 from .rk_common import (
     RkState, Stats, interp_dy, interp_out, interp_sens, interp_y, tstop_check,
 )
-from .state import initial_state, initial_step_size
+from .state import _flag_past_tstop, initial_state, initial_step_size
 from .tableau import Tableau, tr_bdf2
 
 # policy kinds (jacobian_update.rs)
@@ -164,6 +164,20 @@ class SdirkSolver:
         jac, factors, stats, ssj, ssrj, h_last, eta = jax.lax.switch(
             branch, [do_rhs, do_factor, do_nothing], None
         )
+        # per-cause LU-setup breakdown (ode_solver/mod.rs:53-70)
+        inc = (branch != 2).astype(jnp.int32)
+        stats = stats._replace(
+            lu_from_checkpoint=stats.lu_from_checkpoint
+            + inc * (kind == _CHECKPOINT),
+            lu_from_first_fail=stats.lu_from_first_fail
+            + inc * (kind == _FIRST_CONV_FAIL),
+            lu_from_second_fail=stats.lu_from_second_fail
+            + inc * (kind == _SECOND_CONV_FAIL),
+            lu_from_error_test=stats.lu_from_error_test
+            + inc * (kind == _ERROR_TEST_FAIL),
+            lu_from_step_success=stats.lu_from_step_success
+            + inc * (kind == _STEP_SUCCESS),
+        )
         st = dict(st)
         st.update(
             jac=jac, factors=factors, stats=stats,
@@ -186,6 +200,9 @@ class SdirkSolver:
         stats = Stats.zeros()
         jac, factors, stats = self._assemble_and_factor(
             jnp.asarray(p.t0, dtype), y, params, h, stats
+        )
+        stats = stats._replace(
+            lu_from_checkpoint=stats.lu_from_checkpoint + 1
         )
         root_g = (
             p.eqn.root(p.t0, y, params)
@@ -224,14 +241,17 @@ class SdirkSolver:
     def set_stop_time(self, state: RkState, tstop) -> RkState:
         tstop = jnp.asarray(tstop, state.t.dtype)
         _, h_adj = tstop_check(state.t, state.h, tstop, state.t.dtype)
-        return state.replace(tstop=tstop, h=h_adj)
+        state = state.replace(tstop=tstop, h=h_adj)
+        return _flag_past_tstop(state, tstop)
 
     def reinit_after_reset(self, state: RkState, params) -> RkState:
         p = self.problem
         dy = p.eqn.rhs(state.t, state.y, params)
         if self._alg_mask is None:
             return state.replace(dy=dy)
-        y, dy, status = make_consistent(p, params, state.y, dy, self._alg_mask)
+        y, dy, status = make_consistent(
+            p, params, state.y, dy, self._alg_mask, t=state.t
+        )
         return state.replace(y=y, dy=dy, status=status)
 
     # ------------------------------------------------------------------

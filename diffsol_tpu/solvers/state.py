@@ -63,3 +63,24 @@ def initial_step_size(problem, params, y0, dy0, solver_order: int):
 
     h = jnp.minimum(100.0 * h0, h1)
     return jnp.where(is_neg, -h, h)
+
+
+def _flag_past_tstop(state, tstop):
+    """Flag a stop time strictly before the current time (reference
+    OdeSolverError::StopTimeBeforeCurrentTime, method.rs set_stop_time):
+    sets ``status = STOP_TIME_BEFORE_CURRENT_TIME`` so the solve drivers
+    return immediately (inside jit we cannot raise; the Python boundary
+    raises from the status code).  A tstop equal to the current time
+    (within roundoff) is allowed -- it reports TstopReached on the next
+    step, matching staged solves."""
+    import jax.numpy as jnp
+
+    from .. import errors
+
+    eps = jnp.finfo(state.t.dtype).eps
+    troundoff = 100.0 * eps * (jnp.abs(state.t) + jnp.abs(state.h))
+    past = tstop < state.t - troundoff
+    status = jnp.where(
+        past, errors.STOP_TIME_BEFORE_CURRENT_TIME, state.status
+    ).astype(jnp.int32)
+    return state.replace(status=status)

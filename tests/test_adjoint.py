@@ -101,3 +101,92 @@ def test_grad_with_mass_matrix():
     dda = sum(np.sum(-(t / m[i]) * y0 * np.exp(-a * t / m[i])) for i in range(2))
     ddy0 = sum(np.sum(np.exp(-a * t / m[i])) for i in range(2))
     np.testing.assert_allclose(np.asarray(g), [dda, ddy0], rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# round 2: adjoint completeness (review items): DAE mass matrices,
+# quadrature-output gradients, reset-event corrections
+# ---------------------------------------------------------------------------
+
+
+def test_dae_adjoint_vs_forward_sens():
+    """Singular-mass (DAE) adjoint: Robertson DAE gradient vs forward sens
+    (reference AdjointMass + apply_delta_g_out_mass_alg,
+    adjoint_equations.rs:142-200, adjoint.rs:292-366)."""
+    from diffsol_tpu.models import robertson
+    from diffsol_tpu.sens import solve_dense_fwd_sens
+    from diffsol_tpu.solvers.bdf import BdfSolver
+
+    pr = robertson.problem_dae()
+    t_eval = jnp.asarray([0.4, 4.0, 40.0])
+    ys_of = make_differentiable_solve(pr, t_eval)
+    g_adj = jax.grad(lambda p: jnp.sum(ys_of(p) ** 2))(pr.params)
+    ys_o, sens_o = solve_dense_fwd_sens(BdfSolver(robertson.problem_dae()), t_eval)
+    g_fwd = 2.0 * jnp.einsum("tn,ptn->p", ys_o, jnp.asarray(sens_o))
+    rel = np.abs(np.asarray(g_adj) - np.asarray(g_fwd)) / np.max(
+        np.abs(np.asarray(g_fwd))
+    )
+    assert np.max(rel) < 5e-3, (g_adj, g_fwd)
+
+
+def test_quadrature_gradient_vs_fd():
+    """Gradient of G = int u dt through the continuous adjoint with the
+    u_y^T forcing term (reference AdjointRhs with_out,
+    adjoint_equations.rs:330-460) vs central finite differences."""
+    from diffsol_tpu.adjoint import make_differentiable_quadrature
+    from diffsol_tpu.models.exponential_decay import problem as mk
+    from diffsol_tpu.solvers.bdf import BdfSolver
+    from diffsol_tpu.drivers import solve_dense
+
+    pq = mk(integrate_out=True)
+    g_of = make_differentiable_quadrature(pq, 4.0)
+    grad = jax.grad(lambda p: jnp.sum(g_of(p)))(pq.params)
+
+    def G(p):
+        sol = solve_dense(
+            BdfSolver(mk(integrate_out=True)), jnp.asarray([4.0]),
+            params=p, max_steps=4000,
+        )
+        return float(jnp.sum(sol.gs[-1]))
+
+    eps = 1e-6
+    fd = np.array(
+        [
+            (G(pq.params + eps * jnp.eye(2)[i])
+             - G(pq.params - eps * jnp.eye(2)[i])) / (2 * eps)
+            for i in range(2)
+        ]
+    )
+    assert np.max(np.abs(np.asarray(grad) - fd)) < 1e-4, (grad, fd)
+
+
+def test_reset_adjoint_vs_fd():
+    """jax.grad through root+reset events: the backward pass applies the
+    event-boundary correction (reference apply_reset_with_adjoint,
+    state.rs:560-692) -- gradients wrt BOTH the event-time-moving and the
+    reset-value parameters match central finite differences."""
+    from diffsol_tpu.models.exponential_decay import problem_with_reset
+    from diffsol_tpu.solvers.bdf import BdfSolver
+    from diffsol_tpu.drivers import solve_dense
+
+    prr = problem_with_reset()
+    t_eval = jnp.asarray([2.0, 6.0, 10.0])
+    ys_of = make_differentiable_solve(prr, t_eval)
+    grad = jax.grad(lambda p: jnp.sum(ys_of(p) ** 2))(prr.params)
+
+    def L(p):
+        sol = solve_dense(
+            BdfSolver(problem_with_reset()), t_eval, params=p, max_steps=4000
+        )
+        return float(jnp.sum(sol.ys ** 2))
+
+    eps = 1e-6
+    fd = np.array(
+        [
+            (L(prr.params + eps * jnp.eye(2)[i])
+             - L(prr.params - eps * jnp.eye(2)[i])) / (2 * eps)
+            for i in range(2)
+        ]
+    )
+    rel = np.abs(np.asarray(grad) - fd) / np.max(np.abs(fd))
+    assert np.max(rel) < 1e-3, (grad, fd)

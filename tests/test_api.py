@@ -158,3 +158,21 @@ def test_checkpoint_serialize_resume(tmp_path):
     )
     expected = logistic.soln(t2, problem.params)
     np.testing.assert_allclose(sol_resumed.ys, expected, rtol=1e-6, atol=1e-9)
+
+
+def test_stop_time_before_current_time():
+    """set_stop_time in the past surfaces STOP_TIME_BEFORE_CURRENT_TIME
+    (reference OdeSolverError::StopTimeAtCurrentTime family)."""
+    from diffsol_tpu.models.logistic import problem as mk
+    from diffsol_tpu import errors
+
+    s = dt.solver(mk(), "bdf")
+    sol = dt.solve_dense(s, jnp.asarray([1.0, 2.0]), max_steps=1000)
+    assert int(sol.stop_reason) >= 0
+    # resume with a final time in the past
+    sol2 = dt.solve_dense(
+        s, jnp.asarray([0.5]), state=sol.state, max_steps=1000
+    )
+    assert int(sol2.stop_reason) == errors.STOP_TIME_BEFORE_CURRENT_TIME
+    with pytest.raises(errors.DiffsolError):
+        sol2.raise_for_status()
