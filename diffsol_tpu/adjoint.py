@@ -9,11 +9,19 @@ a forward solve, the adjoint system
     gradient        dG/dp = int lambda^T f_p dt + lambda(t0)^T dy0/dp
 
 is integrated BACKWARD, interpolating the forward trajectory x(t) from
-checkpoints.  The reference stores sparse checkpoints and re-solves segments
-on demand (Hermite interpolation, checkpointing.rs:91-119); the TPU build
-stores (t, y, dy) at EVERY accepted forward step in fixed-size buffers and
-Hermite-interpolates directly -- recompute-free, memory O(steps * n), the
-right trade on HBM-rich accelerators.
+checkpoints.  Two storage modes are provided, mirroring the reference's
+Checkpointing vs NoCheckpointingSolver split (checkpointing.rs:91-250,
+no_checkpointing_solver.rs):
+
+* **dense table** (default): (t, y, dy) at EVERY accepted forward step in
+  fixed-size buffers, Hermite-interpolated directly -- recompute-free,
+  memory O(steps * n), the right trade on HBM-rich accelerators.
+* **bounded memory** (``checkpoint_interval=K``): a FULL solver-state
+  checkpoint every K accepted steps; during the backward pass each segment
+  is re-solved forward from its checkpoint to rebuild a K-row local table
+  (the reference's segment re-solve + HermiteInterpolator,
+  checkpointing.rs:91-119, method.rs:620-705).  Memory O(segments * state
+  + K * n) -- for long horizons / large n where the dense table exceeds HBM.
 
 The backward integration reuses the BDF solver on a time-reversed augmented
 system z = [lambda, g_p] (sigma = T - t), one solve segment per output
@@ -83,16 +91,7 @@ def forward_with_table(solver, t_eval, params, max_steps: int):
     ys_tab = ys_tab.at[0].set(state.y)
     dys_tab = dys_tab.at[0].set(state.dy)
     ys = jnp.zeros((neval, n), dtype)
-    g0 = state.g
-    ev = dict(
-        t=jnp.full((max_ev,), jnp.inf, dtype),
-        y_minus=jnp.zeros((max_ev, n), dtype),
-        dy_minus=jnp.zeros((max_ev, n), dtype),
-        y_plus=jnp.zeros((max_ev, n), dtype),
-        dy_plus=jnp.zeros((max_ev, n), dtype),
-        idx=jnp.full((max_ev,), -1, jnp.int32),
-        count=jnp.asarray(0, jnp.int32),
-    )
+    ev = _empty_events(max_ev, n, dtype)
 
     def cond(c):
         (_s, _ys, _tt, _yt, _dt, _ev, k, done, _w) = c
@@ -172,10 +171,225 @@ def forward_with_table(solver, t_eval, params, max_steps: int):
     return ys, state.g, (ts_tab, ys_tab, dys_tab, k), ev
 
 
+def _empty_events(max_ev, n, dtype):
+    return dict(
+        t=jnp.full((max_ev,), jnp.inf, dtype),
+        y_minus=jnp.zeros((max_ev, n), dtype),
+        dy_minus=jnp.zeros((max_ev, n), dtype),
+        y_plus=jnp.zeros((max_ev, n), dtype),
+        dy_plus=jnp.zeros((max_ev, n), dtype),
+        idx=jnp.full((max_ev,), -1, jnp.int32),
+        count=jnp.asarray(0, jnp.int32),
+    )
+
+
+def forward_with_checkpoints(solver, t_eval, params, max_steps: int,
+                             interval: int):
+    """Forward solve recording sparse FULL-STATE checkpoints.
+
+    The bounded-memory analog of :func:`forward_with_table` (reference
+    Checkpointing, checkpointing.rs:91-250): instead of (t, y, dy) at every
+    step, the complete solver state pytree is stored every ``interval``
+    accepted steps.  Memory O((max_steps/interval) * state) -- the backward
+    pass re-solves each segment to rebuild its local dense table.
+
+    Returns (ys, g, (ck_ts, ck_states, n_ck), events); segment s spans
+    [ck_ts[s], ck_ts[s+1]] for s < n_ck - 1.
+    """
+    from .drivers import _apply_reset, _pin_to
+
+    p = solver.problem
+    has_reset = p.eqn.root is not None and p.eqn.reset is not None
+    max_ev = MAX_EVENTS if has_reset else 0
+    state = init_state_jit(solver, params)
+    t_eval = jnp.asarray(t_eval, state.t.dtype)
+    dtype = state.y.dtype
+    neval = t_eval.shape[0]
+    n = state.y.shape[-1]
+    final_time = t_eval[-1]
+    state = solver.set_stop_time(state, final_time)
+
+    n_slots = max_steps // interval + 2
+    ck_states = jax.tree_util.tree_map(
+        lambda x: jnp.zeros((n_slots,) + jnp.shape(x), jnp.asarray(x).dtype),
+        state,
+    )
+    ck_ts = jnp.full((n_slots,), jnp.inf, dtype)
+
+    def write_ck(bufs, ts, st, i):
+        bufs = jax.tree_util.tree_map(lambda b, v: b.at[i].set(v), bufs, st)
+        return bufs, ts.at[i].set(st.t)
+
+    ck_states, ck_ts = write_ck(ck_states, ck_ts, state, 0)
+    ys = jnp.zeros((neval, n), dtype)
+    ev = _empty_events(max_ev, n, dtype)
+
+    def cond(c):
+        (_s, _ys, _ct, _cs, _ev, k, done, _w, _ci) = c
+        return (~done) & (k < max_steps)
+
+    def body(c):
+        (state, ys, ck_ts, ck_states, ev, k, _done, written_to, ck_i) = c
+        new = solver.step(state, params)
+        status = new.status
+        fatal = status < 0
+        is_tstop = status == errors.TSTOP_REACHED
+        is_root = has_reset & (status == errors.ROOT_FOUND)
+        t_upper = jnp.where(is_root, new.root_t, new.t)
+        t_upper = jnp.where(is_tstop, jnp.maximum(new.t, final_time), t_upper)
+        t_upper = jnp.where(fatal, written_to, t_upper)
+        mask = (t_eval <= t_upper) & (t_eval > written_to)
+        y_interp = jax.vmap(lambda tt: solver.interpolate(new, tt))(t_eval)
+        ys = jnp.where(mask[:, None], y_interp, ys)
+
+        if has_reset:
+            def on_root(args):
+                new, ev = args
+                pinned = _pin_to(solver, new, new.root_t)
+                after = _apply_reset(solver, pinned, params)
+                i = ev["count"]
+                room = i < max_ev
+                upd = lambda a, v: jnp.where(room, a.at[i].set(v), a)
+                ev2 = dict(
+                    t=upd(ev["t"], pinned.t),
+                    y_minus=upd(ev["y_minus"], pinned.y),
+                    dy_minus=upd(ev["dy_minus"], pinned.dy),
+                    y_plus=upd(ev["y_plus"], after.y),
+                    dy_plus=upd(ev["dy_plus"], after.dy),
+                    idx=upd(ev["idx"], new.root_idx),
+                    count=jnp.where(room, i + 1, i),
+                )
+                return after, ev2
+
+            new, ev = jax.lax.cond(
+                is_root, on_root, lambda a: a, (new, ev)
+            )
+            root_done = is_root & (new.t >= final_time)
+            done = fatal | is_tstop | root_done
+        else:
+            done = fatal | is_tstop
+
+        # sparse checkpoint every `interval` accepted steps (post-reset
+        # state if this step hit an event, so the re-solve continues from
+        # exactly the state the original forward continued from)
+        do_ck = (~fatal) & (~done) & (((k + 1) % interval) == 0)
+
+        def ck_write(args):
+            cs, ct, ci = args
+            cs, ct = write_ck(cs, ct, new, ci + 1)
+            return cs, ct, ci + 1
+
+        ck_states, ck_ts, ck_i = jax.lax.cond(
+            do_ck, ck_write, lambda a: a, (ck_states, ck_ts, ck_i)
+        )
+        return (new, ys, ck_ts, ck_states, ev, k + 1, done, t_upper, ck_i)
+
+    init = (
+        state, ys, ck_ts, ck_states, ev,
+        jnp.asarray(0, jnp.int32), state.status < 0,
+        jnp.asarray(-jnp.inf, dtype), jnp.asarray(0, jnp.int32),
+    )
+    (state, ys, ck_ts, ck_states, ev, _k, _done, _w, ck_i) = (
+        jax.lax.while_loop(cond, body, init)
+    )
+    # final checkpoint: the end state (defines the last segment's t_end)
+    ck_states, ck_ts = write_ck(ck_states, ck_ts, state, ck_i + 1)
+    n_ck = ck_i + 2
+    return ys, state.g, (ck_ts, ck_states, n_ck), ev
+
+
+def _record_segment(solver, state0, t_end, params, seg_steps: int):
+    """Re-solve [state0.t, t_end] recording the (t, y, dy) dense table.
+
+    The bounded-memory backward pass's segment re-solve (reference
+    checkpointing.rs:91-119 segment Hermite interpolator).  Root/reset
+    events inside the segment are re-found and re-applied -- the re-solve
+    starts from the exact original solver state, so it reproduces the
+    original step sequence (up to the tstop truncation at t_end).  Event
+    boundaries get double knots exactly as in :func:`forward_with_table`.
+    """
+    from .drivers import _apply_reset, _pin_to
+
+    p = solver.problem
+    has_reset = p.eqn.root is not None and p.eqn.reset is not None
+    max_ev = MAX_EVENTS if has_reset else 0
+    dtype = state0.y.dtype
+    n = state0.y.shape[-1]
+    nrows = seg_steps + 2 * max_ev + 1
+    ts_tab = jnp.full((nrows,), jnp.inf, dtype)
+    ys_tab = jnp.zeros((nrows, n), dtype)
+    dys_tab = jnp.zeros((nrows, n), dtype)
+    ts_tab = ts_tab.at[0].set(state0.t)
+    ys_tab = ys_tab.at[0].set(state0.y)
+    dys_tab = dys_tab.at[0].set(state0.dy)
+    state = solver.set_stop_time(
+        state0.replace(status=jnp.asarray(errors.INTERNAL_TIMESTEP, jnp.int32)),
+        t_end,
+    )
+
+    def cond(c):
+        (_s, _tt, _yt, _dt, nev, k, done) = c
+        return (~done) & (k < seg_steps)
+
+    def body(c):
+        (state, ts_tab, ys_tab, dys_tab, nev, k, _done) = c
+        new = solver.step(state, params)
+        status = new.status
+        fatal = status < 0
+        is_tstop = status == errors.TSTOP_REACHED
+        is_root = has_reset & (status == errors.ROOT_FOUND)
+        row = 2 * nev + k + 1
+        write = lambda tab, val: jnp.where(fatal, tab, tab.at[row].set(val))
+
+        if has_reset:
+            def on_root(args):
+                new, ts_tab, ys_tab, dys_tab, nev = args
+                pinned = _pin_to(solver, new, new.root_t)
+                after = _apply_reset(solver, pinned, params)
+                r2 = 2 * nev + k + 1
+                ts2 = ts_tab.at[r2].set(pinned.t).at[r2 + 1].set(after.t)
+                ys2 = ys_tab.at[r2].set(pinned.y).at[r2 + 1].set(after.y)
+                dys2 = dys_tab.at[r2].set(pinned.dy).at[r2 + 1].set(after.dy)
+                return after, ts2, ys2, dys2, nev + 1
+
+            def no_root(args):
+                new, ts_tab, ys_tab, dys_tab, nev = args
+                return (
+                    new,
+                    write(ts_tab, new.t),
+                    write(ys_tab, new.y),
+                    write(dys_tab, new.dy),
+                    nev,
+                )
+
+            new, ts_tab, ys_tab, dys_tab, nev = jax.lax.cond(
+                is_root, on_root, no_root,
+                (new, ts_tab, ys_tab, dys_tab, nev),
+            )
+            root_done = is_root & (new.t >= t_end)
+            done = fatal | is_tstop | root_done
+        else:
+            ts_tab = write(ts_tab, new.t)
+            ys_tab = write(ys_tab, new.y)
+            dys_tab = write(dys_tab, new.dy)
+            done = fatal | is_tstop
+        return (new, ts_tab, ys_tab, dys_tab, nev, k + 1, done)
+
+    init = (
+        state, ts_tab, ys_tab, dys_tab,
+        jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
+        state.status < 0,
+    )
+    (_s, ts_tab, ys_tab, dys_tab, _nev, _k, _done) = jax.lax.while_loop(
+        cond, body, init
+    )
+    return ts_tab, ys_tab, dys_tab
+
+
 def hermite_interp(table, t):
     """Cubic Hermite interpolation of the forward trajectory at time t
     (reference HermiteInterpolator, checkpointing.rs:16-90)."""
-    ts, ys, dys, _n = table
+    ts, ys, dys = table[0], table[1], table[2]
     k = jnp.clip(jnp.searchsorted(ts, t, side="right"), 1, ys.shape[0] - 1)
     t0, t1 = ts[k - 1], ts[k]
     # guard the padded +inf region: clamp interval to the last finite knot
@@ -200,8 +414,8 @@ def hermite_interp(table, t):
 # --------------------------------------------------------------------------
 
 
-def _adjoint_problem(problem: OdeProblem, table, t_top, nparams: int,
-                     ct_g=None):
+def _adjoint_problem(problem: OdeProblem, t_top, nparams: int, ct_g=None,
+                     table=None, table_rows: Optional[int] = None):
     """Build the time-reversed augmented adjoint problem in sigma = t_top - t.
 
     State z = [lambda (n), g_p (nparams)]:
@@ -211,6 +425,13 @@ def _adjoint_problem(problem: OdeProblem, table, t_top, nparams: int,
     :377-460 AdjointOut).  ``ct_g`` is the cotangent of the quadrature
     output G = int u dt (None for pure output-time objectives).
 
+    The forward trajectory x(t) is Hermite-interpolated from ``table``
+    (dense mode: a static closure) or, in bounded-memory mode
+    (``table=None``), from a ``table_rows``-row local table PACKED INTO THE
+    PARAMS VECTOR after the real parameters -- the params argument is the
+    only data channel through the solver machinery, and the local table
+    changes per segment.
+
     The mass matrix becomes blockdiag(M^T, I) on the augmented system (the
     reference's AdjointMass transpose operator, adjoint_equations.rs:142-200);
     a SINGULAR M makes the corresponding lambda rows algebraic, handled by
@@ -218,36 +439,64 @@ def _adjoint_problem(problem: OdeProblem, table, t_top, nparams: int,
     """
     eqn = problem.eqn
     n = eqn.nstates
+    dtype = problem.atol.dtype
+
+    if table is not None:
+        def split(params):
+            return params, table
+
+        params_ph = problem.params
+    else:
+        if table_rows is None:
+            raise ValueError("need table or table_rows")
+        R = table_rows
+
+        def split(params):
+            rp = params[:nparams]
+            ts = params[nparams:nparams + R]
+            off = nparams + R
+            ys = params[off:off + R * n].reshape(R, n)
+            dys = params[off + R * n:off + 2 * R * n].reshape(R, n)
+            return rp, (ts, ys, dys)
+
+        # placeholder: real default params + zeroed table (setup-time probes
+        # like the algebraic-row mask evaluate mass/rhs against this)
+        params_ph = jnp.concatenate([
+            jnp.asarray(problem.params, dtype).reshape(-1),
+            jnp.zeros((R + 2 * R * n,), dtype),
+        ])
 
     def rhs(sigma, z, params):
+        rp, tab = split(params)
         t = t_top - sigma
-        x = hermite_interp(table, t)
+        x = hermite_interp(tab, t)
         lam = z[:n]
-        _, vjp_y = jax.vjp(lambda yy: eqn.rhs(t, yy, params), x)
-        _, vjp_p = jax.vjp(lambda pp: eqn.rhs(t, x, pp), params)
+        _, vjp_y = jax.vjp(lambda yy: eqn.rhs(t, yy, rp), x)
+        _, vjp_p = jax.vjp(lambda pp: eqn.rhs(t, x, pp), rp)
         dlam = vjp_y(lam)[0]
         dgp = vjp_p(lam)[0]
         if ct_g is not None:
             out_fn = eqn.out if eqn.out is not None else (
                 lambda tt, yy, pp: yy
             )
-            _, vjp_uy = jax.vjp(lambda yy: out_fn(t, yy, params), x)
-            _, vjp_up = jax.vjp(lambda pp: out_fn(t, x, pp), params)
+            _, vjp_uy = jax.vjp(lambda yy: out_fn(t, yy, rp), x)
+            _, vjp_up = jax.vjp(lambda pp: out_fn(t, x, pp), rp)
             dlam = dlam + vjp_uy(ct_g)[0]
             dgp = dgp + vjp_up(ct_g)[0]
         return jnp.concatenate([dlam, dgp])
 
     def init(sigma, params):
-        return jnp.zeros((n + nparams,), problem.atol.dtype)
+        return jnp.zeros((n + nparams,), dtype)
 
     adj_mass = None
     if eqn.mass is not None:
         def adj_mass(sigma, params):
-            m_t = eqn.mass(t_top - sigma, params).T
+            rp, _tab = split(params)
+            m_t = eqn.mass(t_top - sigma, rp).T
             out = jnp.eye(n + nparams, dtype=m_t.dtype)
             return out.at[:n, :n].set(m_t)
 
-    adj_eqn = make_equations(rhs, init, problem.params, 0.0, mass=adj_mass)
+    adj_eqn = make_equations(rhs, init, params_ph, 0.0, mass=adj_mass)
     # gp-row tolerances: param_atol (scaled by param_scales) when configured
     # (reference adjoint_equations.rs:580-581), else the mean state atol
     if problem.param_atol is not None:
@@ -260,61 +509,45 @@ def _adjoint_problem(problem: OdeProblem, table, t_top, nparams: int,
     return dataclasses.replace(
         problem,
         eqn=adj_eqn,
+        params=jnp.asarray(params_ph, dtype),
         atol=atol,
-        t0=jnp.asarray(0.0, problem.atol.dtype),
-        h0=jnp.asarray(0.0, problem.atol.dtype),
+        t0=jnp.asarray(0.0, dtype),
+        h0=jnp.asarray(0.0, dtype),
         integrate_out=False,
     )
 
 
-def backward_pass(problem, solver_cls, table, events, t_eval, ct_ys, params,
-                  max_steps, ct_g=None):
-    """Integrate the adjoint backward through all output times and reset
-    events.
+def _make_jump(problem, params):
+    """Discrete output-jump operator: (lam, gp, v, t, x) -> (lam, gp).
 
-    ``ct_ys``: (neval, n) cotangents dG/dy(t_i) (zeros allowed);
-    ``ct_g``: optional (nout,) cotangent of the quadrature output
-    G = int u dt.  Returns dG/dp (nparams,).
-
-    Handles (reference citations):
-    * discrete output jumps, incl. the singular-mass DAE partition
-      lambda_d += M_dd^{-1}(v_d - A_da A_aa^{-1} v_a), A = f_y^T, plus the
-      parameter term -f_{p,a}^T A_aa^{-1} v_a
-      (adjoint.rs:292-366 apply_delta_g_out_mass_alg);
-    * reset-event boundary corrections
-      lambda- = R_y^T lambda+ - alpha r_{y,k}^T,
-      gp += R_p^T lambda+ - alpha r_{p,k}^T,
-      alpha = (lambda+ . c + (u- - u+) . ct_g) / d,
-      c = R_y f- + R_t - f+, d = (r_y f- + r_t)_k
-      (adjoint.rs:106-148 + state.rs:560-692 apply_reset_with_adjoint);
-    * the init-condition correction (adjoint.rs:151-156).
+    Identity-mass: lam += v.  Regular mass: lam += M^{-T} v.  Singular-mass
+    DAE: the differential/algebraic partition
+    lambda_d += M_dd^{-1}(v_d - A_da A_aa^{-1} v_a), A = f_y^T, plus the
+    parameter term -f_{p,a}^T A_aa^{-1} v_a
+    (reference adjoint.rs:292-366 apply_delta_g_out_mass_alg).  ``x`` is the
+    interpolated forward state at t (used only in the singular branch).
     """
     from .solvers.consistent_ic import algebraic_mask
     from .ops import linsol
 
     eqn = problem.eqn
-    n = eqn.nstates
     dtype = problem.atol.dtype
-    nparams = int(params.shape[0])
-    t_eval = jnp.asarray(t_eval, dtype)
-    neval = t_eval.shape[0]
-    t_top = t_eval[-1]
-    t0 = problem.t0
-    alg = algebraic_mask(problem)  # None unless singular mass
+    alg = algebraic_mask(problem) if eqn.mass is not None else None
 
-    # ---- discrete output jump: z[:n] += correction(ct) -------------------
     if eqn.mass is None:
-        def jump(z, gp_rows, v, t):
-            return z + v, gp_rows
+        def jump(lam, gp_rows, v, t, x):
+            return lam + v, gp_rows
     elif alg is None:
-        def jump(z, gp_rows, v, t):
+        def jump(lam, gp_rows, v, t, x):
             m_t = eqn.mass(t, params).T
-            return z + linsol.DENSE.solve(linsol.DENSE.factor(m_t), v), gp_rows
+            return (
+                lam + linsol.DENSE.solve(linsol.DENSE.factor(m_t), v),
+                gp_rows,
+            )
     else:
         alg_np = jnp.asarray(alg)
 
-        def jump(z, gp_rows, v, t):
-            x = hermite_interp(table, t)
+        def jump(lam, gp_rows, v, t, x):
             J = jax.jacfwd(lambda yy: eqn.rhs(t, yy, params))(x)
             A = J.T
             diag_d = jnp.diag(jnp.where(alg_np, 0.0, 1.0).astype(dtype))
@@ -333,86 +566,35 @@ def backward_pass(problem, solver_cls, table, events, t_eval, ct_ys, params,
                 + diag_a
             )
             lam_d = linsol.DENSE.solve(linsol.DENSE.factor(Mp), w)
-            z = z + jnp.where(alg_np, 0.0, lam_d)
+            lam = lam + jnp.where(alg_np, 0.0, lam_d)
             # parameter contribution of the algebraic constraint
             _, vjp_p = jax.vjp(lambda pp: eqn.rhs(t, x, pp), params)
             gp_rows = gp_rows - vjp_p(va)[0]
-            return z, gp_rows
+            return lam, gp_rows
 
-    adj_problem = _adjoint_problem(problem, table, t_top, nparams, ct_g=ct_g)
-    solver = solver_cls(adj_problem)
+    return jump
 
-    state = init_state_jit(solver, params)
 
-    # ---- merged boundary schedule: output times + reset events, desc t ---
-    max_ev = events["t"].shape[0]
-    ev_valid = jnp.arange(max_ev) < events["count"]
-    ev_t = jnp.where(ev_valid, events["t"], -jnp.inf)
-    bt = jnp.concatenate([t_eval, ev_t])
-    btype = jnp.concatenate(
-        [jnp.zeros((neval,), jnp.int32), jnp.ones((max_ev,), jnp.int32)]
-    )
-    bslot = jnp.concatenate(
-        [jnp.arange(neval, dtype=jnp.int32),
-         jnp.arange(max_ev, dtype=jnp.int32)]
-    )
-    order = jnp.argsort(-bt)
-    sigma_end = t_top - t0
-    out_fn = eqn.out if eqn.out is not None else (lambda tt, yy, pp: yy)
+def _make_event_correction(problem, events, params, ct_g, out_fn):
+    """Reset-event adjoint boundary correction: (lam, gp, slot) -> (lam, gp).
 
-    def integrate_to(state, target_sigma):
-        def run(args):
-            (state,) = args
-            state = solver.set_stop_time(
-                state.replace(
-                    status=jnp.asarray(errors.INTERNAL_TIMESTEP, jnp.int32)
-                ),
-                target_sigma,
-            )
+    lambda- = R_y^T lambda+ - alpha r_{y,k}^T,
+    gp += R_p^T lambda+ - alpha r_{p,k}^T,
+    alpha = (lambda+ . c + (u- - u+) . ct_g) / d,
+    c = R_y f- + R_t - f+, d = (r_y f- + r_t)_k
+    (reference adjoint.rs:106-148 + state.rs:560-692
+    apply_reset_with_adjoint).
+    """
+    eqn = problem.eqn
+    dtype = problem.atol.dtype
 
-            def cond(c):
-                s, k = c
-                return (s.status == errors.INTERNAL_TIMESTEP) & (k < max_steps)
-
-            def body(c):
-                s, k = c
-                return solver.step(s, params), k + 1
-
-            state, _ = jax.lax.while_loop(
-                cond, body, (state, jnp.asarray(0, jnp.int32))
-            )
-            return (state,)
-
-        (state,) = jax.lax.cond(
-            target_sigma > state.t, run, lambda a: a, (state,)
-        )
-        return state
-
-    def reinit(state):
-        """Mark modified + restore DAE consistency of the lambda rows."""
-        state = state.replace(state_modified=jnp.asarray(True))
-        if hasattr(solver, "reinit_after_reset"):
-            state = solver.reinit_after_reset(state, params)
-        else:
-            state = state.replace(
-                dy=adj_problem.eqn.rhs(state.t, state.y, params)
-            )
-        return state
-
-    def apply_output_jump(state, slot):
-        t = t_top - state.t
-        lam, gp_rows = state.y[:n], state.y[n:]
-        lam, gp_rows = jump(lam, gp_rows, ct_ys[slot], t)
-        return reinit(state.replace(y=jnp.concatenate([lam, gp_rows])))
-
-    def apply_event_correction(state, slot):
+    def correct(lam, gp_rows, slot):
         t_star = events["t"][slot]
         y_m = events["y_minus"][slot]
         dy_m = events["dy_minus"][slot]
         y_p = events["y_plus"][slot]
         dy_p = events["dy_plus"][slot]
         k = events["idx"][slot]
-        lam, gp_rows = state.y[:n], state.y[n:]
 
         reset_f = lambda yy: eqn.reset(t_star, yy, params)
         root_f = lambda yy: eqn.root(t_star, yy, params)
@@ -424,11 +606,8 @@ def backward_pass(problem, solver_cls, table, events, t_eval, ct_ys, params,
             lambda tt: eqn.root(tt, y_m, params), (t_star,),
             (jnp.ones_like(t_star),),
         )[1]
-        Ry_f, vjp_Ry = jax.vjp(reset_f, y_m)
-        del Ry_f
-        c_dir = (
-            jax.jvp(reset_f, (y_m,), (dy_m,))[1] + R_t - dy_p
-        )
+        _, vjp_Ry = jax.vjp(reset_f, y_m)
+        c_dir = jax.jvp(reset_f, (y_m,), (dy_m,))[1] + R_t - dy_p
         d = (jax.jvp(root_f, (y_m,), (dy_m,))[1] + r_t)[k]
         alpha_num = jnp.sum(lam * c_dir)
         if ct_g is not None:
@@ -443,7 +622,129 @@ def backward_pass(problem, solver_cls, table, events, t_eval, ct_ys, params,
         _, vjp_Rp = jax.vjp(lambda pp: eqn.reset(t_star, y_m, pp), params)
         _, vjp_rp = jax.vjp(lambda pp: eqn.root(t_star, y_m, pp), params)
         gp_new = gp_rows + vjp_Rp(lam)[0] - vjp_rp(e_k)[0]
-        return reinit(state.replace(y=jnp.concatenate([lam_new, gp_new])))
+        return lam_new, gp_new
+
+    return correct
+
+
+def _make_reinit(solver, adj_problem):
+    """Mark modified + restore DAE consistency of the lambda rows."""
+
+    def reinit(state, params):
+        state = state.replace(state_modified=jnp.asarray(True))
+        if hasattr(solver, "reinit_after_reset"):
+            return solver.reinit_after_reset(state, params)
+        return state.replace(
+            dy=adj_problem.eqn.rhs(state.t, state.y, params)
+        )
+
+    return reinit
+
+
+def _integrate_to(solver, state, target_sigma, params, max_steps):
+    """Advance the adjoint solver to target_sigma (no-op if already there)."""
+
+    def run(args):
+        state, params = args
+        state = solver.set_stop_time(
+            state.replace(
+                status=jnp.asarray(errors.INTERNAL_TIMESTEP, jnp.int32)
+            ),
+            target_sigma,
+        )
+
+        def cond(c):
+            s, k = c
+            return (s.status == errors.INTERNAL_TIMESTEP) & (k < max_steps)
+
+        def body(c):
+            s, k = c
+            return solver.step(s, params), k + 1
+
+        state, _ = jax.lax.while_loop(
+            cond, body, (state, jnp.asarray(0, jnp.int32))
+        )
+        return (state, params)
+
+    (state, _) = jax.lax.cond(
+        target_sigma > state.t, run, lambda a: a, (state, params)
+    )
+    return state
+
+
+def _boundary_schedule(t_eval, events, dtype):
+    """Merged output-time + reset-event boundary list, descending in t.
+
+    Returns (bt, btype, bslot, order): btype 0 = output jump (slot into
+    t_eval/ct_ys), 1 = reset-event correction (slot into events).
+    """
+    neval = t_eval.shape[0]
+    max_ev = events["t"].shape[0]
+    ev_valid = jnp.arange(max_ev) < events["count"]
+    ev_t = jnp.where(ev_valid, events["t"], -jnp.inf)
+    bt = jnp.concatenate([t_eval, ev_t])
+    btype = jnp.concatenate(
+        [jnp.zeros((neval,), jnp.int32), jnp.ones((max_ev,), jnp.int32)]
+    )
+    bslot = jnp.concatenate(
+        [jnp.arange(neval, dtype=jnp.int32),
+         jnp.arange(max_ev, dtype=jnp.int32)]
+    )
+    order = jnp.argsort(-bt)
+    return bt, btype, bslot, order
+
+
+def backward_pass(problem, solver_cls, table, events, t_eval, ct_ys, params,
+                  max_steps, ct_g=None):
+    """Integrate the adjoint backward through all output times and reset
+    events (dense-table mode).
+
+    ``ct_ys``: (neval, n) cotangents dG/dy(t_i) (zeros allowed);
+    ``ct_g``: optional (nout,) cotangent of the quadrature output
+    G = int u dt.  Returns dG/dp (nparams,).
+
+    Handles discrete output jumps (incl. the singular-mass DAE partition),
+    reset-event boundary corrections, and the init-condition correction --
+    see :func:`_make_jump`, :func:`_make_event_correction` and
+    :func:`_init_correction` for the reference citations.
+    """
+    eqn = problem.eqn
+    n = eqn.nstates
+    dtype = problem.atol.dtype
+    nparams = int(params.shape[0])
+    t_eval = jnp.asarray(t_eval, dtype)
+    neval = t_eval.shape[0]
+    t_top = t_eval[-1]
+    t0 = problem.t0
+
+    adj_problem = _adjoint_problem(problem, t_top, nparams, ct_g=ct_g,
+                                   table=table)
+    solver = solver_cls(adj_problem)
+    state = init_state_jit(solver, params)
+
+    jump = _make_jump(problem, params)
+    out_fn = eqn.out if eqn.out is not None else (lambda tt, yy, pp: yy)
+    correct = _make_event_correction(problem, events, params, ct_g, out_fn)
+    reinit = _make_reinit(solver, adj_problem)
+    bt, btype, bslot, order = _boundary_schedule(t_eval, events, dtype)
+    max_ev = events["t"].shape[0]
+    sigma_end = t_top - t0
+
+    def apply_output_jump(state, slot):
+        t = t_top - state.t
+        x = hermite_interp(table, t)
+        lam, gp_rows = state.y[:n], state.y[n:]
+        lam, gp_rows = jump(lam, gp_rows, ct_ys[slot], t, x)
+        return reinit(
+            state.replace(y=jnp.concatenate([lam, gp_rows])), params
+        )
+
+    def apply_event_correction(state, slot):
+        lam, gp_rows = state.y[:n], state.y[n:]
+        lam_new, gp_new = correct(lam, gp_rows, slot)
+        return reinit(
+            state.replace(y=jnp.concatenate([lam_new, gp_new])), params
+        )
 
     def seg_body(i, state):
         j = order[i]
@@ -451,7 +752,9 @@ def backward_pass(problem, solver_cls, table, events, t_eval, ct_ys, params,
         valid = jnp.isfinite(t_b)
 
         def process(state):
-            state = integrate_to(state, t_top - t_b)
+            state = _integrate_to(
+                solver, state, t_top - t_b, params, max_steps
+            )
             if eqn.reset is not None and eqn.root is not None:
                 return jax.lax.cond(
                     btype[j] == 0,
@@ -464,17 +767,127 @@ def backward_pass(problem, solver_cls, table, events, t_eval, ct_ys, params,
         return jax.lax.cond(valid, process, lambda s: s, state)
 
     state = jax.lax.fori_loop(0, neval + max_ev, seg_body, state)
-    state = integrate_to(state, sigma_end)
+    state = _integrate_to(solver, state, sigma_end, params, max_steps)
+    return _init_correction(problem, params, state.y[:n], state.y[n:])
 
-    lam0 = state.y[:n]
-    gp = state.y[n:]
-    # initial-condition correction (adjoint.rs:151-156 correct_sg_for_init):
-    # dG/dp += (dy0/dp)^T M^T lambda(t0)  (M from the Lagrangian term
-    # lambda^T (M y' - f); identity when no mass matrix; a singular M
-    # automatically zeroes the algebraic rows)
+
+def backward_pass_bounded(problem, solver_cls, fwd_solver, ckpts, events,
+                          t_eval, ct_ys, params, max_steps, interval,
+                          ct_g=None):
+    """Bounded-memory adjoint backward pass (reference checkpointing.rs:91-250
+    + method.rs:620-705 segment re-solve).
+
+    Walks the sparse checkpoints top-down; each segment is re-solved forward
+    from its full-state checkpoint (:func:`_record_segment`) to rebuild an
+    ``interval``-row local Hermite table, which rides into the adjoint
+    solver inside the params vector (see :func:`_adjoint_problem`).  Output
+    jumps and event corrections fire inside the segment that contains them.
+    Storage: O(n_segments * state + interval * n) -- never the full dense
+    step table.
+    """
+    eqn = problem.eqn
+    n = eqn.nstates
+    dtype = problem.atol.dtype
+    nparams = int(params.shape[0])
+    t_eval = jnp.asarray(t_eval, dtype)
+    neval = t_eval.shape[0]
+    t_top = t_eval[-1]
+    ck_ts, ck_states, n_ck = ckpts
+    n_slots = ck_ts.shape[0]
+
+    has_events = eqn.reset is not None and eqn.root is not None
+    seg_steps = interval + 4  # margin for the tstop-truncated last step
+    max_ev = events["t"].shape[0]
+    R = seg_steps + 2 * (MAX_EVENTS if has_events else 0) + 1
+
+    adj_problem = _adjoint_problem(problem, t_top, nparams, ct_g=ct_g,
+                                   table=None, table_rows=R)
+    solver = solver_cls(adj_problem)
+
+    jump = _make_jump(problem, params)
+    out_fn = eqn.out if eqn.out is not None else (lambda tt, yy, pp: yy)
+    correct = _make_event_correction(problem, events, params, ct_g, out_fn)
+    reinit = _make_reinit(solver, adj_problem)
+    bt, btype, bslot, order = _boundary_schedule(t_eval, events, dtype)
+
+    def seg_params(s):
+        st = jax.tree_util.tree_map(lambda b: b[s], ck_states)
+        t_end = ck_ts[s + 1]
+        ts_l, ys_l, dys_l = _record_segment(
+            fwd_solver, st, t_end, params, seg_steps
+        )
+        pa = jnp.concatenate([params, ts_l, ys_l.ravel(), dys_l.ravel()])
+        return pa, (ts_l, ys_l, dys_l)
+
+    # adjoint init needs the TOP segment's table in params (rhs is probed
+    # at sigma = 0 by the initial-step-size heuristic)
+    pa_top, _ = seg_params(n_ck - 2)
+    state = init_state_jit(solver, pa_top)
+
+    def apply_output_jump(state, slot, pa, tab):
+        t = t_top - state.t
+        x = hermite_interp(tab, t)
+        lam, gp_rows = state.y[:n], state.y[n:]
+        lam, gp_rows = jump(lam, gp_rows, ct_ys[slot], t, x)
+        return reinit(state.replace(y=jnp.concatenate([lam, gp_rows])), pa)
+
+    def apply_event_correction(state, slot, pa):
+        lam, gp_rows = state.y[:n], state.y[n:]
+        lam_new, gp_new = correct(lam, gp_rows, slot)
+        return reinit(state.replace(y=jnp.concatenate([lam_new, gp_new])), pa)
+
+    def seg_body(i, state):
+        s = n_slots - 2 - i
+        valid = (s >= 0) & (s <= n_ck - 2)
+
+        def process(state):
+            pa, tab = seg_params(s)
+            is_top = s == n_ck - 2
+            is_bot = s == 0
+            upper = jnp.where(is_top, jnp.inf, ck_ts[s + 1])
+            lower = jnp.where(is_bot, -jnp.inf, ck_ts[s])
+
+            def bnd_body(jj, state):
+                j = order[jj]
+                t_b = bt[j]
+                inside = jnp.isfinite(t_b) & (t_b > lower) & (t_b <= upper)
+
+                def apply(state):
+                    state = _integrate_to(
+                        solver, state, t_top - t_b, pa, max_steps
+                    )
+                    if has_events:
+                        return jax.lax.cond(
+                            btype[j] == 0,
+                            lambda st: apply_output_jump(st, bslot[j], pa, tab),
+                            lambda st: apply_event_correction(st, bslot[j], pa),
+                            state,
+                        )
+                    return apply_output_jump(state, bslot[j], pa, tab)
+
+                return jax.lax.cond(inside, apply, lambda st: st, state)
+
+            state = jax.lax.fori_loop(0, neval + max_ev, bnd_body, state)
+            # finish the segment: integrate to its start time
+            return _integrate_to(
+                solver, state, t_top - ck_ts[s], pa, max_steps
+            )
+
+        return jax.lax.cond(valid, process, lambda st: st, state)
+
+    state = jax.lax.fori_loop(0, n_slots - 1, seg_body, state)
+    return _init_correction(problem, params, state.y[:n], state.y[n:])
+
+
+def _init_correction(problem, params, lam0, gp):
+    """Initial-condition correction (adjoint.rs:151-156 correct_sg_for_init):
+    dG/dp += (dy0/dp)^T M^T lambda(t0)  (M from the Lagrangian term
+    lambda^T (M y' - f); identity when no mass matrix; a singular M
+    automatically zeroes the algebraic rows)."""
+    eqn = problem.eqn
     if eqn.mass is not None:
-        lam0 = eqn.mass(t0, params).T @ lam0
-    y0_p = jax.jacfwd(lambda pp: eqn.init(t0, pp))(params)  # (n, np)
+        lam0 = eqn.mass(problem.t0, params).T @ lam0
+    y0_p = jax.jacfwd(lambda pp: eqn.init(problem.t0, pp))(params)  # (n, np)
     return gp + y0_p.T @ lam0
 
 
@@ -490,11 +903,19 @@ def make_differentiable_solve(
     max_steps: int = 16_384,
     bwd_solver_cls=None,
     bwd_max_steps: Optional[int] = None,
+    checkpoint_interval: Optional[int] = None,
 ):
     """Return ``ys_of(params) -> (neval, n)`` differentiable via the adjoint.
 
     Forward-mode (jvp/jacfwd) falls through to the solver itself; reverse
     mode (grad/vjp) runs the checkpointed adjoint backward pass.
+
+    ``checkpoint_interval=K`` selects the bounded-memory mode: the forward
+    pass stores a full solver-state checkpoint every K accepted steps
+    instead of the dense (t, y, dy) step table, and the backward pass
+    re-solves each segment on demand (reference Checkpointing,
+    checkpointing.rs:91-250).  Storage O(max_steps/K * state + K * n); use
+    for long horizons or large n where the dense table exceeds HBM.
     """
     from .solvers.bdf import BdfSolver
 
@@ -504,26 +925,50 @@ def make_differentiable_solve(
     solver = solver_cls(problem)
     t_eval = jnp.asarray(t_eval)
 
-    @jax.custom_vjp
-    def ys_of(params):
-        ys, _g, _table, _ev = forward_with_table(
-            solver, t_eval, params, max_steps
-        )
-        return ys
+    if checkpoint_interval is None:
+        @jax.custom_vjp
+        def ys_of(params):
+            ys, _g, _table, _ev = forward_with_table(
+                solver, t_eval, params, max_steps
+            )
+            return ys
 
-    def fwd(params):
-        ys, _g, table, ev = forward_with_table(
-            solver, t_eval, params, max_steps
-        )
-        return ys, (params, table, ev)
+        def fwd(params):
+            ys, _g, table, ev = forward_with_table(
+                solver, t_eval, params, max_steps
+            )
+            return ys, (params, table, ev)
 
-    def bwd(res, ct_ys):
-        params, table, ev = res
-        grad_p = backward_pass(
-            problem, bwd_solver_cls, table, ev, t_eval, ct_ys, params,
-            bwd_max_steps,
-        )
-        return (grad_p,)
+        def bwd(res, ct_ys):
+            params, table, ev = res
+            grad_p = backward_pass(
+                problem, bwd_solver_cls, table, ev, t_eval, ct_ys, params,
+                bwd_max_steps,
+            )
+            return (grad_p,)
+    else:
+        K = int(checkpoint_interval)
+
+        @jax.custom_vjp
+        def ys_of(params):
+            ys, _g, _ck, _ev = forward_with_checkpoints(
+                solver, t_eval, params, max_steps, K
+            )
+            return ys
+
+        def fwd(params):
+            ys, _g, ckpts, ev = forward_with_checkpoints(
+                solver, t_eval, params, max_steps, K
+            )
+            return ys, (params, ckpts, ev)
+
+        def bwd(res, ct_ys):
+            params, ckpts, ev = res
+            grad_p = backward_pass_bounded(
+                problem, bwd_solver_cls, solver, ckpts, ev, t_eval, ct_ys,
+                params, bwd_max_steps, K,
+            )
+            return (grad_p,)
 
     ys_of.defvjp(fwd, bwd)
     return ys_of
@@ -536,6 +981,7 @@ def make_differentiable_quadrature(
     max_steps: int = 16_384,
     bwd_solver_cls=None,
     bwd_max_steps: Optional[int] = None,
+    checkpoint_interval: Optional[int] = None,
 ):
     """Return ``g_of(params) -> (nout,)``: the quadrature output
     G = int_{t0}^{t_final} u(t, y, p) dt, reverse-differentiable through the
@@ -545,6 +991,8 @@ def make_differentiable_quadrature(
     The problem must be built with ``integrate_out`` (the forward pass
     accumulates g); ``u`` defaults to the identity on the state when no
     ``out`` function is configured, matching the reference.
+    ``checkpoint_interval`` selects the bounded-memory checkpointing mode
+    (see :func:`make_differentiable_solve`).
     """
     from .solvers.bdf import BdfSolver
 
@@ -559,28 +1007,54 @@ def make_differentiable_quadrature(
     solver = solver_cls(problem)
     t_eval = jnp.asarray([t_final])
 
-    @jax.custom_vjp
-    def g_of(params):
-        _ys, g, _table, _ev = forward_with_table(
-            solver, t_eval, params, max_steps
-        )
-        return g
+    if checkpoint_interval is None:
+        @jax.custom_vjp
+        def g_of(params):
+            _ys, g, _table, _ev = forward_with_table(
+                solver, t_eval, params, max_steps
+            )
+            return g
 
-    def fwd(params):
-        _ys, g, table, ev = forward_with_table(
-            solver, t_eval, params, max_steps
-        )
-        return g, (params, table, ev)
+        def fwd(params):
+            _ys, g, table, ev = forward_with_table(
+                solver, t_eval, params, max_steps
+            )
+            return g, (params, table, ev)
 
-    def bwd(res, ct_g):
-        params, table, ev = res
-        n = problem.eqn.nstates
-        zeros_ct = jnp.zeros((1, n), problem.atol.dtype)
-        grad_p = backward_pass(
-            problem, bwd_solver_cls, table, ev, t_eval, zeros_ct, params,
-            bwd_max_steps, ct_g=ct_g,
-        )
-        return (grad_p,)
+        def bwd(res, ct_g):
+            params, table, ev = res
+            n = problem.eqn.nstates
+            zeros_ct = jnp.zeros((1, n), problem.atol.dtype)
+            grad_p = backward_pass(
+                problem, bwd_solver_cls, table, ev, t_eval, zeros_ct, params,
+                bwd_max_steps, ct_g=ct_g,
+            )
+            return (grad_p,)
+    else:
+        K = int(checkpoint_interval)
+
+        @jax.custom_vjp
+        def g_of(params):
+            _ys, g, _ck, _ev = forward_with_checkpoints(
+                solver, t_eval, params, max_steps, K
+            )
+            return g
+
+        def fwd(params):
+            _ys, g, ckpts, ev = forward_with_checkpoints(
+                solver, t_eval, params, max_steps, K
+            )
+            return g, (params, ckpts, ev)
+
+        def bwd(res, ct_g):
+            params, ckpts, ev = res
+            n = problem.eqn.nstates
+            zeros_ct = jnp.zeros((1, n), problem.atol.dtype)
+            grad_p = backward_pass_bounded(
+                problem, bwd_solver_cls, solver, ckpts, ev, t_eval, zeros_ct,
+                params, bwd_max_steps, K, ct_g=ct_g,
+            )
+            return (grad_p,)
 
     g_of.defvjp(fwd, bwd)
     return g_of
