@@ -12,7 +12,11 @@ from . import errors  # noqa: F401
 from .drivers import Solution, solve, solve_dense  # noqa: F401
 from .ensemble import make_lockstep_problem, solve_dense_ensemble  # noqa: F401
 from .factory import METHODS, solver  # noqa: F401
-from .adjoint import make_differentiable_solve  # noqa: F401
+from .adjoint import (  # noqa: F401
+    make_differentiable_quadrature,
+    make_differentiable_solve,
+)
+from .diffsl import DiffslModel, compile_diffsl  # noqa: F401
 from .sens import solve_dense_fwd_sens  # noqa: F401
 from .equations import OdeEquations, make_equations  # noqa: F401
 from .problem import (  # noqa: F401

@@ -325,6 +325,38 @@ class OdeBuilder:
         self._use_coloring = flag
         return self
 
+    def build_from_diffsl(self, source: str) -> OdeProblem:
+        """Build the problem from DiffSL model text (reference
+        builder.rs `build_from_diffsl` -> diffsl.rs:239-330; here the DSL
+        is traced into JAX callables instead of LLVM-compiled --
+        see :mod:`diffsol_tpu.diffsl`).
+
+        ``.p(...)`` overrides the ``in_i`` defaults; rhs/init/mass/root/
+        out/reset come from the model's F/u/M/stop/out/reset tensors.
+        """
+        from .diffsl import compile_diffsl
+
+        model = compile_diffsl(source)
+        fns = model.make_callables()
+        self._rhs = fns["rhs"]
+        self._init = fns["init"]
+        if "mass" in fns:
+            self._mass = fns["mass"]
+        if "root" in fns:
+            self._root = fns["root"]
+        if "out" in fns:
+            self._out = fns["out"]
+        if "reset" in fns:
+            self._reset = fns["reset"]
+        if self._p is None or self._p.size == 0:
+            self._p = jnp.asarray(
+                model.default_params, dtype=jnp.result_type(float)
+            )
+        problem = self.build()
+        # frozen dataclass: attach the model as out-of-band metadata
+        object.__setattr__(problem, "diffsl_model", model)
+        return problem
+
     # build --------------------------------------------------------------
     def build(self) -> OdeProblem:
         if self._rhs is None or self._init is None:

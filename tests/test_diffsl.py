@@ -1,0 +1,253 @@
+"""DiffSL bridge tests (reference build_from_diffsl path, diffsl.rs:239-330
+and the DiffSL models in test_models/*.rs + diffsol-c JIT tests).  The DSL
+is traced into JAX callables; every model here is cross-checked against the
+equivalent closure-built problem or an analytic solution."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffsol_tpu.diffsl import DiffslError, DiffslModel, compile_diffsl
+from diffsol_tpu.drivers import solve, solve_dense
+from diffsol_tpu.problem import OdeBuilder
+from diffsol_tpu.solvers.bdf import BdfSolver
+from diffsol_tpu.solvers.erk import ErkSolver
+
+LOGISTIC = """
+in_i { r = 1.0, k = 1.0 }
+u { 0.1 }
+F { r * u * (1.0 - u / k) }
+"""
+
+# reference test_models/robertson.rs:16-42
+ROBERTSON = """
+in_i { k1 = 0.04, k2 = 10000, k3 = 30000000 }
+u_i { x = 1, y = 0, z = 0 }
+dudt_i { dxdt = 1, dydt = 0, dzdt = 0 }
+M_i { dxdt, dydt, 0 }
+F_i {
+    -k1 * x + k2 * y * z,
+    k1 * x - k2 * y * z - k3 * y * y,
+    1 - x - y - z,
+}
+out_i { x, y, z }
+"""
+
+
+def test_logistic_scalar_state():
+    """reference examples/intro-logistic-diffsl/src/main.rs"""
+    problem = OdeBuilder().rtol(1e-8).atol(1e-10).p([1.0, 10.0]) \
+        .build_from_diffsl(LOGISTIC)
+    assert problem.eqn.nstates == 1
+    sol = solve_dense(BdfSolver(problem), jnp.asarray([0.4]), max_steps=1000)
+    r, k, y0 = 1.0, 10.0, 0.1
+    expect = k * y0 * np.exp(r * 0.4) / (k + y0 * (np.exp(r * 0.4) - 1.0))
+    np.testing.assert_allclose(float(sol.ys[0, 0]), expect, rtol=1e-6)
+
+
+def test_default_params_from_in():
+    problem = OdeBuilder().build_from_diffsl(LOGISTIC)
+    np.testing.assert_allclose(np.asarray(problem.params), [1.0, 1.0])
+
+
+def test_robertson_dae_matches_native_model():
+    """Mass matrix via dudt labels (M_i) == the closure-built DAE."""
+    from diffsol_tpu.models import robertson
+
+    prob = (
+        OdeBuilder().p([0.04, 1.0e4, 3.0e7]).rtol(1e-8)
+        .atol(1e-10).build_from_diffsl(ROBERTSON)
+    )
+    ref = robertson.problem_dae(rtol=1e-8, atol=(1e-10, 1e-10, 1e-10))
+    t_eval = jnp.asarray([0.4, 4.0, 40.0])
+    s1 = solve_dense(BdfSolver(prob), t_eval, max_steps=5000)
+    s2 = solve_dense(BdfSolver(ref), t_eval, max_steps=5000)
+    np.testing.assert_allclose(
+        np.asarray(s1.ys), np.asarray(s2.ys), rtol=1e-5, atol=1e-12
+    )
+    # the mass matrix itself: diag(1, 1, 0)
+    M = prob.eqn.mass(0.0, prob.params)
+    np.testing.assert_allclose(np.asarray(M), np.diag([1.0, 1.0, 0.0]))
+
+
+def test_heat1d_banded_matrix_and_contraction():
+    """Diagonal-run 2-D ranges + einsum contraction A_ij * u_j
+    (reference test_models/heat1d.rs:34-52) vs the analytic Fourier
+    solution."""
+    MGRID = 20
+    mgridp1 = MGRID + 1
+    h = 1.0 / (MGRID + 2)
+    y0 = ", ".join(
+        f"({i}): {2 * (i + 1) * h if (i + 1) * h < 0.5 else 2 * (1 - (i + 1) * h)}"
+        for i in range(mgridp1)
+    )
+    code = f"""
+    D {{ 1.0 }}
+    h {{ {h} }}
+    A_ij {{
+        (0..{MGRID}, 1..{mgridp1}): 1.0,
+        (0..{mgridp1}, 0..{mgridp1}): -2.0,
+        (1..{mgridp1}, 0..{MGRID}): 1.0,
+    }}
+    u_i {{ {y0} }}
+    heat_i {{ A_ij * u_j }}
+    F_i {{ D * heat_i / (h * h) }}
+    out_i {{ u_i }}
+    """
+    problem = OdeBuilder().rtol(1e-6).atol(1e-6).build_from_diffsl(code)
+    assert problem.eqn.nstates == mgridp1
+    # constant matrix folded at build time
+    model = problem.diffsl_model
+    assert "A" in model.constants
+    A = model.constants["A"][0]
+    assert A.shape == (mgridp1, mgridp1)
+    np.testing.assert_allclose(np.diag(A), -2.0)
+    sol = solve_dense(BdfSolver(problem), jnp.asarray([0.5]), max_steps=5000)
+
+    x = (np.arange(mgridp1) + 1) * h
+    exact = np.zeros(mgridp1)
+    for nn in range(1, 100):
+        m = 2 * nn - 1
+        exact += (
+            np.sin(m * np.pi * x) * np.exp(-((m * np.pi) ** 2) * 0.5)
+            * (8.0 / np.pi**2) * ((-1.0) ** (nn + 1)) / m**2
+        )
+    assert np.max(np.abs(np.asarray(sol.ys[0]) - exact)) < 1e-3
+
+
+def test_foodweb_style_blocks_and_elementwise():
+    """Labeled multi-element blocks (c1/c2), elementwise broadcasts over
+    constant grids and per-entry contraction in out_i (reference
+    test_models/foodweb.rs:71-130 structure, small grid)."""
+    n = 4
+    code = f"""
+    A {{ 0.5 }}
+    xx_i {{ (0): 0.0, (1): 0.3333, (2): 0.6666, (3): 1.0 }}
+    b_i {{ (1.0 + A * xx_i * xx_i) }}
+    u_i {{
+        c1 = 1.0 + xx_i,
+        ({n}:{2 * n}): c2 = 2.0,
+    }}
+    F_i {{
+        -c1_i + b_i,
+        -2.0 * c2_i + c1_i,
+    }}
+    out_i {{
+        xx_j * c1_j,
+        xx_j * c2_j,
+    }}
+    """
+    problem = OdeBuilder().rtol(1e-8).atol(1e-10).build_from_diffsl(code)
+    assert problem.eqn.nstates == 2 * n
+    assert problem.eqn.nout == 2
+    y0 = problem.eqn.init(0.0, problem.params)
+    np.testing.assert_allclose(
+        np.asarray(y0[:n]), 1.0 + np.array([0.0, 0.3333, 0.6666, 1.0])
+    )
+    np.testing.assert_allclose(np.asarray(y0[n:]), 2.0)
+    # rhs: steady state of c1 is b_i
+    f = problem.eqn.rhs(0.0, y0, problem.params)
+    b = 1.0 + 0.5 * np.array([0.0, 0.3333, 0.6666, 1.0]) ** 2
+    np.testing.assert_allclose(np.asarray(f[:n]), b - np.asarray(y0[:n]))
+    # out: contraction entries
+    o = problem.eqn.out(0.0, y0, problem.params)
+    xx = np.array([0.0, 0.3333, 0.6666, 1.0])
+    np.testing.assert_allclose(float(o[0]), float(xx @ np.asarray(y0[:n])))
+    np.testing.assert_allclose(float(o[1]), float(xx @ np.asarray(y0[n:])))
+
+
+def test_stop_and_reset():
+    """stop_i/reset_i -> root + reset protocol (reference diffsol-c
+    logistic JIT tests; the reset here is state-dependent, not the
+    unsupported N-counter form)."""
+    code = """
+    in_i { r = 1.0 }
+    u_i { y = 1.0 }
+    F_i { -r * y }
+    stop_i { y - 0.5 }
+    reset_i { y + 1.0 }
+    out_i { y }
+    """
+    problem = OdeBuilder().rtol(1e-8).atol(1e-10).build_from_diffsl(code)
+    # stop before the SECOND reset (y hits 0.5 again at ln2 + ln3 ~ 1.79)
+    sol = solve(ErkSolver(problem), 1.5, max_steps=4000)
+    # y decays 1 -> 0.5 at t = ln 2, resets to 1.5, decays again
+    ts = np.asarray(sol.ts[: int(sol.n_points)])
+    ys = np.asarray(sol.ys[: int(sol.n_points), 0])
+    t_reset = np.log(2.0)
+    after = ts > t_reset + 1e-9
+    np.testing.assert_allclose(
+        ys[after], 1.5 * np.exp(-(ts[after] - t_reset)), rtol=1e-5
+    )
+
+
+def test_time_dependent_stop():
+    code = """
+    in_i { r = 1.0 }
+    u_i { y = 0.1 }
+    F_i { r * y * (1.0 - y) }
+    stop_i { t - 0.5 }
+    """
+    problem = OdeBuilder().rtol(1e-8).atol(1e-10).build_from_diffsl(code)
+    sol = solve(BdfSolver(problem), 2.0, max_steps=4000)
+    assert abs(float(sol.root_t) - 0.5) < 1e-8
+
+
+def test_exponential_decay_elementwise():
+    """F_i { -k * u_i }: elementwise over the whole state vector
+    (reference test_models/exponential_decay.rs:225-236)."""
+    code = """
+    in_i { k = 0.1, y0 = 1.0 }
+    u_i { x = y0, y = y0 }
+    F_i { -k * u_i }
+    """
+    problem = OdeBuilder().rtol(1e-8).atol(1e-10).build_from_diffsl(code)
+    sol = solve_dense(BdfSolver(problem), jnp.asarray([1.0]), max_steps=1000)
+    np.testing.assert_allclose(
+        np.asarray(sol.ys[0]), np.exp(-0.1), rtol=1e-6
+    )
+
+
+def test_grad_through_diffsl_problem():
+    """JAX AD replaces Enzyme: jax.grad through a DiffSL-built solve."""
+    from diffsol_tpu.adjoint import make_differentiable_solve
+
+    problem = OdeBuilder().rtol(1e-9).atol(1e-11).p([1.0, 10.0]) \
+        .build_from_diffsl(LOGISTIC)
+    t_eval = jnp.linspace(0.0, 2.0, 4)
+    ys_of = make_differentiable_solve(problem, t_eval)
+    g = jax.grad(lambda p: jnp.sum(ys_of(p)))(problem.params)
+    eps = 1e-6
+    for i in range(2):
+        e = jnp.zeros(2).at[i].set(eps)
+        fd = (
+            float(jnp.sum(ys_of(problem.params + e)))
+            - float(jnp.sum(ys_of(problem.params - e)))
+        ) / (2 * eps)
+        np.testing.assert_allclose(float(g[i]), fd, rtol=1e-4, atol=1e-8)
+
+
+def test_serialization_roundtrip():
+    """reference solve_serialization.rs role: ship models without a
+    compiler -- here the source is the portable form."""
+    m = compile_diffsl(ROBERTSON)
+    m2 = DiffslModel.deserialize(m.serialize())
+    assert m2.nstates == 3
+    np.testing.assert_allclose(m2.default_params, [0.04, 1e4, 3e7])
+    fns = m2.make_callables()
+    y0 = fns["init"](0.0, jnp.asarray(m2.default_params))
+    np.testing.assert_allclose(np.asarray(y0), [1.0, 0.0, 0.0])
+
+
+def test_errors():
+    with pytest.raises(DiffslError, match="needs `u`"):
+        compile_diffsl("F { 1.0 }")
+    with pytest.raises(DiffslError, match="undefined"):
+        p = OdeBuilder().build_from_diffsl("u { 1.0 }\nF { -q * u }")
+        p.eqn.rhs(0.0, jnp.ones(1), p.params)
+    with pytest.raises(DiffslError, match="reset counter"):
+        compile_diffsl(
+            "in_i { r = 1 }\nu_i { y = 0.1 }\nF_i { r * y }\n"
+            "stop_i { t - 0.5 }\nreset_i { 0.1 + 0.5 * N }"
+        )
