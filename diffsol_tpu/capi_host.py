@@ -1,0 +1,309 @@
+"""Python side of the C ABI (reference crates/diffsol-c/src/ode.rs OdeWrapper).
+
+The native shared library (native/capi.cpp) embeds CPython and drives this
+module: each ``diffsol_ode_*`` C function maps to one function here, keyed
+by an integer handle.  The wrapper erases the solver/tableau generics
+behind runtime enums exactly like the reference's `OdeWrapper`
+(diffsol-c/src/lib.rs:1-110): models arrive as DiffSL text
+(`diffsol_ode_new_jit`), settings mutate a config that lazily rebuilds the
+problem, and solves return flat float lists the C side copies out.
+
+Data crosses the boundary as plain Python floats/lists -- the arrays at
+this boundary are solver outputs (neval x nstates), small next to the
+device-side work, matching the reference's HostArray copy-out semantics
+(host_array_c.rs).
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+import threading
+
+import jax
+
+# The C ABI is f64; embedded interpreters have no conftest to set this.
+jax.config.update("jax_enable_x64", True)
+if os.environ.get("DIFFSOL_PLATFORM"):
+    # the axon TPU plugin ignores JAX_PLATFORMS; this is the reliable knob
+    jax.config.update("jax_platforms", os.environ["DIFFSOL_PLATFORM"])
+
+import jax.numpy as jnp
+import numpy as np
+
+from . import errors
+from .drivers import solve as _solve
+from .drivers import solve_dense as _solve_dense
+from .problem import OdeBuilder
+
+# reference diffsol-c/src/ode_solver_type.rs:34-39 (same order)
+_METHODS = ("bdf", "esdirk34", "tr_bdf2", "tsit45")
+# reference diffsol-c/src/linear_solver_type.rs:15-19
+_LINEAR_SOLVERS = ("default", "lu", "klu")
+
+_registry: dict[int, "_OdeHandle"] = {}
+_next_id = itertools.count(1)
+_lock = threading.Lock()
+
+
+class _OdeHandle:
+    def __init__(self, code: str):
+        self.code = code
+        self.rtol = 1e-6
+        self.atol = 1e-6
+        self.t0 = 0.0
+        self.h0 = 0.0
+        self.params = None  # None => DiffSL in_i defaults
+        self.method = 0  # bdf
+        self.linear_solver = 0  # default
+        self.integrate_out = False
+        self._problem = None
+        self._solver = None
+
+    def invalidate(self):
+        self._problem = None
+        self._solver = None
+
+    def problem(self):
+        if self._problem is None:
+            b = (
+                OdeBuilder()
+                .rtol(self.rtol)
+                .atol(self.atol)
+                .t0(self.t0)
+                .h0(self.h0)
+                .integrate_out(self.integrate_out)
+            )
+            if self.params is not None:
+                b = b.p(self.params)
+            self._problem = b.build_from_diffsl(self.code)
+        return self._problem
+
+    def solver(self):
+        if self._solver is None:
+            from .factory import solver as make_solver
+
+            self._solver = make_solver(self.problem(), _METHODS[self.method])
+        return self._solver
+
+
+def _get(handle: int) -> _OdeHandle:
+    h = _registry.get(handle)
+    if h is None:
+        raise KeyError(f"invalid ode handle {handle}")
+    return h
+
+
+# ---- lifecycle -----------------------------------------------------------
+
+
+def new_jit(code: str) -> int:
+    """diffsol_ode_new_jit (ode_c.rs:284): build from DiffSL text.
+
+    Parse errors surface here (at create time), like the reference's JIT
+    compile step.
+    """
+    from .diffsl import compile_diffsl
+
+    compile_diffsl(code)  # validate eagerly
+    h = _OdeHandle(code)
+    with _lock:
+        hid = next(_next_id)
+        _registry[hid] = h
+    return hid
+
+
+def free(handle: int) -> None:
+    with _lock:
+        _registry.pop(handle, None)
+
+
+# ---- settings ------------------------------------------------------------
+
+
+def set_rtol(handle, v):
+    h = _get(handle)
+    h.rtol = float(v)
+    h.invalidate()
+
+
+def get_rtol(handle):
+    return float(_get(handle).rtol)
+
+
+def set_atol(handle, v):
+    h = _get(handle)
+    h.atol = float(v)
+    h.invalidate()
+
+
+def get_atol(handle):
+    return float(_get(handle).atol)
+
+
+def set_t0(handle, v):
+    h = _get(handle)
+    h.t0 = float(v)
+    h.invalidate()
+
+
+def get_t0(handle):
+    return float(_get(handle).t0)
+
+
+def set_h0(handle, v):
+    h = _get(handle)
+    h.h0 = float(v)
+    h.invalidate()
+
+
+def get_h0(handle):
+    return float(_get(handle).h0)
+
+
+def set_params(handle, values):
+    h = _get(handle)
+    h.params = [float(v) for v in values]
+    h.invalidate()
+
+
+def get_params(handle):
+    h = _get(handle)
+    if h.params is not None:
+        return list(h.params)
+    return [float(v) for v in np.asarray(h.problem().params)]
+
+
+def set_ode_solver(handle, value):
+    value = int(value)
+    if not 0 <= value < len(_METHODS):
+        raise ValueError(f"invalid ode solver type {value}")
+    h = _get(handle)
+    h.method = value
+    h._solver = None
+
+
+def get_ode_solver(handle):
+    return int(_get(handle).method)
+
+
+def set_linear_solver(handle, value):
+    value = int(value)
+    if not 0 <= value < len(_LINEAR_SOLVERS):
+        raise ValueError(f"invalid linear solver type {value}")
+    if _LINEAR_SOLVERS[value] == "klu":
+        raise ValueError(
+            "klu is a CPU/SuiteSparse solver; the TPU build provides "
+            "dense/banded tiers (use 'default' or 'lu')"
+        )
+    h = _get(handle)
+    h.linear_solver = value
+    h.invalidate()
+
+
+def get_linear_solver(handle):
+    return int(_get(handle).linear_solver)
+
+
+def set_integrate_out(handle, value):
+    h = _get(handle)
+    h.integrate_out = bool(value)
+    h.invalidate()
+
+
+def get_integrate_out(handle):
+    return int(_get(handle).integrate_out)
+
+
+# ---- introspection -------------------------------------------------------
+
+
+def nstates(handle):
+    return int(_get(handle).problem().eqn.nstates)
+
+
+def nparams(handle):
+    return int(_get(handle).problem().eqn.nparams)
+
+
+def nout(handle):
+    p = _get(handle).problem()
+    return int(p.eqn.nout if p.eqn.out is not None else p.eqn.nstates)
+
+
+# ---- op evaluation (ode_c.rs:389-511) -------------------------------------
+
+
+def y0(handle):
+    p = _get(handle).problem()
+    arr = p.eqn.init(jnp.asarray(p.t0), p.params)
+    return [float(v) for v in np.asarray(arr)]
+
+
+def rhs(handle, t, y):
+    p = _get(handle).problem()
+    arr = p.eqn.rhs(
+        jnp.asarray(float(t)), jnp.asarray([float(v) for v in y]), p.params
+    )
+    return [float(v) for v in np.asarray(arr)]
+
+
+def rhs_jac_mul(handle, t, y, v):
+    p = _get(handle).problem()
+    arr = p.eqn.jac_mul(
+        jnp.asarray(float(t)),
+        jnp.asarray([float(x) for x in y]),
+        p.params,
+        jnp.asarray([float(x) for x in v]),
+    )
+    return [float(x) for x in np.asarray(arr)]
+
+
+# ---- solves (ode_c.rs:512-623, solve.rs) ----------------------------------
+
+
+def solve(handle, t_final, max_steps=10_000):
+    """Adaptive solve; returns (ts, ys_flat_row_major, npoints, stop)."""
+    h = _get(handle)
+    sol = _solve(h.solver(), float(t_final), max_steps=int(max_steps))
+    npts = int(sol.n_points)
+    ts = np.asarray(sol.ts[:npts])
+    ys = np.asarray(sol.ys[:npts])
+    return (
+        [float(v) for v in ts],
+        [float(v) for v in ys.reshape(-1)],
+        npts,
+        int(sol.stop_reason),
+    )
+
+
+def solve_dense(handle, t_eval, max_steps=10_000):
+    """Dense-output solve; returns (ys_flat_row_major, stop_reason)."""
+    h = _get(handle)
+    sol = _solve_dense(
+        h.solver(),
+        jnp.asarray([float(t) for t in t_eval]),
+        max_steps=int(max_steps),
+    )
+    ys = np.asarray(sol.ys)
+    return [float(v) for v in ys.reshape(-1)], int(sol.stop_reason)
+
+
+def solve_fwd_sens(handle, t_eval, max_steps=10_000):
+    """Forward sensitivities; returns (ys_flat, sens_flat[np, neval, n],
+    stop_reason)."""
+    from .sens import solve_dense_fwd_sens
+
+    h = _get(handle)
+    ys, sens = solve_dense_fwd_sens(
+        h.solver(), jnp.asarray([float(t) for t in t_eval])
+    )
+    return (
+        [float(v) for v in np.asarray(ys).reshape(-1)],
+        [float(v) for v in np.asarray(sens).reshape(-1)],
+        0,
+    )
+
+
+def stop_reason_name(code):
+    return errors._MESSAGES.get(int(code), "ok")

@@ -1,0 +1,389 @@
+/* diffsol_tpu C ABI implementation: embeds CPython and drives the
+ * diffsol_tpu.capi_host Python module (role of reference
+ * crates/diffsol-c/src/ode_c.rs OdeWrapper FFI + error_c.rs thread-local
+ * error reporting).
+ *
+ * Build:
+ *   g++ -O2 -shared -fPIC -o libdiffsol_tpu.so capi.cpp \
+ *       $(python3-config --includes) \
+ *       -L$(python3-config --prefix)/lib -lpython3.12
+ *
+ * The embedding host must be able to import diffsol_tpu (set PYTHONPATH to
+ * the repo root, or install the package).
+ */
+#include <Python.h>
+
+#include <cstdint>
+#include <cstring>
+#include <string>
+
+#include "diffsol_tpu.h"
+
+static thread_local std::string g_err;
+static PyObject *g_host = nullptr;  /* diffsol_tpu.capi_host module */
+static bool g_owns_interp = false;
+static PyThreadState *g_main_tstate = nullptr;
+
+static void set_err(const char *msg) { g_err = msg ? msg : "unknown error"; }
+
+/* Capture the current Python exception into the thread-local error slot. */
+static void set_err_from_python() {
+    PyObject *type = nullptr, *value = nullptr, *tb = nullptr;
+    PyErr_Fetch(&type, &value, &tb);
+    PyErr_NormalizeException(&type, &value, &tb);
+    if (value) {
+        PyObject *s = PyObject_Str(value);
+        if (s) {
+            const char *c = PyUnicode_AsUTF8(s);
+            set_err(c);
+            Py_DECREF(s);
+        } else {
+            set_err("python exception (unprintable)");
+        }
+    } else {
+        set_err("python exception");
+    }
+    Py_XDECREF(type);
+    Py_XDECREF(value);
+    Py_XDECREF(tb);
+}
+
+extern "C" const char *diffsol_last_error_message(void) {
+    return g_err.c_str();
+}
+
+extern "C" void diffsol_clear_last_error(void) { g_err.clear(); }
+
+extern "C" int diffsol_init(void) {
+    if (!Py_IsInitialized()) {
+        Py_InitializeEx(0);
+        g_owns_interp = true;
+    }
+    PyGILState_STATE gil = PyGILState_Ensure();
+    int rc = 0;
+    if (!g_host) {
+        g_host = PyImport_ImportModule("diffsol_tpu.capi_host");
+        if (!g_host) {
+            set_err_from_python();
+            rc = -1;
+        }
+    }
+    PyGILState_Release(gil);
+    if (g_owns_interp && !g_main_tstate) {
+        /* release the GIL held since Py_Initialize so any thread can
+         * PyGILState_Ensure later */
+        g_main_tstate = PyEval_SaveThread();
+    }
+    return rc;
+}
+
+extern "C" void diffsol_shutdown(void) {
+    if (!Py_IsInitialized()) return;
+    if (g_main_tstate) {
+        PyEval_RestoreThread(g_main_tstate);
+        g_main_tstate = nullptr;
+    }
+    Py_XDECREF(g_host);
+    g_host = nullptr;
+    if (g_owns_interp) {
+        Py_FinalizeEx();
+        g_owns_interp = false;
+    }
+}
+
+/* ---- call helpers --------------------------------------------------- */
+
+struct Gil {
+    PyGILState_STATE s;
+    Gil() : s(PyGILState_Ensure()) {}
+    ~Gil() { PyGILState_Release(s); }
+};
+
+/* Call capi_host.<fn>(*args); returns new ref or nullptr (err set). */
+static PyObject *call_host(const char *fn, PyObject *args /* stolen */) {
+    if (!g_host) {
+        Py_XDECREF(args);
+        set_err("diffsol_init() has not been called");
+        return nullptr;
+    }
+    PyObject *f = PyObject_GetAttrString(g_host, fn);
+    if (!f) {
+        Py_XDECREF(args);
+        set_err_from_python();
+        return nullptr;
+    }
+    PyObject *r = PyObject_CallObject(f, args);
+    Py_DECREF(f);
+    Py_XDECREF(args);
+    if (!r) set_err_from_python();
+    return r;
+}
+
+static PyObject *list_from_doubles(const double *p, int64_t n) {
+    PyObject *l = PyList_New(n);
+    for (int64_t i = 0; i < n; ++i)
+        PyList_SET_ITEM(l, i, PyFloat_FromDouble(p[i]));
+    return l;
+}
+
+/* Copy a Python float sequence into out (up to cap; -1 = exact len
+ * unknown, copy all).  Returns copied count or -1. */
+static int64_t doubles_from_seq(PyObject *seq, double *out, int64_t cap) {
+    PyObject *fast = PySequence_Fast(seq, "expected a sequence");
+    if (!fast) {
+        set_err_from_python();
+        return -1;
+    }
+    int64_t n = PySequence_Fast_GET_SIZE(fast);
+    if (cap >= 0 && n > cap) {
+        Py_DECREF(fast);
+        set_err("output buffer too small");
+        return -1;
+    }
+    for (int64_t i = 0; i < n; ++i) {
+        out[i] = PyFloat_AsDouble(PySequence_Fast_GET_ITEM(fast, i));
+        if (PyErr_Occurred()) {
+            Py_DECREF(fast);
+            set_err_from_python();
+            return -1;
+        }
+    }
+    Py_DECREF(fast);
+    return n;
+}
+
+/* ---- handle lifecycle ------------------------------------------------ */
+
+extern "C" int64_t diffsol_ode_new_jit(const char *code) {
+    Gil gil;
+    PyObject *r = call_host("new_jit", Py_BuildValue("(s)", code));
+    if (!r) return 0;
+    int64_t h = PyLong_AsLongLong(r);
+    Py_DECREF(r);
+    if (PyErr_Occurred()) {
+        set_err_from_python();
+        return 0;
+    }
+    return h;
+}
+
+extern "C" void diffsol_ode_free(int64_t ode) {
+    if (!Py_IsInitialized() || !g_host) return;
+    Gil gil;
+    PyObject *r = call_host("free", Py_BuildValue("(L)", (long long)ode));
+    Py_XDECREF(r);
+}
+
+/* ---- scalar setters/getters ------------------------------------------ */
+
+#define SCALAR_SET(cname, pyname)                                          \
+    extern "C" int cname(int64_t ode, double v) {                          \
+        Gil gil;                                                           \
+        PyObject *r = call_host(pyname,                                    \
+                                Py_BuildValue("(Ld)", (long long)ode, v)); \
+        if (!r) return -1;                                                 \
+        Py_DECREF(r);                                                      \
+        return 0;                                                          \
+    }
+
+#define SCALAR_GET(cname, pyname)                                          \
+    extern "C" int cname(int64_t ode, double *out) {                       \
+        Gil gil;                                                           \
+        PyObject *r =                                                      \
+            call_host(pyname, Py_BuildValue("(L)", (long long)ode));       \
+        if (!r) return -1;                                                 \
+        *out = PyFloat_AsDouble(r);                                        \
+        Py_DECREF(r);                                                      \
+        if (PyErr_Occurred()) {                                            \
+            set_err_from_python();                                         \
+            return -1;                                                     \
+        }                                                                  \
+        return 0;                                                          \
+    }
+
+SCALAR_SET(diffsol_ode_set_rtol, "set_rtol")
+SCALAR_GET(diffsol_ode_get_rtol, "get_rtol")
+SCALAR_SET(diffsol_ode_set_atol, "set_atol")
+SCALAR_GET(diffsol_ode_get_atol, "get_atol")
+SCALAR_SET(diffsol_ode_set_t0, "set_t0")
+SCALAR_GET(diffsol_ode_get_t0, "get_t0")
+SCALAR_SET(diffsol_ode_set_h0, "set_h0")
+SCALAR_GET(diffsol_ode_get_h0, "get_h0")
+
+#define INT_SET(cname, pyname)                                             \
+    extern "C" int cname(int64_t ode, int v) {                             \
+        Gil gil;                                                           \
+        PyObject *r = call_host(pyname,                                    \
+                                Py_BuildValue("(Li)", (long long)ode, v)); \
+        if (!r) return -1;                                                 \
+        Py_DECREF(r);                                                      \
+        return 0;                                                          \
+    }
+
+#define INT_GET(cname, pyname, ty)                                         \
+    extern "C" int cname(int64_t ode, ty *out) {                           \
+        Gil gil;                                                           \
+        PyObject *r =                                                      \
+            call_host(pyname, Py_BuildValue("(L)", (long long)ode));       \
+        if (!r) return -1;                                                 \
+        *out = (ty)PyLong_AsLongLong(r);                                   \
+        Py_DECREF(r);                                                      \
+        if (PyErr_Occurred()) {                                            \
+            set_err_from_python();                                         \
+            return -1;                                                     \
+        }                                                                  \
+        return 0;                                                          \
+    }
+
+INT_SET(diffsol_ode_set_ode_solver, "set_ode_solver")
+INT_GET(diffsol_ode_get_ode_solver, "get_ode_solver", int)
+INT_SET(diffsol_ode_set_linear_solver, "set_linear_solver")
+INT_GET(diffsol_ode_get_linear_solver, "get_linear_solver", int)
+INT_GET(diffsol_ode_nstates, "nstates", int64_t)
+INT_GET(diffsol_ode_nparams, "nparams", int64_t)
+INT_GET(diffsol_ode_nout, "nout", int64_t)
+
+/* ---- params ----------------------------------------------------------- */
+
+extern "C" int diffsol_ode_set_params(int64_t ode, const double *p,
+                                      int64_t len) {
+    Gil gil;
+    PyObject *l = list_from_doubles(p, len);
+    PyObject *r =
+        call_host("set_params", Py_BuildValue("(LN)", (long long)ode, l));
+    if (!r) return -1;
+    Py_DECREF(r);
+    return 0;
+}
+
+extern "C" int diffsol_ode_get_params(int64_t ode, double *out, int64_t cap,
+                                      int64_t *len) {
+    Gil gil;
+    PyObject *r = call_host("get_params", Py_BuildValue("(L)", (long long)ode));
+    if (!r) return -1;
+    int64_t n = doubles_from_seq(r, out, cap);
+    Py_DECREF(r);
+    if (n < 0) return -1;
+    if (len) *len = n;
+    return 0;
+}
+
+/* ---- op evaluation ----------------------------------------------------- */
+
+extern "C" int diffsol_ode_y0(int64_t ode, double *out, int64_t cap) {
+    Gil gil;
+    PyObject *r = call_host("y0", Py_BuildValue("(L)", (long long)ode));
+    if (!r) return -1;
+    int64_t n = doubles_from_seq(r, out, cap);
+    Py_DECREF(r);
+    return n < 0 ? -1 : 0;
+}
+
+extern "C" int diffsol_ode_rhs(int64_t ode, double t, const double *y,
+                               int64_t n, double *out) {
+    Gil gil;
+    PyObject *l = list_from_doubles(y, n);
+    PyObject *r =
+        call_host("rhs", Py_BuildValue("(LdN)", (long long)ode, t, l));
+    if (!r) return -1;
+    int64_t m = doubles_from_seq(r, out, n);
+    Py_DECREF(r);
+    return m < 0 ? -1 : 0;
+}
+
+extern "C" int diffsol_ode_rhs_jac_mul(int64_t ode, double t, const double *y,
+                                       const double *v, int64_t n,
+                                       double *out) {
+    Gil gil;
+    PyObject *ly = list_from_doubles(y, n);
+    PyObject *lv = list_from_doubles(v, n);
+    PyObject *r = call_host(
+        "rhs_jac_mul", Py_BuildValue("(LdNN)", (long long)ode, t, ly, lv));
+    if (!r) return -1;
+    int64_t m = doubles_from_seq(r, out, n);
+    Py_DECREF(r);
+    return m < 0 ? -1 : 0;
+}
+
+/* ---- solves ------------------------------------------------------------ */
+
+extern "C" int diffsol_ode_solve_dense(int64_t ode, const double *t_eval,
+                                       int64_t neval, int64_t max_steps,
+                                       double *ys_out, int *stop_reason) {
+    Gil gil;
+    PyObject *l = list_from_doubles(t_eval, neval);
+    PyObject *r = call_host(
+        "solve_dense",
+        Py_BuildValue("(LNL)", (long long)ode, l, (long long)max_steps));
+    if (!r) return -1;
+    PyObject *ys = PyTuple_GetItem(r, 0);
+    PyObject *stop = PyTuple_GetItem(r, 1);
+    if (!ys || !stop) {
+        Py_DECREF(r);
+        set_err("solve_dense returned malformed tuple");
+        return -1;
+    }
+    int64_t n = doubles_from_seq(ys, ys_out, -1);
+    if (stop_reason) *stop_reason = (int)PyLong_AsLong(stop);
+    Py_DECREF(r);
+    return n < 0 ? -1 : 0;
+}
+
+extern "C" int diffsol_ode_solve(int64_t ode, double t_final,
+                                 int64_t max_steps, double *ts_out,
+                                 double *ys_out, int64_t cap_points,
+                                 int64_t *npoints, int *stop_reason) {
+    Gil gil;
+    PyObject *r = call_host(
+        "solve", Py_BuildValue("(LdL)", (long long)ode, t_final,
+                               (long long)max_steps));
+    if (!r) return -1;
+    PyObject *ts = PyTuple_GetItem(r, 0);
+    PyObject *ys = PyTuple_GetItem(r, 1);
+    PyObject *np_ = PyTuple_GetItem(r, 2);
+    PyObject *stop = PyTuple_GetItem(r, 3);
+    if (!ts || !ys || !np_ || !stop) {
+        Py_DECREF(r);
+        set_err("solve returned malformed tuple");
+        return -1;
+    }
+    int64_t n = PyLong_AsLongLong(np_);
+    if (n > cap_points) {
+        Py_DECREF(r);
+        set_err("cap_points too small for solve output");
+        return -1;
+    }
+    if (doubles_from_seq(ts, ts_out, cap_points) < 0 ||
+        doubles_from_seq(ys, ys_out, -1) < 0) {
+        Py_DECREF(r);
+        return -1;
+    }
+    if (npoints) *npoints = n;
+    if (stop_reason) *stop_reason = (int)PyLong_AsLong(stop);
+    Py_DECREF(r);
+    return 0;
+}
+
+extern "C" int diffsol_ode_solve_fwd_sens(int64_t ode, const double *t_eval,
+                                          int64_t neval, double *ys_out,
+                                          double *sens_out) {
+    Gil gil;
+    PyObject *l = list_from_doubles(t_eval, neval);
+    PyObject *r = call_host("solve_fwd_sens",
+                            Py_BuildValue("(LN)", (long long)ode, l));
+    if (!r) return -1;
+    PyObject *ys = PyTuple_GetItem(r, 0);
+    PyObject *sens = PyTuple_GetItem(r, 1);
+    if (!ys || !sens) {
+        Py_DECREF(r);
+        set_err("solve_fwd_sens returned malformed tuple");
+        return -1;
+    }
+    if (doubles_from_seq(ys, ys_out, -1) < 0 ||
+        doubles_from_seq(sens, sens_out, -1) < 0) {
+        Py_DECREF(r);
+        return -1;
+    }
+    Py_DECREF(r);
+    return 0;
+}

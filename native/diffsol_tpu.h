@@ -1,0 +1,85 @@
+/* diffsol_tpu C ABI (role of reference crates/diffsol-c: the extern "C"
+ * surface over the solver framework, ode_c.rs:181-1200, error_c.rs,
+ * host_array_c.rs).  The library embeds CPython and drives the
+ * diffsol_tpu.capi_host module; models are supplied as DiffSL text exactly
+ * like the reference's diffsol_ode_new_jit.
+ *
+ * Conventions: functions return 0 on success, -1 on error (fetch the
+ * message with diffsol_last_error_message, thread-local).  Arrays are
+ * caller-allocated, row-major f64.
+ */
+#ifndef DIFFSOL_TPU_H
+#define DIFFSOL_TPU_H
+
+#include <stdint.h>
+
+#ifdef __cplusplus
+extern "C" {
+#endif
+
+/* ---- runtime lifecycle ---- */
+int diffsol_init(void);
+void diffsol_shutdown(void);
+
+/* ---- errors (reference error_c.rs:54-119) ---- */
+const char *diffsol_last_error_message(void);
+void diffsol_clear_last_error(void);
+
+/* ---- ode handle lifecycle (reference ode_c.rs:284-341) ---- */
+/* Build from DiffSL text; returns handle > 0, or 0 on error. */
+int64_t diffsol_ode_new_jit(const char *diffsl_code);
+void diffsol_ode_free(int64_t ode);
+
+/* ---- settings (reference ode_c.rs:733-1100) ---- */
+int diffsol_ode_set_rtol(int64_t ode, double v);
+int diffsol_ode_get_rtol(int64_t ode, double *out);
+int diffsol_ode_set_atol(int64_t ode, double v);
+int diffsol_ode_get_atol(int64_t ode, double *out);
+int diffsol_ode_set_t0(int64_t ode, double v);
+int diffsol_ode_get_t0(int64_t ode, double *out);
+int diffsol_ode_set_h0(int64_t ode, double v);
+int diffsol_ode_get_h0(int64_t ode, double *out);
+int diffsol_ode_set_params(int64_t ode, const double *p, int64_t len);
+int diffsol_ode_get_params(int64_t ode, double *out, int64_t cap,
+                           int64_t *len);
+/* 0 = bdf, 1 = esdirk34, 2 = tr_bdf2, 3 = tsit45
+ * (reference ode_solver_type.rs:34-39) */
+int diffsol_ode_set_ode_solver(int64_t ode, int value);
+int diffsol_ode_get_ode_solver(int64_t ode, int *out);
+/* 0 = default, 1 = lu, 2 = klu (rejected on TPU)
+ * (reference linear_solver_type.rs:15-19) */
+int diffsol_ode_set_linear_solver(int64_t ode, int value);
+int diffsol_ode_get_linear_solver(int64_t ode, int *out);
+
+/* ---- introspection ---- */
+int diffsol_ode_nstates(int64_t ode, int64_t *out);
+int diffsol_ode_nparams(int64_t ode, int64_t *out);
+int diffsol_ode_nout(int64_t ode, int64_t *out);
+
+/* ---- op evaluation (reference ode_c.rs:389-511) ---- */
+int diffsol_ode_y0(int64_t ode, double *out, int64_t cap);
+int diffsol_ode_rhs(int64_t ode, double t, const double *y, int64_t n,
+                    double *out);
+int diffsol_ode_rhs_jac_mul(int64_t ode, double t, const double *y,
+                            const double *v, int64_t n, double *out);
+
+/* ---- solves (reference ode_c.rs:512-623) ---- */
+/* ys_out must hold neval * nstates doubles (row-major: point-major). */
+int diffsol_ode_solve_dense(int64_t ode, const double *t_eval, int64_t neval,
+                            int64_t max_steps, double *ys_out,
+                            int *stop_reason);
+/* Adaptive solve recording every internal step: ts_out holds cap_points,
+ * ys_out cap_points * nstates; *npoints receives the valid count. */
+int diffsol_ode_solve(int64_t ode, double t_final, int64_t max_steps,
+                      double *ts_out, double *ys_out, int64_t cap_points,
+                      int64_t *npoints, int *stop_reason);
+/* Forward sensitivities: sens_out holds nparams * neval * nstates. */
+int diffsol_ode_solve_fwd_sens(int64_t ode, const double *t_eval,
+                               int64_t neval, double *ys_out,
+                               double *sens_out);
+
+#ifdef __cplusplus
+}
+#endif
+
+#endif /* DIFFSOL_TPU_H */
