@@ -367,13 +367,41 @@ class OdeBuilder:
             ml, mu = self._linear_solver.meta[:2]
             self._rhs_jac = make_banded_jac(self._rhs, ml, mu)
         elif self._use_coloring and self._rhs_jac is None:
-            from .ops.coloring import colored_jac_for_problem
+            import numpy as np
+
+            from .ops.banded import make_banded_jac, make_banded_solver
+            from .ops.coloring import (
+                detect_sparsity,
+                greedy_color,
+                make_colored_jac,
+            )
 
             p_arr = jnp.asarray(self._p, dtype=jnp.result_type(float))
-            y0 = self._init(jnp.asarray(self._t0), p_arr)
-            self._rhs_jac, _ = colored_jac_for_problem(
-                self._rhs, jnp.asarray(self._t0), y0, p_arr
-            )
+            t0_arr = jnp.asarray(self._t0)
+            y0 = self._init(t0_arr, p_arr)
+            n = int(y0.shape[-1])
+            rows, cols = detect_sparsity(self._rhs, t0_arr, y0, p_arr, n)
+            ml = int(np.max(rows - cols)) if len(rows) else 0
+            mu = int(np.max(cols - rows)) if len(rows) else 0
+            if self._mass is not None:
+                # the iteration matrix is M - c J: the band must cover M too
+                m0 = np.asarray(self._mass(t0_arr, p_arr))
+                mi, mj = np.nonzero(m0)
+                if len(mi):
+                    ml = max(ml, int(np.max(mi - mj)))
+                    mu = max(mu, int(np.max(mj - mi)))
+            if n >= 8 and ml + mu + 1 <= max(n // 2, 1):
+                # narrow band detected: route BOTH the Jacobian probes and
+                # the factorization to the band tier (the role of the
+                # reference's KLU sparse LU, suitesparse/klu.rs:1-245 --
+                # coloring compresses the factorization, not just the JVPs)
+                self._rhs_jac = make_banded_jac(self._rhs, ml, mu)
+                self._linear_solver = make_banded_solver(ml, mu)
+            else:
+                colors, ncolors = greedy_color(rows, cols, n, n)
+                self._rhs_jac = make_colored_jac(
+                    self._rhs, rows, cols, colors, ncolors, n
+                )
         eqn = make_equations(
             self._rhs,
             self._init,
