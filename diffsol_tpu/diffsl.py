@@ -57,7 +57,9 @@ _FUNCS = {
     "ln": "log", "log10": "log10", "sqrt": "sqrt", "abs": "abs",
     "tanh": "tanh", "sinh": "sinh", "cosh": "cosh", "asin": "arcsin",
     "acos": "arccos", "atan": "arctan", "floor": "floor", "ceil": "ceil",
-    "sign": "sign",
+    "sign": "sign", "arcsinh": "arcsinh", "asinh": "arcsinh",
+    "arccosh": "arccosh", "acosh": "arccosh", "arctanh": "arctanh",
+    "atanh": "arctanh",
 }
 _FUNCS2 = {"pow": "power", "min": "minimum", "max": "maximum",
            "atan2": "arctan2", "copysign": "copysign"}
@@ -677,12 +679,12 @@ class DiffslModel:
         state_dep = self.state_dep
 
         def eval_intermediates(env, skip_state_deps=False):
-            dims = {}
             for name in order:
                 if skip_state_deps and name in state_dep:
                     continue
                 td = by_name[name]
-                ev = _Eval(jnp, env, dims, td.idx)
+                # index letters are scoped per tensor definition
+                ev = _Eval(jnp, env, {}, td.idx)
                 if len(td.idx) <= 1:
                     arr, _segs = _eval_vector(td, ev)
                     if td.idx == "":
@@ -811,7 +813,6 @@ def compile_diffsl(source: str) -> DiffslModel:
     constants = {}
     order = []
     const_env = {"pi": (np.pi, 0)}
-    const_dims = {}
     for td in defs:
         if td.name in SPECIAL:
             continue
@@ -823,7 +824,7 @@ def compile_diffsl(source: str) -> DiffslModel:
             continue
         env = dict(const_env)
         env.update(constants)
-        ev = _Eval(np, env, const_dims, td.idx)
+        ev = _Eval(np, env, {}, td.idx)
         try:
             if len(td.idx) <= 1:
                 arr, _segs = _eval_vector(td, ev)
@@ -851,7 +852,6 @@ def compile_diffsl(source: str) -> DiffslModel:
     # reference constant tensors (heat2d: y = init_i)
     env = dict(const_env)
     env.update(constants)
-    dims = dict(const_dims)
     for name, start, ln in param_labels:
         v = default_params[start:start + ln]
         env[name] = (v[0], 0) if ln == 1 else (v, 1)
@@ -861,7 +861,7 @@ def compile_diffsl(source: str) -> DiffslModel:
         td = by_name[name]
         if name in state_dep:
             continue
-        ev = _Eval(np, env, dims, td.idx)
+        ev = _Eval(np, env, {}, td.idx)
         try:
             if len(td.idx) <= 1:
                 arr, _ = _eval_vector(td, ev)
@@ -873,13 +873,13 @@ def compile_diffsl(source: str) -> DiffslModel:
                 env[name] = (_eval_matrix(td, ev), 2)
         except DiffslError:
             pass
-    ev = _Eval(np, env, dims, by_name["u"].idx or "i")
+    ev = _Eval(np, env, {}, by_name["u"].idx or "i")
     y0, state_segments = _eval_vector(by_name["u"], ev)
     nstates = int(np.shape(y0)[0])
 
     dudt_segments = []
     if "dudt" in by_name:
-        ev = _Eval(np, env, dims, by_name["dudt"].idx or "i")
+        ev = _Eval(np, env, {}, by_name["dudt"].idx or "i")
         _d0, dudt_segments = _eval_vector(by_name["dudt"], ev)
 
     return DiffslModel(

@@ -251,3 +251,36 @@ def test_errors():
             "in_i { r = 1 }\nu_i { y = 0.1 }\nF_i { r * y }\n"
             "stop_i { t - 0.5 }\nreset_i { 0.1 + 0.5 * N }"
         )
+
+
+def test_spm_battery_model_from_reference():
+    """Real-world DiffSL: the pybamm-generated single-particle battery model
+    shipped with the reference book (book/src/primer/src/spm.ds) -- 42
+    states, 11 constant tensors (two banded 20x20 diffusion operators), 6
+    varying contractions, a 2-root voltage-cutoff stop.  Compiles, folds
+    constants, solves a discharge on BDF, and hits the 3.105 V cutoff."""
+    import os
+
+    path = "/root/reference/book/src/primer/src/spm.ds"
+    if not os.path.exists(path):
+        pytest.skip("reference spm.ds not mounted")
+    with open(path) as f:
+        src = f.read()
+
+    model = compile_diffsl(src)
+    assert model.nstates == 42
+    assert "constant7" in model.constants  # 20x20 banded, folded at build
+    assert model.constants["constant7"][0].shape == (20, 20)
+
+    problem = OdeBuilder().rtol(1e-6).atol(1e-8).build_from_diffsl(src)
+    assert problem.eqn.nroots == 2
+    sol = solve(BdfSolver(problem), 3600.0, max_steps=4000)
+    assert int(sol.stop_reason) == 1  # ROOT_FOUND: voltage cutoff
+    # voltage at the stop: out(y) equals the 3.105 V lower cutoff
+    t_root = float(sol.root_t)
+    assert 0.0 < t_root < 3600.0
+    n = int(sol.n_points)
+    v = problem.eqn.out(
+        sol.ts[n - 1], sol.ys[n - 1], problem.params
+    )
+    np.testing.assert_allclose(float(v[0]), 3.105, atol=1e-5)
