@@ -305,5 +305,45 @@ def solve_fwd_sens(handle, t_eval, max_steps=10_000):
     )
 
 
+def solve_adjoint(handle, t_eval, dgdu, max_steps=16_384):
+    """Adjoint gradient (reference solve.rs:123-146 solve_adjoint_fwd +
+    solve_adjoint_bkwd collapsed into one call): given dG/du at the eval
+    points (flat, neval * nstates), returns (ys_flat, dG/dp).
+    """
+    import functools
+
+    from .adjoint import make_differentiable_solve
+    from .solvers.bdf import BdfSolver
+    from .solvers.erk import ErkSolver
+    from .solvers.sdirk import SdirkSolver
+    from .solvers.tableau import esdirk34, tr_bdf2
+
+    h = _get(handle)
+    problem = h.problem()
+    t = jnp.asarray([float(x) for x in t_eval])
+    n = int(problem.eqn.nstates)
+    ct = jnp.asarray([float(x) for x in dgdu]).reshape(t.shape[0], n)
+    cls = {
+        0: BdfSolver,
+        1: functools.partial(SdirkSolver, tableau=esdirk34()),
+        2: functools.partial(SdirkSolver, tableau=tr_bdf2()),
+        3: ErkSolver,
+    }[h.method]
+    key = (tuple(float(x) for x in t_eval), int(max_steps), h.method)
+    cache = getattr(h, "_adjoint_cache", None)
+    if cache is None or cache[0] != key:
+        fn = make_differentiable_solve(
+            problem, t, solver_cls=cls, max_steps=int(max_steps)
+        )
+        h._adjoint_cache = (key, fn)
+    fn = h._adjoint_cache[1]
+    ys, vjp = jax.vjp(fn, jnp.asarray(problem.params))
+    grad = vjp(ct)[0]
+    return (
+        [float(v) for v in np.asarray(ys).reshape(-1)],
+        [float(v) for v in np.asarray(grad)],
+    )
+
+
 def stop_reason_name(code):
     return errors._MESSAGES.get(int(code), "ok")

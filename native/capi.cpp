@@ -364,6 +364,42 @@ extern "C" int diffsol_ode_solve(int64_t ode, double t_final,
     return 0;
 }
 
+extern "C" int diffsol_ode_solve_adjoint(int64_t ode, const double *t_eval,
+                                         int64_t neval, const double *dgdu,
+                                         int64_t max_steps, double *ys_out,
+                                         double *grad_out) {
+    Gil gil;
+    PyObject *lt = list_from_doubles(t_eval, neval);
+    /* nstates is implied by the host side; dgdu has neval * nstates */
+    int64_t n = 0;
+    {
+        PyObject *r =
+            call_host("nstates", Py_BuildValue("(L)", (long long)ode));
+        if (!r) return -1;
+        n = PyLong_AsLongLong(r);
+        Py_DECREF(r);
+    }
+    PyObject *lg = list_from_doubles(dgdu, neval * n);
+    PyObject *r = call_host(
+        "solve_adjoint", Py_BuildValue("(LNNL)", (long long)ode, lt, lg,
+                                       (long long)max_steps));
+    if (!r) return -1;
+    PyObject *ys = PyTuple_GetItem(r, 0);
+    PyObject *grad = PyTuple_GetItem(r, 1);
+    if (!ys || !grad) {
+        Py_DECREF(r);
+        set_err("solve_adjoint returned malformed tuple");
+        return -1;
+    }
+    if ((ys_out && doubles_from_seq(ys, ys_out, -1) < 0) ||
+        doubles_from_seq(grad, grad_out, -1) < 0) {
+        Py_DECREF(r);
+        return -1;
+    }
+    Py_DECREF(r);
+    return 0;
+}
+
 extern "C" int diffsol_ode_solve_fwd_sens(int64_t ode, const double *t_eval,
                                           int64_t neval, double *ys_out,
                                           double *sens_out) {

@@ -77,6 +77,13 @@ int diffsol_ode_solve(int64_t ode, double t_final, int64_t max_steps,
 int diffsol_ode_solve_fwd_sens(int64_t ode, const double *t_eval,
                                int64_t neval, double *ys_out,
                                double *sens_out);
+/* Adjoint gradient (reference solve.rs solve_adjoint_fwd/_bkwd): dgdu is
+ * dG/du at the eval points (neval * nstates, row-major); grad_out receives
+ * dG/dp (nparams). */
+int diffsol_ode_solve_adjoint(int64_t ode, const double *t_eval,
+                              int64_t neval, const double *dgdu,
+                              int64_t max_steps, double *ys_out,
+                              double *grad_out);
 
 #ifdef __cplusplus
 }

@@ -95,6 +95,18 @@ int main(void) {
           "solve lo");
     double fd = (y_hi[2] - y_lo[2]) / 2e-6;
     CHECK(fabs(sens[0 * 3 + 2] - fd) < 1e-4, "fwd sens dy/dr vs FD");
+
+    /* adjoint gradient of G = sum_i y(t_i): dG/dp vs forward sens */
+    CHECK(diffsol_ode_set_params(ode, params, 2) == 0, "set_params adj");
+    double dgdu[3] = {1.0, 1.0, 1.0};
+    double ys3[3], grad[2];
+    CHECK(diffsol_ode_solve_adjoint(ode, t_eval, 3, dgdu, 16384, ys3,
+                                    grad) == 0,
+          "solve_adjoint");
+    double g_fwd_r = sens[0 * 3 + 0] + sens[0 * 3 + 1] + sens[0 * 3 + 2];
+    double g_fwd_k = sens[1 * 3 + 0] + sens[1 * 3 + 1] + sens[1 * 3 + 2];
+    CHECK(fabs(grad[0] - g_fwd_r) < 1e-4, "adjoint dG/dr vs fwd sens");
+    CHECK(fabs(grad[1] - g_fwd_k) < 1e-4, "adjoint dG/dk vs fwd sens");
     diffsol_ode_free(ode);
 
     /* ---- robertson DAE on BDF (mass matrix through M_i) ---- */
