@@ -73,6 +73,15 @@ class OdeEquations:
         _, vjp = jax.vjp(lambda yy: self.rhs(t, yy, p), y)
         return vjp(v)[0]
 
+    def time_partial(self, t, y, p):
+        """dF/dt via forward AD (reference `NonLinearOpTimePartial`,
+        op/nonlinear_op.rs:23-48 -- used by the reset/root sensitivity
+        and adjoint boundary corrections)."""
+        t = jnp.asarray(t)
+        return jax.jvp(
+            lambda tt: self.rhs(tt, y, p), (t,), (jnp.ones_like(t),)
+        )[1]
+
     def sens_mul(self, t, y, p, v):
         """(df/dp) @ v via forward AD (forward sensitivities)."""
         return jax.jvp(lambda pp: self.rhs(t, y, pp), (p,), (v,))[1]

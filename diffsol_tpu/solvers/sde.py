@@ -111,3 +111,60 @@ def solve_em_ensemble(rhs, diffusion, y0, t0, t1, nsteps, params, key, npaths):
     return jax.vmap(
         lambda k: solve_em(rhs, diffusion, y0, t0, t1, nsteps, params, k)
     )(keys)
+
+
+def classify_noise(diffusion: Callable, y0, params, t=0.0) -> str:
+    """Noise-kind classification (reference op/stoch.rs:6-66 `StochOpKind`
+    Zero/Scalar/Diagonal/Additive/Other).
+
+    The reference probes with NaN propagation through `process_inplace`;
+    here the same structure is read off concrete Jacobians of the
+    diffusion at randomized states (sound under the shared assumption that
+    structure is state-independent).
+
+    ``diffusion(t, y, p)`` returning (n,) is the diagonal storage form
+    (one process per state); (n, m) is the general m-process form.
+    """
+    import numpy as np
+
+    y0 = jnp.asarray(y0)
+    n = int(y0.shape[-1])
+    t = jnp.asarray(t, y0.dtype)
+    g_shape = jax.eval_shape(diffusion, t, y0, params).shape
+    diag_form = len(g_shape) == 1
+    nprocess = n if diag_form else int(g_shape[-1])
+    if nprocess == 0:
+        return "zero"
+    if nprocess == 1 and not diag_form:
+        return "scalar"
+
+    rng = np.random.default_rng(0)
+    dep = None  # dg/dy nonzero pattern, shape (n[, m], n)
+    gpat = None  # g nonzero pattern
+    for _ in range(2):
+        y = jnp.asarray(
+            np.asarray(y0) + rng.uniform(0.5, 1.5, size=(n,)), y0.dtype
+        )
+        jac = np.asarray(
+            jax.jacfwd(lambda yy: diffusion(t, yy, params))(y)
+        )
+        g = np.asarray(diffusion(t, y, params))
+        dep = (jac != 0.0) if dep is None else (dep | (jac != 0.0))
+        gpat = (g != 0.0) if gpat is None else (gpat | (g != 0.0))
+
+    if not dep.any():
+        return "additive"
+    if diag_form:
+        # g_i may depend only on y_i
+        off = dep & ~np.eye(n, dtype=bool)
+        return "diagonal" if not off.any() else "other"
+    # matrix form: diagonal means process k drives only state k, and
+    # g[k, k] depends only on y_k
+    if g_shape[-1] == n:
+        off_g = gpat & ~np.eye(n, dtype=bool)
+        off_dep = dep & ~(
+            np.eye(n, dtype=bool)[:, :, None] & np.eye(n, dtype=bool)[:, None, :]
+        )
+        if not off_g.any() and not off_dep.any():
+            return "diagonal"
+    return "other"

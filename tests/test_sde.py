@@ -61,3 +61,37 @@ def test_milstein_gbm_strong_order():
     err_mil = abs(float(mil.ys[-1, 0]) - exact_final)
     assert err_mil < err_em
     assert err_mil < 0.01
+
+
+def test_classify_noise_kinds():
+    """reference op/stoch.rs:6-66 StochOpKind classification."""
+    from diffsol_tpu.solvers.sde import classify_noise
+
+    y0 = jnp.asarray([1.0, 2.0, 3.0])
+    p = jnp.asarray([0.5])
+
+    # additive: g independent of y
+    assert classify_noise(lambda t, y, pp: jnp.full_like(y, 0.3), y0, p) \
+        == "additive"
+    # diagonal: g_i = p * y_i
+    assert classify_noise(lambda t, y, pp: pp[0] * y, y0, p) == "diagonal"
+    # scalar: one driving process
+    assert classify_noise(
+        lambda t, y, pp: (pp[0] * y)[:, None], y0, p
+    ) == "scalar"
+    # other: cross-coupled diagonal-form noise
+    assert classify_noise(
+        lambda t, y, pp: pp[0] * jnp.roll(y, 1), y0, p
+    ) == "other"
+    # zero processes
+    assert classify_noise(
+        lambda t, y, pp: jnp.zeros((3, 0)), y0, p
+    ) == "zero"
+    # general square matrix, truly diagonal structure
+    assert classify_noise(
+        lambda t, y, pp: jnp.diag(pp[0] * y), y0, p
+    ) == "diagonal"
+    # general square matrix with coupling
+    assert classify_noise(
+        lambda t, y, pp: pp[0] * jnp.outer(y, y), y0, p
+    ) == "other"
