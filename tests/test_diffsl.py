@@ -284,3 +284,32 @@ def test_spm_battery_model_from_reference():
         sol.ts[n - 1], sol.ys[n - 1], problem.params
     )
     np.testing.assert_allclose(float(v[0]), 3.105, atol=1e-5)
+
+
+def test_diffsl_lockstep_ensemble():
+    """DiffSL problems compose with the lockstep ensemble layer: a 64-member
+    Robertson-DAE parameter sweep (k1 perturbed) matches per-member
+    single solves."""
+    from diffsol_tpu.ensemble import make_lockstep_problem
+
+    problem = (
+        OdeBuilder().rtol(1e-6).atol(1e-8).build_from_diffsl(ROBERTSON)
+    )
+    nb = 8
+    lp = make_lockstep_problem(problem, nb)
+    k1 = 0.04 * (1.0 + 0.05 * jnp.linspace(-1.0, 1.0, nb))
+    params = jnp.stack(
+        [k1, jnp.full((nb,), 1.0e4), jnp.full((nb,), 3.0e7)], axis=1
+    )
+    t_eval = jnp.asarray([0.4, 4.0])
+    sol = solve_dense(BdfSolver(lp), t_eval, params=params, max_steps=5000)
+    assert int(sol.stop_reason) >= 0
+    # member 0 and nb-1 vs single solves
+    for m in (0, nb - 1):
+        single = solve_dense(
+            BdfSolver(problem), t_eval, params=params[m], max_steps=5000
+        )
+        np.testing.assert_allclose(
+            np.asarray(sol.ys[:, :, m]), np.asarray(single.ys),
+            rtol=1e-4, atol=1e-10,
+        )
