@@ -118,3 +118,49 @@ def test_lockstep_banded_heat1d():
     np.testing.assert_allclose(ys[:, 0], expected, rtol=5e-2)
     # faster diffusion decays more: max of member 3 < member 2 at t end
     assert ys[-1, 3].max() < ys[-1, 2].max()
+
+
+def test_state_sharded_large_mol_halo():
+    """Large-n MOL state sharding (SURVEY aux row 'state-vector sharding'):
+    an n=1024 heat1d ERK step sharded over a (dp=2, sp=4) mesh must (a)
+    match the unsharded solve bit-for-bit and (b) actually lower to XLA
+    collectives for the stencil halo + norm reductions -- asserted on the
+    compiled HLO, not just by running."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from diffsol_tpu.ensemble import make_lockstep_problem
+    from diffsol_tpu.models import heat1d
+    from diffsol_tpu.solvers.erk import ErkSolver
+
+    devices = np.array(jax.devices()[:8]).reshape(2, 4)
+    mesh = Mesh(devices, ("dp", "sp"))
+    problem, _ = heat1d.make(mgrid=1023)  # n = 1024
+    lp = make_lockstep_problem(problem, 2)
+    solver = ErkSolver(lp)
+    params = lp.params
+    state0 = solver.init_state(params)
+
+    def five_steps(state, params):
+        return jax.lax.fori_loop(
+            0, 5, lambda i, st: solver.step(st, params), state
+        )
+
+    ref = jax.jit(five_steps)(state0, params)
+
+    y_shard = NamedSharding(mesh, P("sp", "dp"))
+    state_sh = state0.replace(
+        y=jax.device_put(state0.y, y_shard),
+        dy=jax.device_put(state0.dy, y_shard),
+    )
+    params_sh = jax.device_put(params, NamedSharding(mesh, P("dp", None)))
+    fn = jax.jit(five_steps)
+    out = fn(state_sh, params_sh)
+    assert int(out.stats.steps) == 5
+    np.testing.assert_array_equal(np.asarray(ref.y), np.asarray(out.y))
+
+    hlo = fn.lower(state_sh, params_sh).compile().as_text()
+    assert any(
+        op in hlo
+        for op in ("all-reduce", "all-gather", "collective-permute",
+                   "reduce-scatter")
+    ), "no collectives in the sharded-step HLO"
