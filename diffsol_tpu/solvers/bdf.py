@@ -246,6 +246,13 @@ class BdfSolver:
         self.sens = augmented is not None
         self.has_sens = self.sens
 
+    def with_config(self, config: SolverConfig):
+        """Mid-run configuration change (reference method.rs:84
+        `config_mut`): returns a NEW solver over the same problem and
+        augmented equations; continue by passing the previous solve's
+        restartable ``state`` to the next driver call."""
+        return type(self)(self.problem, config=config, augmented=self.aug)
+
     # ------------------------------------------------------------------
     # augmented rows: M s_i' = J s_i + forcing_i, all rows at once
     def _sens_rhs_parts(self, t, y, params):

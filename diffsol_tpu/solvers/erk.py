@@ -68,6 +68,15 @@ class ErkSolver:
         self.sens = augmented is not None
         self.has_sens = self.sens
 
+    def with_config(self, config: SolverConfig):
+        """Mid-run configuration change (reference method.rs:84
+        `config_mut`): returns a NEW solver over the same problem/tableau;
+        continue from the previous solve's restartable ``state``."""
+        return type(self)(
+            self.problem, tableau=self.tableau, config=config,
+            augmented=self.aug,
+        )
+
     @property
     def order(self) -> int:
         return self.tableau.order

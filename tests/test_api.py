@@ -176,3 +176,39 @@ def test_stop_time_before_current_time():
     assert int(sol2.stop_reason) == errors.STOP_TIME_BEFORE_CURRENT_TIME
     with pytest.raises(errors.DiffsolError):
         sol2.raise_for_status()
+
+
+def test_with_config_mid_run():
+    """Mid-run config change (reference method.rs:84 config_mut): a staged
+    solve continues from the restartable state under a new config; capping
+    timestep growth at 1.0 freezes h, so the second stage takes more steps
+    than the same stage under the default config."""
+    import dataclasses
+
+    from diffsol_tpu.models import logistic
+    from diffsol_tpu.problem import SolverConfig
+
+    problem = logistic.problem(rtol=1e-8, atol=1e-10)
+    solver = dt.BdfSolver(problem)
+    sol1 = dt.solve(solver, 1.0, max_steps=2000)
+    steps_stage1 = int(sol1.state.stats.steps)
+
+    # default config continuation
+    sol_def = dt.solve(solver, 5.0, state=sol1.state, max_steps=2000)
+    # frozen-h continuation (growth clamped to 1)
+    frozen = dataclasses.replace(
+        solver.config,
+        maximum_timestep_growth=1.0,
+        minimum_timestep_growth=1.0,
+    )
+    solver2 = solver.with_config(frozen)
+    sol_frz = dt.solve(solver2, 5.0, state=sol1.state, max_steps=2000)
+
+    assert int(sol_frz.stop_reason) == errors.TSTOP_REACHED
+    d_def = int(sol_def.state.stats.steps) - steps_stage1
+    d_frz = int(sol_frz.state.stats.steps) - steps_stage1
+    assert d_frz > d_def
+    # both continuations end at the same solution
+    np.testing.assert_allclose(
+        np.asarray(sol_frz.state.y), np.asarray(sol_def.state.y), rtol=1e-6
+    )
