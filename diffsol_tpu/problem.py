@@ -325,6 +325,25 @@ class OdeBuilder:
         self._use_coloring = flag
         return self
 
+    def build_from_eqn(self, model) -> OdeProblem:
+        """Build from an already-compiled :class:`~diffsol_tpu.diffsl.DiffslModel`
+        (reference builder.rs `build_from_eqn`: reuse a compiled equations
+        object across problems/settings)."""
+        fns = model.make_callables()
+        self._rhs = fns["rhs"]
+        self._init = fns["init"]
+        self._mass = fns.get("mass", self._mass)
+        self._root = fns.get("root", self._root)
+        self._out = fns.get("out", self._out)
+        self._reset = fns.get("reset", self._reset)
+        if self._p is None or self._p.size == 0:
+            self._p = jnp.asarray(
+                model.default_params, dtype=jnp.result_type(float)
+            )
+        problem = self.build()
+        object.__setattr__(problem, "diffsl_model", model)
+        return problem
+
     def build_from_diffsl(self, source: str) -> OdeProblem:
         """Build the problem from DiffSL model text (reference
         builder.rs `build_from_diffsl` -> diffsl.rs:239-330; here the DSL
@@ -336,26 +355,7 @@ class OdeBuilder:
         """
         from .diffsl import compile_diffsl
 
-        model = compile_diffsl(source)
-        fns = model.make_callables()
-        self._rhs = fns["rhs"]
-        self._init = fns["init"]
-        if "mass" in fns:
-            self._mass = fns["mass"]
-        if "root" in fns:
-            self._root = fns["root"]
-        if "out" in fns:
-            self._out = fns["out"]
-        if "reset" in fns:
-            self._reset = fns["reset"]
-        if self._p is None or self._p.size == 0:
-            self._p = jnp.asarray(
-                model.default_params, dtype=jnp.result_type(float)
-            )
-        problem = self.build()
-        # frozen dataclass: attach the model as out-of-band metadata
-        object.__setattr__(problem, "diffsl_model", model)
-        return problem
+        return self.build_from_eqn(compile_diffsl(source))
 
     # build --------------------------------------------------------------
     def build(self) -> OdeProblem:

@@ -313,3 +313,15 @@ def test_diffsl_lockstep_ensemble():
             np.asarray(sol.ys[:, :, m]), np.asarray(single.ys),
             rtol=1e-4, atol=1e-10,
         )
+
+
+def test_build_from_eqn_reuses_compiled_model():
+    """reference builder.rs build_from_eqn: one compiled model, several
+    problems with different settings."""
+    m = compile_diffsl(LOGISTIC)
+    p1 = OdeBuilder().rtol(1e-6).p([1.0, 10.0]).build_from_eqn(m)
+    p2 = OdeBuilder().rtol(1e-9).atol(1e-11).build_from_eqn(m)
+    assert float(p1.rtol) == 1e-6 and float(p2.rtol) == 1e-9
+    np.testing.assert_allclose(np.asarray(p2.params), [1.0, 1.0])
+    s1 = solve_dense(BdfSolver(p1), jnp.asarray([0.4]), max_steps=1000)
+    assert int(s1.stop_reason) >= 0
