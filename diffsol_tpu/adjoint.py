@@ -820,9 +820,10 @@ def backward_pass_bounded(problem, solver_cls, fwd_solver, ckpts, events,
         return pa, (ts_l, ys_l, dys_l)
 
     # adjoint init needs the TOP segment's table in params (rhs is probed
-    # at sigma = 0 by the initial-step-size heuristic)
-    pa_top, _ = seg_params(n_ck - 2)
-    state = init_state_jit(solver, pa_top)
+    # at sigma = 0 by the initial-step-size heuristic); the segment loop
+    # REUSES this re-solve for the top segment instead of recomputing it
+    top = seg_params(n_ck - 2)
+    state = init_state_jit(solver, top[0])
 
     def apply_output_jump(state, slot, pa, tab):
         t = t_top - state.t
@@ -841,8 +842,10 @@ def backward_pass_bounded(problem, solver_cls, fwd_solver, ckpts, events,
         valid = (s >= 0) & (s <= n_ck - 2)
 
         def process(state):
-            pa, tab = seg_params(s)
             is_top = s == n_ck - 2
+            pa, tab = jax.lax.cond(
+                is_top, lambda: top, lambda: seg_params(s)
+            )
             is_bot = s == 0
             upper = jnp.where(is_top, jnp.inf, ck_ts[s + 1])
             lower = jnp.where(is_bot, -jnp.inf, ck_ts[s])

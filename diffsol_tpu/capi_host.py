@@ -63,6 +63,7 @@ class _OdeHandle:
     def invalidate(self):
         self._problem = None
         self._solver = None
+        self._adjoint_cache = None
 
     def problem(self):
         if self._problem is None:
@@ -74,6 +75,8 @@ class _OdeHandle:
                 .h0(self.h0)
                 .integrate_out(self.integrate_out)
             )
+            if _LINEAR_SOLVERS[self.linear_solver] == "lu":
+                b = b.linear_solver("dense")  # explicit dense LU tier
             if self.params is not None:
                 b = b.p(self.params)
             self._problem = b.build_from_diffsl(self.code)
@@ -329,6 +332,8 @@ def solve_adjoint(handle, t_eval, dgdu, max_steps=16_384):
         2: functools.partial(SdirkSolver, tableau=tr_bdf2()),
         3: ErkSolver,
     }[h.method]
+    # the cache is cleared by invalidate() on every settings change, so a
+    # cached fn never closes over a stale problem
     key = (tuple(float(x) for x in t_eval), int(max_steps), h.method)
     cache = getattr(h, "_adjoint_cache", None)
     if cache is None or cache[0] != key:

@@ -458,24 +458,41 @@ class _Eval:
             )
         if isinstance(node, Bin):
             if node.op in ("*", "/"):
-                # flatten the product chain, contract at this node
-                lv = self.eval(node.l)
-                rv = self.eval(node.r)
-                (la, ra), letters = self._align([lv, rv])
-                a = la * ra if node.op == "*" else la / ra
-                return self._contract(a, letters)
+                # Einstein summation is per product TERM, not per binary
+                # node: flatten the whole * / chain, combine ALL factors on
+                # the union index set, THEN contract once at the chain top
+                # (A_ij * u_j * w_j must be sum_j A_ij u_j w_j, not
+                # (A@u)_i * sum w).
+                factors = []
+
+                def flatten(nd, inverted):
+                    if isinstance(nd, Bin) and nd.op in ("*", "/"):
+                        flatten(nd.l, inverted)
+                        flatten(nd.r, inverted ^ (nd.op == "/"))
+                    else:
+                        factors.append((self.eval(nd), inverted))
+
+                flatten(node, False)
+                arrs, letters = self._align([v for v, _inv in factors])
+                acc = arrs[0]  # leftmost factor is never inverted
+                for a, (_v, inv) in zip(arrs[1:], factors[1:]):
+                    acc = acc / a if inv else acc * a
+                return self._contract(acc, letters)
             lv = self.eval(node.l)
             rv = self.eval(node.r)
-            # additive terms contract independently (per-term summation)
+            if node.op == "^":
+                # a power applies WITHIN a term (u_i ^ 2 is sum u_i^2 at a
+                # scalar destination, not (sum u)^2): combine elementwise,
+                # contraction happens at the enclosing term/entry level
+                (la, ra), letters = self._align([lv, rv])
+                return la**ra, letters
+            # additive: each side is its own term -> contract independently
             la, lls = self._contract(*lv)
             ra, rls = self._contract(*rv)
             (la, ra), letters = self._align([(la, lls), (ra, rls)])
             if node.op == "+":
                 return la + ra, letters
-            if node.op == "-":
-                return la - ra, letters
-            if node.op == "^":
-                return la**ra, letters
+            return la - ra, letters
         raise DiffslError(f"cannot evaluate node {node!r}")
 
 
@@ -577,7 +594,10 @@ def _eval_matrix(td: TensorDef, ev: _Eval):
             cols.append(cidx)
             vals.append(np.full(cnt, lit))
         else:
-            arr, letters = ev.eval(e.expr)
+            # keyed entries assign scalars: evaluate with an empty
+            # destination so any term indices fully contract
+            ev0 = _Eval(ev.xp, ev.env, dict(ev.dims), "")
+            arr, letters = ev0._contract(*ev0.eval(e.expr))
             if letters:
                 raise DiffslError(
                     f"{td.name}: keyed 2-D entries must be scalars"

@@ -74,9 +74,10 @@ class OdeEquations:
         return vjp(v)[0]
 
     def time_partial(self, t, y, p):
-        """dF/dt via forward AD (reference `NonLinearOpTimePartial`,
-        op/nonlinear_op.rs:23-48 -- used by the reset/root sensitivity
-        and adjoint boundary corrections)."""
+        """dF/dt via forward AD: the op-layer surface of the reference's
+        `NonLinearOpTimePartial` (op/nonlinear_op.rs:23-48).  The reset/root
+        boundary corrections apply the same jvp-over-t to their own
+        operators inline (augmented.py, adjoint.py)."""
         t = jnp.asarray(t)
         return jax.jvp(
             lambda tt: self.rhs(tt, y, p), (t,), (jnp.ones_like(t),)

@@ -135,7 +135,7 @@ def classify_noise(diffusion: Callable, y0, params, t=0.0) -> str:
     nprocess = n if diag_form else int(g_shape[-1])
     if nprocess == 0:
         return "zero"
-    if nprocess == 1 and not diag_form:
+    if nprocess == 1:
         return "scalar"
 
     rng = np.random.default_rng(0)
@@ -155,16 +155,16 @@ def classify_noise(diffusion: Callable, y0, params, t=0.0) -> str:
     if not dep.any():
         return "additive"
     if diag_form:
-        # g_i may depend only on y_i
-        off = dep & ~np.eye(n, dtype=bool)
-        return "diagonal" if not off.any() else "other"
-    # matrix form: diagonal means process k drives only state k, and
-    # g[k, k] depends only on y_k
-    if g_shape[-1] == n:
-        off_g = gpat & ~np.eye(n, dtype=bool)
-        off_dep = dep & ~(
-            np.eye(n, dtype=bool)[:, :, None] & np.eye(n, dtype=bool)[:, None, :]
-        )
-        if not off_g.any() and not off_dep.any():
-            return "diagonal"
+        # the diagonal storage form pairs process i with state i by
+        # construction, which is exactly what the reference's per-process
+        # d_w NaN probe checks (stoch.rs:43-63) -- state cross-coupling
+        # inside g_i does NOT demote the kind there, so not here either
+        # (note solve_milstein additionally assumes dg_i/dy_j = 0 for
+        # j != i; that is a scheme precondition, not part of the kind)
+        return "diagonal"
+    # matrix form: diagonal means process k drives only state k (the
+    # reference's probe sets d_w[k] = NaN and requires no other output to
+    # turn NaN) -- i.e. no off-diagonal g entries
+    if g_shape[-1] == n and not (gpat & ~np.eye(n, dtype=bool)).any():
+        return "diagonal"
     return "other"

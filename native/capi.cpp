@@ -369,7 +369,6 @@ extern "C" int diffsol_ode_solve_adjoint(int64_t ode, const double *t_eval,
                                          int64_t max_steps, double *ys_out,
                                          double *grad_out) {
     Gil gil;
-    PyObject *lt = list_from_doubles(t_eval, neval);
     /* nstates is implied by the host side; dgdu has neval * nstates */
     int64_t n = 0;
     {
@@ -379,6 +378,7 @@ extern "C" int diffsol_ode_solve_adjoint(int64_t ode, const double *t_eval,
         n = PyLong_AsLongLong(r);
         Py_DECREF(r);
     }
+    PyObject *lt = list_from_doubles(t_eval, neval);
     PyObject *lg = list_from_doubles(dgdu, neval * n);
     PyObject *r = call_host(
         "solve_adjoint", Py_BuildValue("(LNNL)", (long long)ode, lt, lg,

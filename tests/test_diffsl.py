@@ -325,3 +325,33 @@ def test_build_from_eqn_reuses_compiled_model():
     np.testing.assert_allclose(np.asarray(p2.params), [1.0, 1.0])
     s1 = solve_dense(BdfSolver(p1), jnp.asarray([0.4]), max_steps=1000)
     assert int(s1.stop_reason) >= 0
+
+
+def test_contraction_per_product_term():
+    """Einstein summation applies per product TERM: triple products combine
+    all factors before contracting, and powers apply within the term
+    (regression for contraction-at-every-binary-node)."""
+    code = """
+    A_ij { (0,0): 1.0, (0,1): 2.0, (1,0): 3.0, (1,1): 4.0 }
+    u_i { a = 1.0, b = 1.0 }
+    w_i { (0): 5.0, (1): 7.0 }
+    F_i { A_ij * u_j * w_j }
+    out { u_i ^ 2 }
+    """
+    problem = OdeBuilder().build_from_diffsl(code)
+    y0 = problem.eqn.init(0.0, problem.params)
+    f = problem.eqn.rhs(0.0, y0, problem.params)
+    # sum_j A_ij u_j w_j = A @ (u * w) = [1*5+2*7, 3*5+4*7] = [19, 43]
+    np.testing.assert_allclose(np.asarray(f), [19.0, 43.0])
+    # out { u_i ^ 2 } contracts AFTER the power: 1 + 1 = 2 (not (1+1)^2)
+    o = problem.eqn.out(0.0, y0, problem.params)
+    np.testing.assert_allclose(np.asarray(o), [2.0])
+    # division inside a chain: A_ij * u_j / 2 halves the mat-vec
+    code2 = """
+    A_ij { (0,0): 1.0, (0,1): 2.0, (1,0): 3.0, (1,1): 4.0 }
+    u_i { a = 1.0, b = 1.0 }
+    F_i { A_ij * u_j / 2.0 }
+    """
+    p2 = OdeBuilder().build_from_diffsl(code2)
+    f2 = p2.eqn.rhs(0.0, p2.eqn.init(0.0, p2.params), p2.params)
+    np.testing.assert_allclose(np.asarray(f2), [1.5, 3.5])

@@ -79,10 +79,15 @@ def test_classify_noise_kinds():
     assert classify_noise(
         lambda t, y, pp: (pp[0] * y)[:, None], y0, p
     ) == "scalar"
-    # other: cross-coupled diagonal-form noise
+    # 1-state diagonal form is also one process -> scalar (stoch.rs kind())
+    assert classify_noise(
+        lambda t, y, pp: pp[0] * y, jnp.asarray([1.0]), p
+    ) == "scalar"
+    # state cross-coupling in diagonal form stays diagonal: the reference
+    # probe only checks per-process dW coupling (stoch.rs:43-63)
     assert classify_noise(
         lambda t, y, pp: pp[0] * jnp.roll(y, 1), y0, p
-    ) == "other"
+    ) == "diagonal"
     # zero processes
     assert classify_noise(
         lambda t, y, pp: jnp.zeros((3, 0)), y0, p
@@ -91,7 +96,7 @@ def test_classify_noise_kinds():
     assert classify_noise(
         lambda t, y, pp: jnp.diag(pp[0] * y), y0, p
     ) == "diagonal"
-    # general square matrix with coupling
+    # general square matrix with cross-process coupling
     assert classify_noise(
         lambda t, y, pp: pp[0] * jnp.outer(y, y), y0, p
     ) == "other"
