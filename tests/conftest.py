@@ -18,3 +18,11 @@ import jax  # noqa: E402
 # the axon TPU plugin ignores the JAX_PLATFORMS env var; force cpu here
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# persistent compilation cache: whole-solve while-loops take 10-60 s each to
+# compile and dominate suite wall time; repeat runs hit the cache instead
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("DIFFSOL_JAX_CACHE", "/tmp/diffsol_tpu_jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
