@@ -38,3 +38,23 @@ def squared_norm(x, y, atol, rtol, nbatch: int = 1):
 def norm(x, y, atol, rtol, nbatch: int = 1):
     """WRMS norm (square root of :func:`squared_norm`)."""
     return jnp.sqrt(squared_norm(x, y, atol, rtol, nbatch))
+
+
+def worst_member(x, y, atol, rtol, nbatch: int = 1):
+    """Index of the lockstep member dominating the shared error norm.
+
+    Lockstep semantics are shared-fate (one member's error controls the
+    whole batch, and a diverging member fails it) -- this diagnostic names
+    THAT member.  Surfaced as ``stats.worst_member``: the member whose WRMS
+    term was the max at the most recent error test.  Returns 0 when
+    ``nbatch == 1``.
+    """
+    if nbatch <= 1:
+        return jnp.asarray(0, jnp.int32)
+    scale = jnp.abs(y) * rtol + atol
+    term = x / scale
+    per_batch = jnp.mean(term * term, axis=-2)
+    # reduce any extra leading axes (augmented/sensitivity rows) by max
+    while per_batch.ndim > 1:
+        per_batch = jnp.max(per_batch, axis=0)
+    return jnp.argmax(per_batch).astype(jnp.int32)

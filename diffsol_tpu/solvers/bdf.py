@@ -30,7 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import errors
-from ..norms import squared_norm
+from ..norms import squared_norm, worst_member
 from ..ops.controller import pi_controller_raw
 from ..ops.newton import ETA_RESET_JACOBIAN, ETA_RESET_TIMESTEP, newton_solve
 from ..ops.rootfind import check_root
@@ -697,6 +697,10 @@ class BdfSolver:
                 )(s_delta, state.s)
                 err = jnp.maximum(err, jnp.max(s_errs) * ec2[order])
             accepted = solve_ok & (err <= 1.0)
+            if self._nb > 1:
+                wm = worst_member(d, state.y, p.atol, p.rtol, self._nb)
+            else:
+                wm = c["stats"].worst_member
             m = float(max_newton)
             safety = 0.9 * (2.0 * m + 1.0) / (2.0 * m + res.niter.astype(dtype))
 
@@ -733,6 +737,7 @@ class BdfSolver:
                 newton_fails=c["stats"].newton_fails + (~solve_ok).astype(i32),
                 error_test_failures=c["stats"].error_test_failures
                 + err_fail.astype(i32),
+                worst_member=wm,
             )
             jac, factors, stats, eta, ssj, ssrj, c_last = self._jac_slim(
                 c["jac"], c["factors"], stats, res.eta,

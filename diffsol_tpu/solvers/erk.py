@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import errors
-from ..norms import squared_norm
+from ..norms import squared_norm, worst_member
 from ..ops.controller import clamp_factor, pi_controller_raw
 from ..ops.rootfind import check_root
 from ..problem import OdeProblem, SolverConfig
@@ -252,6 +252,10 @@ class ErkSolver:
                 )(serr_rows, state.s)
                 err = jnp.maximum(err, jnp.max(s_errs))
             accepted = err < 1.0
+            if self._nb > 1:
+                wm = worst_member(err_vec, state.y, p.atol, p.rtol, self._nb)
+            else:
+                wm = c["wm"]
             raw = pi_controller_raw(
                 err, c["prev"],
                 p.options.pi_control_integral, p.options.pi_control_proportional,
@@ -276,7 +280,7 @@ class ErkSolver:
                 h=h_next, diff=diff, gdiff=gdiff, y_new=y_new, dy_new=dy_new,
                 dg_new=dg_new, sdiff=sdiff, s_new=s_new, ds_new=ds_new,
                 natt=natt, prev=prev, err=err, status=status,
-                accepted=accepted,
+                accepted=accepted, wm=wm,
             )
 
         init = dict(
@@ -288,6 +292,7 @@ class ErkSolver:
             err=jnp.asarray(jnp.inf, dtype),
             status=jnp.asarray(errors.INTERNAL_TIMESTEP, jnp.int32),
             accepted=jnp.asarray(False),
+            wm=state.stats.worst_member,
         )
         carry = jax.lax.while_loop(attempt_cond, attempt_body, init)
         (h, diff, gdiff, y_new, dy_new, dg_new, natt, err, status) = (
@@ -328,6 +333,7 @@ class ErkSolver:
             stats=state.stats._replace(
                 steps=state.stats.steps + 1,
                 error_test_failures=state.stats.error_test_failures + natt,
+                worst_member=carry["wm"],
             ),
             **sens_upd,
         )

@@ -43,11 +43,17 @@ class Stats(NamedTuple):
     lu_from_second_fail: jax.Array
     lu_from_error_test: jax.Array
     lu_from_step_success: jax.Array
+    # lockstep diagnostic (extension beyond the reference counters): the
+    # member whose WRMS term dominated the most recent error test -- names
+    # the culprit under shared-fate failure semantics (norms.worst_member)
+    # (plain-int default: a module-level jnp constant would initialize the
+    # backend at import, breaking later platform overrides)
+    worst_member: jax.Array = 0
 
     @staticmethod
     def zeros() -> "Stats":
         z = jnp.asarray(0, jnp.int32)
-        return Stats(z, z, z, z, z, z, z, z, z, z, z)
+        return Stats(z, z, z, z, z, z, z, z, z, z, z, z)
 
 
 @pytree_dataclass

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import errors
-from ..norms import squared_norm
+from ..norms import squared_norm, worst_member
 from ..ops.controller import clamp_factor, pi_controller_raw
 from ..ops.newton import ETA_RESET_JACOBIAN, ETA_RESET_TIMESTEP, newton_solve
 from ..ops.rootfind import check_root
@@ -535,6 +535,12 @@ class SdirkSolver:
                         )
                     )(serr_rows, state.s)
                     err = jnp.maximum(err, jnp.max(s_errs))
+                if self._nb > 1:
+                    wm = worst_member(
+                        err_vec, state.y, p.atol, p.rtol, self._nb
+                    )
+                else:
+                    wm = c["wm"]
                 m = float(cfg.maximum_newton_iterations)
                 safety = (2.0 * m + 1.0) / (2.0 * m + niter.astype(dtype))
                 raw = pi_controller_raw(
@@ -573,7 +579,7 @@ class SdirkSolver:
                     return dict(
                         c, st=st, h=h2, nattempts=natt,
                         prev_err=jnp.asarray(jnp.nan, dtype),
-                        status=status,
+                        status=status, wm=wm,
                     )
 
                 def accept(args):
@@ -584,7 +590,7 @@ class SdirkSolver:
                         y_new=y_stage, z_last=z_last,
                         s_new=s_stage, sz_last=sz_last,
                         err=err, factor=factor,
-                        accepted=jnp.asarray(True),
+                        accepted=jnp.asarray(True), wm=wm,
                     )
 
                 return jax.lax.cond(accepted, accept, reject, (c, st))
@@ -607,6 +613,7 @@ class SdirkSolver:
             nattempts=jnp.asarray(0, jnp.int32),
             accepted=jnp.asarray(False),
             status=jnp.asarray(errors.INTERNAL_TIMESTEP, jnp.int32),
+            wm=state.stats.worst_member,
         )
         carry = jax.lax.while_loop(attempt_cond, attempt_body, carry0)
         failed = carry["status"] != errors.INTERNAL_TIMESTEP
@@ -660,6 +667,7 @@ class SdirkSolver:
             stats=st["stats"]._replace(
                 newton_fails=carry["newton_fails"],
                 error_test_failures=st["stats"].error_test_failures,
+                worst_member=carry["wm"],
             ),
         )
 

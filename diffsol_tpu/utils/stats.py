@@ -12,6 +12,10 @@ Counter parity map:
   newton_fails           <- number_of_nonlinear_solver_fails
   linear_solver_setups   <- number_of_linear_solver_setups (all causes)
   jacobian_evals         <- number_of_jac_evals
+  lu_from_*              <- per-cause LU-setup breakdown (mod.rs:53-70)
+  worst_member           <- (extension) lockstep member that dominated the
+                            most recent error test; names the culprit under
+                            shared-fate failure semantics
 """
 
 from __future__ import annotations

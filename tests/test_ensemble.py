@@ -164,3 +164,27 @@ def test_state_sharded_large_mol_halo():
         for op in ("all-reduce", "all-gather", "collective-permute",
                    "reduce-scatter")
     ), "no collectives in the sharded-step HLO"
+
+
+def test_worst_member_diagnostic():
+    """Shared-fate lockstep failures name the culprit: stats.worst_member is
+    the member whose WRMS term dominated the most recent error test
+    (diffsol_tpu.norms.worst_member; extension beyond the reference's
+    counters)."""
+    from diffsol_tpu.ensemble import make_lockstep_problem
+
+    problem = exponential_decay.problem(rtol=1e-8, atol=1e-10)
+    nb = 8
+    lp = make_lockstep_problem(problem, nb)
+    # member 5 is 100x stiffer than the rest: it controls the shared step
+    rates = np.full(nb, 0.1)
+    rates[5] = 10.0
+    params = jnp.stack(
+        [jnp.asarray(rates), jnp.ones(nb)], axis=1
+    ).astype(lp.params.dtype)
+    solver = dt.BdfSolver(lp)
+    sol = dt.solve_dense(
+        solver, jnp.asarray([0.5, 1.0]), params=params, max_steps=2000
+    )
+    assert int(sol.stop_reason) >= 0
+    assert int(sol.state.stats.worst_member) == 5
