@@ -26,3 +26,19 @@ jax.config.update(
     os.environ.get("DIFFSOL_JAX_CACHE", "/tmp/diffsol_tpu_jax_cache"),
 )
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Drop in-memory jit caches after each test module.
+
+    The XLA CPU compiler segfaults deterministically (inside
+    backend_compile) once a single process has accumulated the whole
+    suite's worth of live compiled whole-solve executables — every test
+    file passes in isolation.  Clearing between modules bounds the live
+    set; the persistent on-disk cache keeps the recompiles cheap.
+    """
+    yield
+    jax.clear_caches()
