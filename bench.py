@@ -66,13 +66,28 @@ def measure_lsoda(rtol, atol, nsolve=30):
     return best
 
 
-def run_tpu(rtol, atol, nbatch=NBATCH):
+def run_tpu(rtol, atol, nbatch=NBATCH, dtype=None):
     from diffsol_tpu.ensemble import make_lockstep_problem
     from diffsol_tpu.drivers import solve_dense
     from diffsol_tpu.models import robertson
+    from diffsol_tpu.problem import OdeBuilder
     from diffsol_tpu.solvers.bdf import BdfSolver
 
-    problem = robertson.problem_ode(rtol=rtol, atol=atol)
+    if dtype is None:
+        problem = robertson.problem_ode(rtol=rtol, atol=atol)
+    else:
+        # f32 tier (reference ScalarType::F32): native TPU floats, no
+        # f64 emulation -- trajectories agree with f64 to ~rtol
+        problem = (
+            OdeBuilder()
+            .rhs(robertson.rhs_ode)
+            .init(robertson.init)
+            .p(list(robertson.P_DEFAULT))
+            .rtol(rtol)
+            .atol(atol)
+            .dtype(dtype)
+            .build()
+        )
     lp = make_lockstep_problem(problem, nbatch)
     k1 = 0.04 * (1.0 + 0.1 * jnp.linspace(-1.0, 1.0, nbatch))
     params = jnp.stack(
@@ -150,6 +165,7 @@ def main():
     # ensemble-size sweep (reference book/src/benchmarks/python.md ngroups
     # table: per-instance time vs batch size)
     sweep = {b: run_tpu(1e-4, 1e-6, nbatch=b) for b in (100, 1000)}
+    t_f32 = run_tpu(1e-4, 1e-6, dtype=jnp.float32)
     heat2d_s, heat2d_steps = run_heat2d_banded()
 
     per_hi = t_hi / NBATCH
@@ -175,6 +191,8 @@ def main():
                 "heat2d_mgrid20_b32_steps": heat2d_steps,
                 "per_instance_us_b100": round(sweep[100] / 100 * 1e6, 2),
                 "per_instance_us_b1000": round(sweep[1000] / 1000 * 1e6, 2),
+                "per_instance_us_f32": round(t_f32 / NBATCH * 1e6, 3),
+                "f32_vs_f64_speedup": round(t_hi / t_f32, 2),
             }
         )
     )

@@ -199,6 +199,7 @@ class OdeBuilder:
         self._ic_options = InitialConditionOptions()
         self._linear_solver = DENSE
         self._use_coloring = False
+        self._dtype = None
 
     # equations ---------------------------------------------------------
     def rhs(self, f: Callable):
@@ -357,10 +358,36 @@ class OdeBuilder:
 
         return self.build_from_eqn(compile_diffsl(source))
 
+    def dtype(self, d):
+        """Solve precision (reference ScalarType{F32,F64},
+        diffsol-c/src/scalar_type.rs).  Default: the ambient float width
+        (f64 under jax x64).  On TPU, f32 avoids the emulated-f64 cost --
+        the init/rhs/mass/... callables are wrapped so their outputs (and
+        all tolerance/params leaves) carry this dtype regardless of what
+        the user closures return.
+        """
+        self._dtype = jnp.dtype(d)
+        return self
+
     # build --------------------------------------------------------------
     def build(self) -> OdeProblem:
         if self._rhs is None or self._init is None:
             raise ValueError("OdeBuilder requires at least .rhs(...) and .init(...)")
+        if self._dtype is not None:
+            cast = self._dtype
+
+            def _c(f):
+                if f is None:
+                    return None
+                return lambda *a: jnp.asarray(f(*a), cast)
+
+            self._rhs = _c(self._rhs)
+            self._init = _c(self._init)
+            self._mass = _c(self._mass)
+            self._root = _c(self._root)
+            self._out = _c(self._out)
+            self._reset = _c(self._reset)
+            self._rhs_jac = _c(self._rhs_jac)
         if self._linear_solver.name.startswith("banded") and self._rhs_jac is None:
             from .ops.banded import make_banded_jac
 
@@ -413,7 +440,7 @@ class OdeBuilder:
             reset=self._reset,
             rhs_jac=self._rhs_jac,
         )
-        dtype = jnp.result_type(float)
+        dtype = self._dtype or jnp.result_type(float)
         atol = jnp.asarray(self._atol, dtype)
         if atol.ndim == 0:
             atol = jnp.full((eqn.nstates,), atol, dtype)

@@ -212,3 +212,54 @@ def test_with_config_mid_run():
     np.testing.assert_allclose(
         np.asarray(sol_frz.state.y), np.asarray(sol_def.state.y), rtol=1e-6
     )
+
+
+def test_f32_solves():
+    """f32 precision option (reference ScalarType::F32,
+    diffsol-c/src/scalar_type.rs) under an x64-enabled session: the whole
+    solve carries float32 and matches the f64 trajectory to f32-level
+    accuracy."""
+    from diffsol_tpu.models import logistic
+
+    def build(dtype=None):
+        b = (
+            dt.OdeBuilder()
+            .rhs(lambda t, y, p: p[0] * y * (1.0 - y / p[1]))
+            .init(lambda t, p: jnp.asarray([p[2]]))
+            .p([1.0, 10.0, 0.1])
+            .rtol(1e-5)
+            .atol(1e-7)
+        )
+        if dtype is not None:
+            b = b.dtype(dtype)
+        return b.build()
+
+    t_eval = jnp.linspace(0.5, 5.0, 4)
+    sol32 = dt.solve_dense(dt.BdfSolver(build(jnp.float32)), t_eval)
+    sol64 = dt.solve_dense(dt.BdfSolver(build()), t_eval)
+    assert sol32.ys.dtype == jnp.float32
+    assert sol64.ys.dtype == jnp.float64
+    assert int(sol32.stop_reason) >= 0
+    np.testing.assert_allclose(
+        np.asarray(sol32.ys), np.asarray(sol64.ys), rtol=2e-4
+    )
+    # stiff f32: robertson ODE at loose tolerance on TR-BDF2
+    from diffsol_tpu.models import robertson
+
+    prob32 = (
+        dt.OdeBuilder()
+        .rhs(robertson.rhs_ode)
+        .init(robertson.init)
+        .p(list(robertson.P_DEFAULT))
+        .rtol(1e-4).atol(1e-6)
+        .dtype(jnp.float32)
+        .build()
+    )
+    s = dt.solve_dense(
+        dt.BdfSolver(prob32), jnp.asarray([0.4, 4.0]), max_steps=5000
+    )
+    assert s.ys.dtype == jnp.float32
+    assert int(s.stop_reason) >= 0
+    np.testing.assert_allclose(
+        float(s.ys[0, 0]), 0.985172, rtol=5e-3
+    )
