@@ -40,6 +40,8 @@ from .problem import OdeBuilder
 _METHODS = ("bdf", "esdirk34", "tr_bdf2", "tsit45")
 # reference diffsol-c/src/linear_solver_type.rs:15-19
 _LINEAR_SOLVERS = ("default", "lu", "klu")
+# reference diffsol-c/src/scalar_type.rs:11-14
+_SCALARS = ("f32", "f64")
 
 _registry: dict[int, "_OdeHandle"] = {}
 _next_id = itertools.count(1)
@@ -56,6 +58,7 @@ class _OdeHandle:
         self.params = None  # None => DiffSL in_i defaults
         self.method = 0  # bdf
         self.linear_solver = 0  # default
+        self.scalar_type = 1  # f64 (the C data boundary is always double)
         self.integrate_out = False
         self._problem = None
         self._solver = None
@@ -77,6 +80,8 @@ class _OdeHandle:
             )
             if _LINEAR_SOLVERS[self.linear_solver] == "lu":
                 b = b.linear_solver("dense")  # explicit dense LU tier
+            if _SCALARS[self.scalar_type] == "f32":
+                b = b.dtype(jnp.float32)
             if self.params is not None:
                 b = b.p(self.params)
             self._problem = b.build_from_diffsl(self.code)
@@ -206,6 +211,19 @@ def set_linear_solver(handle, value):
 
 def get_linear_solver(handle):
     return int(_get(handle).linear_solver)
+
+
+def set_scalar_type(handle, value):
+    value = int(value)
+    if not 0 <= value < len(_SCALARS):
+        raise ValueError(f"invalid scalar type {value}")
+    h = _get(handle)
+    h.scalar_type = value
+    h.invalidate()
+
+
+def get_scalar_type(handle):
+    return int(_get(handle).scalar_type)
 
 
 def set_integrate_out(handle, value):

@@ -239,6 +239,8 @@ INT_SET(diffsol_ode_set_ode_solver, "set_ode_solver")
 INT_GET(diffsol_ode_get_ode_solver, "get_ode_solver", int)
 INT_SET(diffsol_ode_set_linear_solver, "set_linear_solver")
 INT_GET(diffsol_ode_get_linear_solver, "get_linear_solver", int)
+INT_SET(diffsol_ode_set_scalar_type, "set_scalar_type")
+INT_GET(diffsol_ode_get_scalar_type, "get_scalar_type", int)
 INT_GET(diffsol_ode_nstates, "nstates", int64_t)
 INT_GET(diffsol_ode_nparams, "nparams", int64_t)
 INT_GET(diffsol_ode_nout, "nout", int64_t)

@@ -50,6 +50,10 @@ int diffsol_ode_get_ode_solver(int64_t ode, int *out);
  * (reference linear_solver_type.rs:15-19) */
 int diffsol_ode_set_linear_solver(int64_t ode, int value);
 int diffsol_ode_get_linear_solver(int64_t ode, int *out);
+/* 0 = f32, 1 = f64 (reference scalar_type.rs:11-14).  The C data boundary
+ * stays double either way; f32 selects the device solve precision. */
+int diffsol_ode_set_scalar_type(int64_t ode, int value);
+int diffsol_ode_get_scalar_type(int64_t ode, int *out);
 
 /* ---- introspection ---- */
 int diffsol_ode_nstates(int64_t ode, int64_t *out);

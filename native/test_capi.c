@@ -128,6 +128,20 @@ int main(void) {
     /* klu is a CPU/SuiteSparse tier; must be rejected on a live handle */
     CHECK(diffsol_ode_set_linear_solver(dae, 2) == -1, "klu rejected");
     diffsol_clear_last_error();
+
+    /* f32 scalar tier (reference scalar_type.rs): same solve, f32 device
+     * precision -- tolerances must sit above f32 eps (the reference's JIT
+     * tests use 1e-6 for F32; the stiff DAE needs a little more slack) */
+    CHECK(diffsol_ode_set_rtol(dae, 1e-4) == 0, "f32 rtol");
+    CHECK(diffsol_ode_set_atol(dae, 1e-6) == 0, "f32 atol");
+    CHECK(diffsol_ode_set_scalar_type(dae, 0) == 0, "set f32");
+    int sc = -1;
+    CHECK(diffsol_ode_get_scalar_type(dae, &sc) == 0 && sc == 0, "get f32");
+    double yf[6];
+    CHECK(diffsol_ode_solve_dense(dae, te, 2, 5000, yf, &stop) == 0,
+          "f32 dae solve");
+    CHECK(stop >= 0, "f32 stop ok");
+    CHECK(fabs(yf[0] - yd[0]) < 1e-3, "f32 vs f64 trajectory");
     diffsol_ode_free(dae);
 
     /* ---- error paths ---- */
