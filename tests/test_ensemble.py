@@ -188,3 +188,50 @@ def test_worst_member_diagnostic():
     )
     assert int(sol.stop_reason) >= 0
     assert int(sol.state.stats.worst_member) == 5
+
+
+def test_f32_lockstep_ensemble():
+    """The f32 precision tier composes with lockstep ensembles (the
+    TPU-native fast path benchmarked in bench.py): conservation holds and
+    members match the f64 lockstep solve to ~rtol."""
+    from diffsol_tpu.ensemble import make_lockstep_problem
+    from diffsol_tpu.models import robertson
+
+    def build(dtype=None):
+        b = (
+            dt.OdeBuilder()
+            .rhs(robertson.rhs_ode)
+            .init(robertson.init)
+            .p(list(robertson.P_DEFAULT))
+            .rtol(1e-4)
+            .atol(1e-6)
+        )
+        if dtype is not None:
+            b = b.dtype(dtype)
+        return b.build()
+
+    nb = 8
+    k1 = 0.04 * (1.0 + 0.1 * np.linspace(-1.0, 1.0, nb))
+
+    def solve(problem):
+        lp = make_lockstep_problem(problem, nb)
+        params = jnp.stack(
+            [jnp.asarray(k1), jnp.full(nb, 1.0e4), jnp.full(nb, 3.0e7)],
+            axis=1,
+        ).astype(lp.params.dtype)
+        return dt.solve_dense(
+            dt.BdfSolver(lp), jnp.asarray([0.4, 40.0], lp.atol.dtype),
+            params=params, max_steps=5000,
+        )
+
+    s32 = solve(build(jnp.float32))
+    s64 = solve(build())
+    assert s32.ys.dtype == jnp.float32
+    assert int(s32.stop_reason) >= 0
+    np.testing.assert_allclose(
+        np.asarray(s32.ys, dtype=np.float64).sum(axis=1), 1.0, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(s32.ys, dtype=np.float64), np.asarray(s64.ys),
+        rtol=0, atol=2e-4,
+    )
