@@ -70,24 +70,11 @@ def run_tpu(rtol, atol, nbatch=NBATCH, dtype=None):
     from diffsol_tpu.ensemble import make_lockstep_problem
     from diffsol_tpu.drivers import solve_dense
     from diffsol_tpu.models import robertson
-    from diffsol_tpu.problem import OdeBuilder
     from diffsol_tpu.solvers.bdf import BdfSolver
 
-    if dtype is None:
-        problem = robertson.problem_ode(rtol=rtol, atol=atol)
-    else:
-        # f32 tier (reference ScalarType::F32): native TPU floats, no
-        # f64 emulation -- trajectories agree with f64 to ~rtol
-        problem = (
-            OdeBuilder()
-            .rhs(robertson.rhs_ode)
-            .init(robertson.init)
-            .p(list(robertson.P_DEFAULT))
-            .rtol(rtol)
-            .atol(atol)
-            .dtype(dtype)
-            .build()
-        )
+    # dtype=float32 is the f32 tier (reference ScalarType::F32): native
+    # TPU floats, no f64 emulation -- trajectories agree with f64 to ~rtol
+    problem = robertson.problem_ode(rtol=rtol, atol=atol, dtype=dtype)
     lp = make_lockstep_problem(problem, nbatch)
     k1 = 0.04 * (1.0 + 0.1 * jnp.linspace(-1.0, 1.0, nbatch))
     params = jnp.stack(

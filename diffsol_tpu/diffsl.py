@@ -369,11 +369,14 @@ class _Eval:
     xx_i * yy_i stays elementwise because i IS the destination index).
     """
 
-    def __init__(self, xp, env, dims, dest):
+    def __init__(self, xp, env, dims, dest, dtype=None):
         self.xp = xp  # numpy or jax.numpy
         self.env = env  # name -> (array, rank)
         self.dims = dims  # letter -> size (filled as discovered)
         self.dest = dest
+        # literal dtype: under jax x64 a bare f64 literal would promote
+        # every f32 intermediate back to f64, defeating the f32 tier
+        self.dtype = dtype
 
     def _align(self, vals):
         """Broadcast (arr, letters) values to a common letter string."""
@@ -414,7 +417,7 @@ class _Eval:
     def eval(self, node):
         xp = self.xp
         if isinstance(node, Num):
-            return xp.asarray(node.v), ""
+            return xp.asarray(node.v, self.dtype), ""
         if isinstance(node, Neg):
             a, ls = self.eval(node.x)
             return -a, ls
@@ -672,7 +675,12 @@ class DiffslModel:
         return compile_diffsl(d["source"])
 
     # ---- callables ----
-    def make_callables(self):
+    def make_callables(self, dtype=None):
+        """Build the (rhs, init, mass, root, out, reset) JAX closures.
+
+        ``dtype`` (the builder's precision tier) casts the folded constants
+        and all literals so f32 problems trace f32 arithmetic end to end.
+        """
         import jax.numpy as jnp
 
         by_name = {td.name: td for td in self.defs}
@@ -681,14 +689,15 @@ class DiffslModel:
         dudt_segs = self.dudt_segments
         n = self.nstates
         consts = {
-            k: (jnp.asarray(v[0]), v[1]) for k, v in self.constants.items()
+            k: (jnp.asarray(v[0], dtype), v[1])
+            for k, v in self.constants.items()
         }
         order = self.order
 
         def base_env(t, p):
             env = dict(consts)
             env["t"] = (t, 0)
-            env["pi"] = (jnp.asarray(math.pi), 0)
+            env["pi"] = (jnp.asarray(math.pi, dtype), 0)
             for name, start, ln in param_labels:
                 if ln == 1:
                     env[name] = (p[start], 0)
@@ -704,7 +713,7 @@ class DiffslModel:
                     continue
                 td = by_name[name]
                 # index letters are scoped per tensor definition
-                ev = _Eval(jnp, env, {}, td.idx)
+                ev = _Eval(jnp, env, {}, td.idx, dtype)
                 if len(td.idx) <= 1:
                     arr, _segs = _eval_vector(td, ev)
                     if td.idx == "":
@@ -724,14 +733,14 @@ class DiffslModel:
 
         def eval_special(tdname, env):
             td = by_name[tdname]
-            ev = _Eval(jnp, env, {}, td.idx)
+            ev = _Eval(jnp, env, {}, td.idx, dtype)
             arr, _ = _eval_vector(td, ev)
             return arr
 
         def init(t, p):
             env = eval_intermediates(base_env(t, p), skip_state_deps=True)
             td = by_name["u"]
-            ev = _Eval(jnp, env, {}, td.idx or "i")
+            ev = _Eval(jnp, env, {}, td.idx or "i", dtype)
             arr, _ = _eval_vector(td, ev)
             return arr.reshape((n,))
 
@@ -761,7 +770,7 @@ class DiffslModel:
                 # M_i is linear in dudt: the matrix is its exact jacobian
                 return jax.jacfwd(
                     lambda v: mass_action(t, p, v)
-                )(jnp.zeros((n,)))
+                )(jnp.zeros((n,), dtype))
 
             callables["mass"] = mass
 

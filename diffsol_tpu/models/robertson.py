@@ -74,13 +74,16 @@ def problem_dae(rtol=1e-4, atol=(1e-8, 1e-6, 1e-6), p=P_DEFAULT) -> OdeProblem:
     )
 
 
-def problem_ode(rtol=1e-4, atol=(1e-8, 1e-6, 1e-6), p=P_DEFAULT) -> OdeProblem:
-    return (
+def problem_ode(rtol=1e-4, atol=(1e-8, 1e-6, 1e-6), p=P_DEFAULT,
+                dtype=None) -> OdeProblem:
+    b = (
         OdeBuilder()
         .rhs(rhs_ode)
         .init(init)
         .p(list(p))
         .rtol(rtol)
         .atol(jnp.asarray(atol))
-        .build()
     )
+    if dtype is not None:
+        b = b.dtype(dtype)
+    return b.build()

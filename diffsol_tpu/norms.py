@@ -40,21 +40,30 @@ def norm(x, y, atol, rtol, nbatch: int = 1):
     return jnp.sqrt(squared_norm(x, y, atol, rtol, nbatch))
 
 
-def worst_member(x, y, atol, rtol, nbatch: int = 1):
-    """Index of the lockstep member dominating the shared error norm.
+def squared_norm_and_worst(x, y, atol, rtol, nbatch: int = 1):
+    """(squared WRMS norm, index of the dominating lockstep member).
 
-    Lockstep semantics are shared-fate (one member's error controls the
-    whole batch, and a diverging member fails it) -- this diagnostic names
-    THAT member.  Surfaced as ``stats.worst_member``: the member whose WRMS
-    term was the max at the most recent error test.  Returns 0 when
-    ``nbatch == 1``.
+    Shares one scale/term/mean pass between the error test and the
+    ``stats.worst_member`` diagnostic (the per-member reduction is the
+    same array either way).  Lockstep semantics are shared-fate -- one
+    member's error controls the whole batch and a diverging member fails
+    it; the returned index names THAT member (for the STATE error rows:
+    when quadrature/sensitivity rows dominate the combined error test the
+    state-dominant member is reported).  Index 0 when ``nbatch == 1``.
     """
-    if nbatch <= 1:
-        return jnp.asarray(0, jnp.int32)
     scale = jnp.abs(y) * rtol + atol
     term = x / scale
-    per_batch = jnp.mean(term * term, axis=-2)
+    sq = term * term
+    per_batch = jnp.mean(sq, axis=-2 if nbatch > 1 else -1)
+    if nbatch <= 1:
+        return jnp.max(per_batch), jnp.asarray(0, jnp.int32)
+    flat = per_batch
     # reduce any extra leading axes (augmented/sensitivity rows) by max
-    while per_batch.ndim > 1:
-        per_batch = jnp.max(per_batch, axis=0)
-    return jnp.argmax(per_batch).astype(jnp.int32)
+    while flat.ndim > 1:
+        flat = jnp.max(flat, axis=0)
+    return jnp.max(per_batch), jnp.argmax(flat).astype(jnp.int32)
+
+
+def worst_member(x, y, atol, rtol, nbatch: int = 1):
+    """Index half of :func:`squared_norm_and_worst`."""
+    return squared_norm_and_worst(x, y, atol, rtol, nbatch)[1]

@@ -330,7 +330,7 @@ class OdeBuilder:
         """Build from an already-compiled :class:`~diffsol_tpu.diffsl.DiffslModel`
         (reference builder.rs `build_from_eqn`: reuse a compiled equations
         object across problems/settings)."""
-        fns = model.make_callables()
+        fns = model.make_callables(dtype=self._dtype)
         self._rhs = fns["rhs"]
         self._init = fns["init"]
         self._mass = fns.get("mass", self._mass)
@@ -373,6 +373,14 @@ class OdeBuilder:
     def build(self) -> OdeProblem:
         if self._rhs is None or self._init is None:
             raise ValueError("OdeBuilder requires at least .rhs(...) and .init(...)")
+        # work on LOCALS: build() must not mutate the builder's stored
+        # callables (a second build() would stack dtype wrappers / reuse a
+        # stale auto-detected jacobian tier)
+        rhs_f, init_f = self._rhs, self._init
+        mass_f, root_f = self._mass, self._root
+        out_f, reset_f = self._out, self._reset
+        rhs_jac_f = self._rhs_jac
+        linear_solver = self._linear_solver
         if self._dtype is not None:
             cast = self._dtype
 
@@ -381,19 +389,19 @@ class OdeBuilder:
                     return None
                 return lambda *a: jnp.asarray(f(*a), cast)
 
-            self._rhs = _c(self._rhs)
-            self._init = _c(self._init)
-            self._mass = _c(self._mass)
-            self._root = _c(self._root)
-            self._out = _c(self._out)
-            self._reset = _c(self._reset)
-            self._rhs_jac = _c(self._rhs_jac)
-        if self._linear_solver.name.startswith("banded") and self._rhs_jac is None:
+            rhs_f = _c(rhs_f)
+            init_f = _c(init_f)
+            mass_f = _c(mass_f)
+            root_f = _c(root_f)
+            out_f = _c(out_f)
+            reset_f = _c(reset_f)
+            rhs_jac_f = _c(rhs_jac_f)
+        if linear_solver.name.startswith("banded") and rhs_jac_f is None:
             from .ops.banded import make_banded_jac
 
-            ml, mu = self._linear_solver.meta[:2]
-            self._rhs_jac = make_banded_jac(self._rhs, ml, mu)
-        elif self._use_coloring and self._rhs_jac is None:
+            ml, mu = linear_solver.meta[:2]
+            rhs_jac_f = make_banded_jac(rhs_f, ml, mu)
+        elif self._use_coloring and rhs_jac_f is None:
             import numpy as np
 
             from .ops.banded import make_banded_jac, make_banded_solver
@@ -405,14 +413,14 @@ class OdeBuilder:
 
             p_arr = jnp.asarray(self._p, dtype=jnp.result_type(float))
             t0_arr = jnp.asarray(self._t0)
-            y0 = self._init(t0_arr, p_arr)
+            y0 = init_f(t0_arr, p_arr)
             n = int(y0.shape[-1])
-            rows, cols = detect_sparsity(self._rhs, t0_arr, y0, p_arr, n)
+            rows, cols = detect_sparsity(rhs_f, t0_arr, y0, p_arr, n)
             ml = int(np.max(rows - cols)) if len(rows) else 0
             mu = int(np.max(cols - rows)) if len(rows) else 0
-            if self._mass is not None:
+            if mass_f is not None:
                 # the iteration matrix is M - c J: the band must cover M too
-                m0 = np.asarray(self._mass(t0_arr, p_arr))
+                m0 = np.asarray(mass_f(t0_arr, p_arr))
                 mi, mj = np.nonzero(m0)
                 if len(mi):
                     ml = max(ml, int(np.max(mi - mj)))
@@ -422,23 +430,23 @@ class OdeBuilder:
                 # the factorization to the band tier (the role of the
                 # reference's KLU sparse LU, suitesparse/klu.rs:1-245 --
                 # coloring compresses the factorization, not just the JVPs)
-                self._rhs_jac = make_banded_jac(self._rhs, ml, mu)
-                self._linear_solver = make_banded_solver(ml, mu)
+                rhs_jac_f = make_banded_jac(rhs_f, ml, mu)
+                linear_solver = make_banded_solver(ml, mu)
             else:
                 colors, ncolors = greedy_color(rows, cols, n, n)
-                self._rhs_jac = make_colored_jac(
-                    self._rhs, rows, cols, colors, ncolors, n
+                rhs_jac_f = make_colored_jac(
+                    rhs_f, rows, cols, colors, ncolors, n
                 )
         eqn = make_equations(
-            self._rhs,
-            self._init,
+            rhs_f,
+            init_f,
             self._p,
             self._t0,
-            mass=self._mass,
-            root=self._root,
-            out=self._out,
-            reset=self._reset,
-            rhs_jac=self._rhs_jac,
+            mass=mass_f,
+            root=root_f,
+            out=out_f,
+            reset=reset_f,
+            rhs_jac=rhs_jac_f,
         )
         dtype = self._dtype or jnp.result_type(float)
         atol = jnp.asarray(self._atol, dtype)
@@ -470,5 +478,5 @@ class OdeBuilder:
             integrate_out=self._integrate_out,
             options=self._options,
             ic_options=self._ic_options,
-            linear_solver=self._linear_solver,
+            linear_solver=linear_solver,
         )

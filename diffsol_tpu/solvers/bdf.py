@@ -30,7 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import errors
-from ..norms import squared_norm, worst_member
+from ..norms import squared_norm, squared_norm_and_worst
 from ..ops.controller import pi_controller_raw
 from ..ops.newton import ETA_RESET_JACOBIAN, ETA_RESET_TIMESTEP, newton_solve
 from ..ops.rootfind import check_root
@@ -677,10 +677,10 @@ class BdfSolver:
                 g_delta = c["g_delta"]
 
             # ---- unconditional error test (junk when ~solve_ok, unused) ----
-            err = (
-                squared_norm(d, state.y, p.atol, p.rtol, self._nb)
-                * ec2[order - 1]
+            sq_d, wm_new = squared_norm_and_worst(
+                d, state.y, p.atol, p.rtol, self._nb
             )
+            err = sq_d * ec2[order - 1]
             if p.output_in_error_control():
                 err = jnp.maximum(
                     err,
@@ -697,10 +697,10 @@ class BdfSolver:
                 )(s_delta, state.s)
                 err = jnp.maximum(err, jnp.max(s_errs) * ec2[order])
             accepted = solve_ok & (err <= 1.0)
-            if self._nb > 1:
-                wm = worst_member(d, state.y, p.atol, p.rtol, self._nb)
-            else:
-                wm = c["stats"].worst_member
+            # keep the previous culprit on nonlinear-solver failure: d from
+            # an unconverged/diverged Newton iterate is junk (NaN argmax
+            # would confidently name member 0)
+            wm = jnp.where(solve_ok, wm_new, c["stats"].worst_member)
             m = float(max_newton)
             safety = 0.9 * (2.0 * m + 1.0) / (2.0 * m + res.niter.astype(dtype))
 

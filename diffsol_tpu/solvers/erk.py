@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import errors
-from ..norms import squared_norm, worst_member
+from ..norms import squared_norm, squared_norm_and_worst
 from ..ops.controller import clamp_factor, pi_controller_raw
 from ..ops.rootfind import check_root
 from ..problem import OdeProblem, SolverConfig
@@ -236,7 +236,9 @@ class ErkSolver:
                 )
             )
             err_vec = jnp.tensordot(d_vec, diff, axes=1)
-            err = squared_norm(err_vec, state.y, p.atol, p.rtol, self._nb)
+            err, wm = squared_norm_and_worst(
+                err_vec, state.y, p.atol, p.rtol, self._nb
+            )
             if p.output_in_error_control():
                 gerr = jnp.tensordot(d_vec, gdiff, axes=1)
                 err = jnp.maximum(
@@ -252,10 +254,6 @@ class ErkSolver:
                 )(serr_rows, state.s)
                 err = jnp.maximum(err, jnp.max(s_errs))
             accepted = err < 1.0
-            if self._nb > 1:
-                wm = worst_member(err_vec, state.y, p.atol, p.rtol, self._nb)
-            else:
-                wm = c["wm"]
             raw = pi_controller_raw(
                 err, c["prev"],
                 p.options.pi_control_integral, p.options.pi_control_proportional,

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import errors
-from ..norms import squared_norm, worst_member
+from ..norms import squared_norm, squared_norm_and_worst
 from ..ops.controller import clamp_factor, pi_controller_raw
 from ..ops.newton import ETA_RESET_JACOBIAN, ETA_RESET_TIMESTEP, newton_solve
 from ..ops.rootfind import check_root
@@ -511,7 +511,9 @@ class SdirkSolver:
                 if has_mass:
                     err_vec = p.eqn.mass_mul(state.t, params, err_vec)
                 err_vec = p.linear_solver.solve(st["factors"], err_vec)
-                err = squared_norm(err_vec, state.y, p.atol, p.rtol, self._nb)
+                err, wm = squared_norm_and_worst(
+                    err_vec, state.y, p.atol, p.rtol, self._nb
+                )
                 if p.output_in_error_control():
                     gerr = jnp.tensordot(d_vec, gdiff, axes=1)
                     err = jnp.maximum(
@@ -535,12 +537,6 @@ class SdirkSolver:
                         )
                     )(serr_rows, state.s)
                     err = jnp.maximum(err, jnp.max(s_errs))
-                if self._nb > 1:
-                    wm = worst_member(
-                        err_vec, state.y, p.atol, p.rtol, self._nb
-                    )
-                else:
-                    wm = c["wm"]
                 m = float(cfg.maximum_newton_iterations)
                 safety = (2.0 * m + 1.0) / (2.0 * m + niter.astype(dtype))
                 raw = pi_controller_raw(

@@ -219,8 +219,6 @@ def test_f32_solves():
     diffsol-c/src/scalar_type.rs) under an x64-enabled session: the whole
     solve carries float32 and matches the f64 trajectory to f32-level
     accuracy."""
-    from diffsol_tpu.models import logistic
-
     def build(dtype=None):
         b = (
             dt.OdeBuilder()
@@ -246,14 +244,8 @@ def test_f32_solves():
     # stiff f32: robertson ODE at loose tolerance on TR-BDF2
     from diffsol_tpu.models import robertson
 
-    prob32 = (
-        dt.OdeBuilder()
-        .rhs(robertson.rhs_ode)
-        .init(robertson.init)
-        .p(list(robertson.P_DEFAULT))
-        .rtol(1e-4).atol(1e-6)
-        .dtype(jnp.float32)
-        .build()
+    prob32 = robertson.problem_ode(
+        rtol=1e-4, atol=1e-6, dtype=jnp.float32
     )
     s = dt.solve_dense(
         dt.BdfSolver(prob32), jnp.asarray([0.4, 4.0]), max_steps=5000
@@ -263,3 +255,21 @@ def test_f32_solves():
     np.testing.assert_allclose(
         float(s.ys[0, 0]), 0.985172, rtol=5e-3
     )
+
+
+def test_builder_rebuild_does_not_stack_dtype_wrappers():
+    """build() must not mutate the builder: a second build with a different
+    dtype must not truncate through a stale f32 cast (round-2 review
+    regression)."""
+    b = (
+        dt.OdeBuilder()
+        .rhs(lambda t, y, p: -p[0] * y)
+        .init(lambda t, p: jnp.asarray([1.0 + 1e-12]))
+        .p([1.0])
+        .dtype(jnp.float32)
+    )
+    b.build()
+    p64 = b.dtype(jnp.float64).build()
+    y = p64.eqn.init(jnp.asarray(0.0), p64.params)
+    assert y.dtype == jnp.float64
+    assert float(y[0]) != 1.0  # the 1e-12 survives: no stale f32 truncation

@@ -355,3 +355,28 @@ def test_contraction_per_product_term():
     p2 = OdeBuilder().build_from_diffsl(code2)
     f2 = p2.eqn.rhs(0.0, p2.eqn.init(0.0, p2.params), p2.params)
     np.testing.assert_allclose(np.asarray(f2), [1.5, 3.5])
+
+
+def test_diffsl_f32_traces_f32_arithmetic():
+    """The f32 tier must not leak f64 into DiffSL internals: folded
+    constants and literals carry the problem dtype, so the traced rhs has
+    no f64 ops (under an x64-enabled session; round-2 review regression)."""
+    code = """
+    A_ij { (0,0): 1.0, (0,1): 2.0, (1,0): 3.0, (1,1): 4.0 }
+    c { 0.5 }
+    u_i { a = 1.0, b = 2.0 }
+    F_i { c * A_ij * u_j + 1.5 }
+    """
+    problem = OdeBuilder().dtype(jnp.float32).build_from_diffsl(code)
+    y = jnp.ones((2,), jnp.float32)
+    f = problem.eqn.rhs(jnp.asarray(0.0, jnp.float32), y, problem.params)
+    assert f.dtype == jnp.float32
+    np.testing.assert_allclose(
+        np.asarray(f), 0.5 * np.array([3.0, 7.0]) + 1.5
+    )
+    jaxpr = str(
+        jax.make_jaxpr(problem.eqn.rhs)(
+            jnp.asarray(0.0, jnp.float32), y, problem.params
+        )
+    )
+    assert "f64" not in jaxpr, jaxpr

@@ -198,17 +198,7 @@ def test_f32_lockstep_ensemble():
     from diffsol_tpu.models import robertson
 
     def build(dtype=None):
-        b = (
-            dt.OdeBuilder()
-            .rhs(robertson.rhs_ode)
-            .init(robertson.init)
-            .p(list(robertson.P_DEFAULT))
-            .rtol(1e-4)
-            .atol(1e-6)
-        )
-        if dtype is not None:
-            b = b.dtype(dtype)
-        return b.build()
+        return robertson.problem_ode(rtol=1e-4, atol=1e-6, dtype=dtype)
 
     nb = 8
     k1 = 0.04 * (1.0 + 0.1 * np.linspace(-1.0, 1.0, nb))
