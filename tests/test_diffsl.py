@@ -380,3 +380,33 @@ def test_diffsl_f32_traces_f32_arithmetic():
         )
     )
     assert "f64" not in jaxpr, jaxpr
+
+
+def test_diffsl_use_coloring_routes_to_banded():
+    """DiffSL problems compose with sparsity detection: use_coloring() on a
+    DiffSL heat1d routes the traced rhs to the banded tier automatically."""
+    MGRID = 12
+    mgridp1 = MGRID + 1
+    h = 1.0 / (MGRID + 2)
+    y0 = ", ".join(f"({i}): {0.1 * (i + 1)}" for i in range(mgridp1))
+    code = f"""
+    A_ij {{
+        (0..{MGRID}, 1..{mgridp1}): 1.0,
+        (0..{mgridp1}, 0..{mgridp1}): -2.0,
+        (1..{mgridp1}, 0..{MGRID}): 1.0,
+    }}
+    u_i {{ {y0} }}
+    F_i {{ A_ij * u_j / {h * h} }}
+    """
+    plain = OdeBuilder().rtol(1e-6).atol(1e-8).build_from_diffsl(code)
+    banded = (
+        OdeBuilder().rtol(1e-6).atol(1e-8).use_coloring()
+        .build_from_diffsl(code)
+    )
+    assert banded.linear_solver.name.startswith("banded(1,1")
+    t_eval = jnp.asarray([0.02, 0.05])
+    s1 = solve_dense(BdfSolver(banded), t_eval, max_steps=2000)
+    s2 = solve_dense(BdfSolver(plain), t_eval, max_steps=2000)
+    np.testing.assert_allclose(
+        np.asarray(s1.ys), np.asarray(s2.ys), rtol=1e-4, atol=1e-8
+    )
