@@ -410,3 +410,85 @@ def test_diffsl_use_coloring_routes_to_banded():
     np.testing.assert_allclose(
         np.asarray(s1.ys), np.asarray(s2.ys), rtol=1e-4, atol=1e-8
     )
+
+
+def test_foodweb_diffsl_full_model():
+    """The reference's foodweb DiffSL structure (test_models/foodweb.rs:71-130)
+    generated at NX=4: 2-species reaction-diffusion DAE with a literal
+    Laplacian D_ij, grid tensors, labeled species blocks, per-block
+    contraction intermediates and a singular mass -- trajectories must
+    match the closure-built foodweb model (different state layout:
+    DiffSL blocks [c1; c2] vs the model's interleaved species)."""
+    from diffsol_tpu.models import foodweb
+
+    NX = 4
+    n = NX * NX
+    dx = 1.0 / (NX - 1)
+    xv = np.arange(NX) * dx
+    xx, yy = np.meshgrid(xv, xv)  # [jy, jx]
+
+    def refl(j):
+        return -j if j < 0 else (2 * NX - 2 - j if j >= NX else j)
+
+    D = np.zeros((n, n))
+    for jy in range(NX):
+        for jx in range(NX):
+            i = jy * NX + jx
+            D[i, i] -= 4.0 / dx**2
+            for dyy, dxx in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                D[i, refl(jy + dyy) * NX + refl(jx + dxx)] += 1.0 / dx**2
+
+    d_lit = ",\n".join(
+        f"({i},{j}): {float(D[i, j])!r}"
+        for i in range(n) for j in range(n) if D[i, j] != 0.0
+    )
+    xx_lit = ", ".join(f"({i}): {float(v)!r}" for i, v in enumerate(xx.ravel()))
+    yy_lit = ", ".join(f"({i}): {float(v)!r}" for i, v in enumerate(yy.ravel()))
+    code = f"""
+    AA {{ 1.0 }}
+    EE {{ 10000.0 }}
+    GG {{ 0.5e-6 }}
+    BB {{ 1.0 }}
+    ALPHA {{ 50.0 }}
+    BETA {{ 1000.0 }}
+    PI {{ 3.141592653589793 }}
+    DPREY {{ 1.0 }}
+    DPRED {{ 0.05 }}
+    D_ij {{ {d_lit} }}
+    xx_i {{ {xx_lit} }}
+    yy_i {{ {yy_lit} }}
+    b_i {{
+        (1.0 + ALPHA * xx_i * yy_i
+         + BETA * sin(4.0 * PI * xx_i) * sin(4.0 * PI * yy_i))
+    }}
+    u_i {{
+        c1 = 10.0 + pow(16.0 * xx_i * (1.0 - xx_i) * yy_i * (1.0 - yy_i), 2),
+        ({n}:{2 * n}): c2 = 1.0e5,
+    }}
+    dudt_i {{
+        (0:{n}): dc1dt = 0,
+        ({n}:{2 * n}): dc2dt = 0,
+    }}
+    M_i {{
+        dc1dt_i,
+        ({n}:{2 * n}): 0,
+    }}
+    c1diff_i {{ DPREY * D_ij * c1_j }}
+    c2diff_i {{ DPRED * D_ij * c2_j }}
+    F_i {{
+        c1diff_i + c1_i * (BB * b_i - AA * c1_i - GG * c2_i),
+        c2diff_i + c2_i * (-BB * b_i + EE * c1_i - AA * c2_i),
+    }}
+    """
+    prob = OdeBuilder().rtol(1e-6).atol(1e-6).build_from_diffsl(code)
+    assert prob.eqn.nstates == 2 * n
+    ref = foodweb.make(nx=NX, rtol=1e-6, atol=1e-6, banded=False)
+    t_eval = jnp.asarray([0.001, 0.01])
+    s1 = solve_dense(BdfSolver(prob), t_eval, max_steps=4000)
+    s2 = solve_dense(BdfSolver(ref), t_eval, max_steps=4000)
+    assert int(s1.stop_reason) >= 0 and int(s2.stop_reason) >= 0
+    # DiffSL layout [c1(jy,jx); c2(jy,jx)] vs model layout (jy, jx, species)
+    z = np.asarray(s1.ys).reshape(2, 2, n)  # (neval, species, grid)
+    w = np.asarray(s2.ys).reshape(2, n, 2)  # (neval, grid, species)
+    np.testing.assert_allclose(z[:, 0], w[:, :, 0], rtol=1e-4)
+    np.testing.assert_allclose(z[:, 1], w[:, :, 1], rtol=1e-4)
