@@ -21,7 +21,9 @@ diffsol-c JIT tests):
   ``(0:n): c2 = 1.0e5``;
 * 2-D keyed entries ``(i, j): v`` and *diagonal-run* range pairs
   ``(0..n, 1..n+1): v`` (ranges of equal length zip along a band; a
-  length-1 range broadcasts);
+  length-1 range broadcasts).  A keyed tensor's shape is inferred from its
+  highest keyed index -- anchor structurally-zero trailing rows/cols with
+  an explicit ``(n-1, n-1): 0.0`` entry (generated models do);
 * arithmetic ``+ - * /``, unary minus, calls (sin, cos, tan, exp, log,
   sqrt, abs, pow, tanh, sinh, cosh, sigmoid, heaviside, min, max, ...);
 * implicit contraction: within each product term, indices that do not

@@ -492,3 +492,79 @@ def test_foodweb_diffsl_full_model():
     w = np.asarray(s2.ys).reshape(2, n, 2)  # (neval, grid, species)
     np.testing.assert_allclose(z[:, 0], w[:, :, 0], rtol=1e-4)
     np.testing.assert_allclose(z[:, 1], w[:, :, 1], rtol=1e-4)
+
+
+def test_heat2d_style_matrix_mass_action():
+    """M_i { Mass_ij * dydt_j }: matrix mass through index contraction
+    (reference test_models/heat2d.rs:60-85) -- the mass matrix is recovered
+    as the exact jacobian of the linear action, including the zero rows
+    that make boundary cells algebraic."""
+    MG = 4
+    n = MG * MG
+    dx2 = (1.0 / (MG - 1)) ** 2
+    Dm = np.zeros((n, n))
+    Mass = np.zeros((n, n))
+    for jy in range(MG):
+        for jx in range(MG):
+            i = jy * MG + jx
+            boundary = jy in (0, MG - 1) or jx in (0, MG - 1)
+            if boundary:
+                Dm[i, i] = 1.0  # algebraic constraint: y = 0 on the edge
+            else:
+                Mass[i, i] = 1.0
+                Dm[i, i] = -4.0 / dx2
+                for dyy, dxx in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                    Dm[i, (jy + dyy) * MG + (jx + dxx)] += 1.0 / dx2
+
+    def lit(M):
+        entries = [
+            f"({i},{j}): {float(M[i, j])!r}"
+            for i in range(n) for j in range(n) if M[i, j] != 0.0
+        ]
+        # tensor shape is inferred from the highest keyed index: anchor the
+        # bottom-right corner explicitly (as generated models do) in case
+        # the last rows/cols are structurally zero
+        if M[n - 1, n - 1] == 0.0:
+            entries.append(f"({n - 1},{n - 1}): 0.0")
+        return ",\n".join(entries)
+
+    y0 = np.zeros(n)
+    for jy in range(1, MG - 1):
+        for jx in range(1, MG - 1):
+            y0[jy * MG + jx] = 1.0
+    init_lit = ", ".join(f"({i}): {float(v)!r}" for i, v in enumerate(y0))
+    code = f"""
+    D_ij {{ {lit(Dm)} }}
+    Mass_ij {{ {lit(Mass)} }}
+    init_i {{ {init_lit} }}
+    u_i {{ y = init_i }}
+    dudt_i {{ (0:{n}): dydt = 0 }}
+    M_i {{ Mass_ij * dydt_j }}
+    F_i {{ D_ij * y_j }}
+    out_i {{ {float(dx2)!r} * y_j * y_j }}
+    """
+    prob = OdeBuilder().rtol(1e-7).atol(1e-7).build_from_diffsl(code)
+    M = np.asarray(prob.eqn.mass(0.0, prob.params))
+    np.testing.assert_allclose(M, Mass)
+
+    # closure-built twin with the same matrices
+    Dj = jnp.asarray(Dm)
+    ref = (
+        OdeBuilder()
+        .rhs(lambda t, y, p: Dj @ y)
+        .init(lambda t, p: jnp.asarray(y0))
+        .mass(lambda t, p: jnp.asarray(Mass))
+        .p([1.0])
+        .rtol(1e-7).atol(1e-7)
+        .build()
+    )
+    t_eval = jnp.asarray([0.01, 0.05])
+    s1 = solve_dense(BdfSolver(prob), t_eval, max_steps=2000)
+    s2 = solve_dense(BdfSolver(ref), t_eval, max_steps=2000)
+    assert int(s1.stop_reason) >= 0
+    np.testing.assert_allclose(
+        np.asarray(s1.ys), np.asarray(s2.ys), rtol=1e-5, atol=1e-10
+    )
+    # the quadrature-style out entry: scalar sum dx2 * y^2
+    o = prob.eqn.out(0.0, jnp.asarray(y0), prob.params)
+    np.testing.assert_allclose(float(o[0]), dx2 * float((y0**2).sum()))
