@@ -54,10 +54,11 @@ from .problem import OdeProblem
 # --------------------------------------------------------------------------
 
 
-MAX_EVENTS = 32  # static capacity of the reset-event record
+MAX_EVENTS = 32  # default static capacity of the reset-event record
 
 
-def forward_with_table(solver, t_eval, params, max_steps: int):
+def forward_with_table(solver, t_eval, params, max_steps: int,
+                       max_events: int = MAX_EVENTS):
     """solve_dense + record (t, y, dy) at every accepted step.
 
     Returns (ys, g, table, events).  table = (ts_tab, ys_tab, dys_tab,
@@ -69,12 +70,17 @@ def forward_with_table(solver, t_eval, params, max_steps: int):
     corrections (reference checkpoint-path splitting at resets,
     checkpointing.rs:172-250); the step table gets TWO knots at each event
     so the Hermite interpolant never smears the discontinuity.
+
+    Overflowing the ``max_events`` record is a TYPED FAILURE
+    (errors.EVENT_CAPACITY_EXCEEDED): a dropped event would make the
+    backward pass silently skip its boundary correction, so the solve
+    fails loudly instead.
     """
     from .drivers import _apply_reset, _pin_to
 
     p = solver.problem
     has_reset = p.eqn.root is not None and p.eqn.reset is not None
-    max_ev = MAX_EVENTS if has_reset else 0
+    max_ev = max_events if has_reset else 0
     state = init_state_jit(solver, params)
     t_eval = jnp.asarray(t_eval, state.t.dtype)
     dtype = state.y.dtype
@@ -121,6 +127,12 @@ def forward_with_table(solver, t_eval, params, max_steps: int):
                 after = _apply_reset(solver, pinned, params)
                 i = ev["count"]
                 room = i < max_ev
+                # overflow is a typed failure, not a silent drop: the
+                # backward pass would skip this event's correction
+                after = after.replace(status=jnp.where(
+                    room, after.status,
+                    jnp.asarray(errors.EVENT_CAPACITY_EXCEEDED, jnp.int32),
+                ))
                 upd = lambda a, v: jnp.where(room, a.at[i].set(v), a)
                 ev2 = dict(
                     t=upd(ev["t"], pinned.t),
@@ -133,9 +145,12 @@ def forward_with_table(solver, t_eval, params, max_steps: int):
                 )
                 # two table knots at t*: the pre- and post-event states
                 r2 = 2 * i + k + 1
-                ts2 = ts_tab.at[r2].set(pinned.t).at[r2 + 1].set(after.t)
-                ys2 = ys_tab.at[r2].set(pinned.y).at[r2 + 1].set(after.y)
-                dys2 = dys_tab.at[r2].set(pinned.dy).at[r2 + 1].set(after.dy)
+                upd2 = lambda tab, a, b: jnp.where(
+                    room, tab.at[r2].set(a).at[r2 + 1].set(b), tab
+                )
+                ts2 = upd2(ts_tab, pinned.t, after.t)
+                ys2 = upd2(ys_tab, pinned.y, after.y)
+                dys2 = upd2(dys_tab, pinned.dy, after.dy)
                 return after, ev2, ts2, ys2, dys2
 
             def no_root(args):
@@ -151,6 +166,7 @@ def forward_with_table(solver, t_eval, params, max_steps: int):
                 is_root, on_root, no_root,
                 (new, ev, ts_tab, ys_tab, dys_tab),
             )
+            fatal = fatal | (new.status < 0)
             root_done = is_root & (new.t >= final_time)
             done = fatal | is_tstop | root_done
         else:
@@ -168,7 +184,11 @@ def forward_with_table(solver, t_eval, params, max_steps: int):
     (state, ys, ts_tab, ys_tab, dys_tab, ev, k, _done, _w) = jax.lax.while_loop(
         cond, body, init
     )
-    return ys, state.g, (ts_tab, ys_tab, dys_tab, k), ev
+    # loud failure: poison the outputs so a fatal status (incl. event-record
+    # overflow) can never flow silently into gradients
+    ys = jnp.where(state.status < 0, jnp.nan, ys)
+    g = jnp.where(state.status < 0, jnp.nan, state.g)
+    return ys, g, (ts_tab, ys_tab, dys_tab, k), ev, state.status
 
 
 def _empty_events(max_ev, n, dtype):
@@ -184,7 +204,7 @@ def _empty_events(max_ev, n, dtype):
 
 
 def forward_with_checkpoints(solver, t_eval, params, max_steps: int,
-                             interval: int):
+                             interval: int, max_events: int = MAX_EVENTS):
     """Forward solve recording sparse FULL-STATE checkpoints.
 
     The bounded-memory analog of :func:`forward_with_table` (reference
@@ -200,7 +220,7 @@ def forward_with_checkpoints(solver, t_eval, params, max_steps: int,
 
     p = solver.problem
     has_reset = p.eqn.root is not None and p.eqn.reset is not None
-    max_ev = MAX_EVENTS if has_reset else 0
+    max_ev = max_events if has_reset else 0
     state = init_state_jit(solver, params)
     t_eval = jnp.asarray(t_eval, state.t.dtype)
     dtype = state.y.dtype
@@ -249,6 +269,10 @@ def forward_with_checkpoints(solver, t_eval, params, max_steps: int,
                 after = _apply_reset(solver, pinned, params)
                 i = ev["count"]
                 room = i < max_ev
+                after = after.replace(status=jnp.where(
+                    room, after.status,
+                    jnp.asarray(errors.EVENT_CAPACITY_EXCEEDED, jnp.int32),
+                ))
                 upd = lambda a, v: jnp.where(room, a.at[i].set(v), a)
                 ev2 = dict(
                     t=upd(ev["t"], pinned.t),
@@ -264,6 +288,7 @@ def forward_with_checkpoints(solver, t_eval, params, max_steps: int,
             new, ev = jax.lax.cond(
                 is_root, on_root, lambda a: a, (new, ev)
             )
+            fatal = fatal | (new.status < 0)
             root_done = is_root & (new.t >= final_time)
             done = fatal | is_tstop | root_done
         else:
@@ -295,10 +320,13 @@ def forward_with_checkpoints(solver, t_eval, params, max_steps: int,
     # final checkpoint: the end state (defines the last segment's t_end)
     ck_states, ck_ts = write_ck(ck_states, ck_ts, state, ck_i + 1)
     n_ck = ck_i + 2
-    return ys, state.g, (ck_ts, ck_states, n_ck), ev
+    ys = jnp.where(state.status < 0, jnp.nan, ys)
+    g = jnp.where(state.status < 0, jnp.nan, state.g)
+    return ys, g, (ck_ts, ck_states, n_ck), ev, state.status
 
 
-def _record_segment(solver, state0, t_end, params, seg_steps: int):
+def _record_segment(solver, state0, t_end, params, seg_steps: int,
+                    max_events: int = MAX_EVENTS):
     """Re-solve [state0.t, t_end] recording the (t, y, dy) dense table.
 
     The bounded-memory backward pass's segment re-solve (reference
@@ -312,7 +340,7 @@ def _record_segment(solver, state0, t_end, params, seg_steps: int):
 
     p = solver.problem
     has_reset = p.eqn.root is not None and p.eqn.reset is not None
-    max_ev = MAX_EVENTS if has_reset else 0
+    max_ev = max_events if has_reset else 0
     dtype = state0.y.dtype
     n = state0.y.shape[-1]
     nrows = seg_steps + 2 * max_ev + 1
@@ -346,11 +374,18 @@ def _record_segment(solver, state0, t_end, params, seg_steps: int):
                 new, ts_tab, ys_tab, dys_tab, nev = args
                 pinned = _pin_to(solver, new, new.root_t)
                 after = _apply_reset(solver, pinned, params)
+                # capacity guard: without it a >max_ev event count would
+                # compute a row past the table and JAX would clamp the
+                # scatter onto the LAST row, silently corrupting it
+                room = nev < max_ev
                 r2 = 2 * nev + k + 1
-                ts2 = ts_tab.at[r2].set(pinned.t).at[r2 + 1].set(after.t)
-                ys2 = ys_tab.at[r2].set(pinned.y).at[r2 + 1].set(after.y)
-                dys2 = dys_tab.at[r2].set(pinned.dy).at[r2 + 1].set(after.dy)
-                return after, ts2, ys2, dys2, nev + 1
+                upd2 = lambda tab, a, b: jnp.where(
+                    room, tab.at[r2].set(a).at[r2 + 1].set(b), tab
+                )
+                ts2 = upd2(ts_tab, pinned.t, after.t)
+                ys2 = upd2(ys_tab, pinned.y, after.y)
+                dys2 = upd2(dys_tab, pinned.dy, after.dy)
+                return after, ts2, ys2, dys2, jnp.where(room, nev + 1, nev)
 
             def no_root(args):
                 new, ts_tab, ys_tab, dys_tab, nev = args
@@ -506,6 +541,12 @@ def _adjoint_problem(problem: OdeProblem, t_top, nparams: int, ct_g=None,
     else:
         gp_atol = jnp.full((nparams,), jnp.mean(problem.atol))
     atol = jnp.concatenate([problem.atol, gp_atol])
+    # the augmented (n + nparams) adjoint system has a dense jacfwd Jacobian
+    # regardless of the forward problem's structure: a banded/auto-routed
+    # forward spec must NOT leak into it (its band arrays would be shaped
+    # for n, not n + nparams)
+    from .ops import linsol
+
     return dataclasses.replace(
         problem,
         eqn=adj_eqn,
@@ -514,6 +555,7 @@ def _adjoint_problem(problem: OdeProblem, t_top, nparams: int, ct_g=None,
         t0=jnp.asarray(0.0, dtype),
         h0=jnp.asarray(0.0, dtype),
         integrate_out=False,
+        linear_solver=linsol.DENSE,
     )
 
 
@@ -798,7 +840,7 @@ def backward_pass_bounded(problem, solver_cls, fwd_solver, ckpts, events,
     has_events = eqn.reset is not None and eqn.root is not None
     seg_steps = interval + 4  # margin for the tstop-truncated last step
     max_ev = events["t"].shape[0]
-    R = seg_steps + 2 * (MAX_EVENTS if has_events else 0) + 1
+    R = seg_steps + 2 * max_ev + 1
 
     adj_problem = _adjoint_problem(problem, t_top, nparams, ct_g=ct_g,
                                    table=None, table_rows=R)
@@ -814,7 +856,7 @@ def backward_pass_bounded(problem, solver_cls, fwd_solver, ckpts, events,
         st = jax.tree_util.tree_map(lambda b: b[s], ck_states)
         t_end = ck_ts[s + 1]
         ts_l, ys_l, dys_l = _record_segment(
-            fwd_solver, st, t_end, params, seg_steps
+            fwd_solver, st, t_end, params, seg_steps, max_events=max_ev
         )
         pa = jnp.concatenate([params, ts_l, ys_l.ravel(), dys_l.ravel()])
         return pa, (ts_l, ys_l, dys_l)
@@ -907,6 +949,7 @@ def make_differentiable_solve(
     bwd_solver_cls=None,
     bwd_max_steps: Optional[int] = None,
     checkpoint_interval: Optional[int] = None,
+    max_events: int = MAX_EVENTS,
 ):
     """Return ``ys_of(params) -> (neval, n)`` differentiable via the adjoint.
 
@@ -919,6 +962,11 @@ def make_differentiable_solve(
     re-solves each segment on demand (reference Checkpointing,
     checkpointing.rs:91-250).  Storage O(max_steps/K * state + K * n); use
     for long horizons or large n where the dense table exceeds HBM.
+
+    ``max_events`` bounds the static reset-event record; overflowing it
+    fails LOUDLY (outputs/gradients become NaN and the forward status is
+    errors.EVENT_CAPACITY_EXCEEDED) instead of silently dropping event
+    corrections.
     """
     from .solvers.bdf import BdfSolver
 
@@ -931,14 +979,14 @@ def make_differentiable_solve(
     if checkpoint_interval is None:
         @jax.custom_vjp
         def ys_of(params):
-            ys, _g, _table, _ev = forward_with_table(
-                solver, t_eval, params, max_steps
+            ys, _g, _table, _ev, _st = forward_with_table(
+                solver, t_eval, params, max_steps, max_events
             )
             return ys
 
         def fwd(params):
-            ys, _g, table, ev = forward_with_table(
-                solver, t_eval, params, max_steps
+            ys, _g, table, ev, _st = forward_with_table(
+                solver, t_eval, params, max_steps, max_events
             )
             return ys, (params, table, ev)
 
@@ -954,14 +1002,14 @@ def make_differentiable_solve(
 
         @jax.custom_vjp
         def ys_of(params):
-            ys, _g, _ck, _ev = forward_with_checkpoints(
-                solver, t_eval, params, max_steps, K
+            ys, _g, _ck, _ev, _st = forward_with_checkpoints(
+                solver, t_eval, params, max_steps, K, max_events
             )
             return ys
 
         def fwd(params):
-            ys, _g, ckpts, ev = forward_with_checkpoints(
-                solver, t_eval, params, max_steps, K
+            ys, _g, ckpts, ev, _st = forward_with_checkpoints(
+                solver, t_eval, params, max_steps, K, max_events
             )
             return ys, (params, ckpts, ev)
 
@@ -985,6 +1033,7 @@ def make_differentiable_quadrature(
     bwd_solver_cls=None,
     bwd_max_steps: Optional[int] = None,
     checkpoint_interval: Optional[int] = None,
+    max_events: int = MAX_EVENTS,
 ):
     """Return ``g_of(params) -> (nout,)``: the quadrature output
     G = int_{t0}^{t_final} u(t, y, p) dt, reverse-differentiable through the
@@ -1013,14 +1062,14 @@ def make_differentiable_quadrature(
     if checkpoint_interval is None:
         @jax.custom_vjp
         def g_of(params):
-            _ys, g, _table, _ev = forward_with_table(
-                solver, t_eval, params, max_steps
+            _ys, g, _table, _ev, _st = forward_with_table(
+                solver, t_eval, params, max_steps, max_events
             )
             return g
 
         def fwd(params):
-            _ys, g, table, ev = forward_with_table(
-                solver, t_eval, params, max_steps
+            _ys, g, table, ev, _st = forward_with_table(
+                solver, t_eval, params, max_steps, max_events
             )
             return g, (params, table, ev)
 
@@ -1038,14 +1087,14 @@ def make_differentiable_quadrature(
 
         @jax.custom_vjp
         def g_of(params):
-            _ys, g, _ck, _ev = forward_with_checkpoints(
-                solver, t_eval, params, max_steps, K
+            _ys, g, _ck, _ev, _st = forward_with_checkpoints(
+                solver, t_eval, params, max_steps, K, max_events
             )
             return g
 
         def fwd(params):
-            _ys, g, ckpts, ev = forward_with_checkpoints(
-                solver, t_eval, params, max_steps, K
+            _ys, g, ckpts, ev, _st = forward_with_checkpoints(
+                solver, t_eval, params, max_steps, K, max_events
             )
             return g, (params, ckpts, ev)
 

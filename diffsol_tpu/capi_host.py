@@ -49,8 +49,9 @@ _lock = threading.Lock()
 
 
 class _OdeHandle:
-    def __init__(self, code: str):
+    def __init__(self, code: str, model=None):
         self.code = code
+        self.model = model  # compiled DiffslModel (for param-count checks)
         self.rtol = 1e-6
         self.atol = 1e-6
         self.t0 = 0.0
@@ -113,8 +114,8 @@ def new_jit(code: str) -> int:
     """
     from .diffsl import compile_diffsl
 
-    compile_diffsl(code)  # validate eagerly
-    h = _OdeHandle(code)
+    model = compile_diffsl(code)  # validate eagerly
+    h = _OdeHandle(code, model)
     with _lock:
         hid = next(_next_id)
         _registry[hid] = h
@@ -171,7 +172,13 @@ def get_h0(handle):
 
 def set_params(handle, values):
     h = _get(handle)
-    h.params = [float(v) for v in values]
+    vals = [float(v) for v in values]
+    if h.model is not None and len(vals) != len(h.model.default_params):
+        raise ValueError(
+            f"model declares {len(h.model.default_params)} inputs (in_i) "
+            f"but set_params supplied {len(vals)}"
+        )
+    h.params = vals
     h.invalidate()
 
 

@@ -601,7 +601,7 @@ def _eval_matrix(td: TensorDef, ev: _Eval):
         else:
             # keyed entries assign scalars: evaluate with an empty
             # destination so any term indices fully contract
-            ev0 = _Eval(ev.xp, ev.env, dict(ev.dims), "")
+            ev0 = _Eval(ev.xp, ev.env, dict(ev.dims), "", ev.dtype)
             arr, letters = ev0._contract(*ev0.eval(e.expr))
             if letters:
                 raise DiffslError(
@@ -611,7 +611,9 @@ def _eval_matrix(td: TensorDef, ev: _Eval):
     mat = np.zeros((nrow, ncol))
     if rows:
         mat[np.concatenate(rows), np.concatenate(cols)] = np.concatenate(vals)
-    out = ev.xp.asarray(mat)
+    out = ev.xp.asarray(mat, ev.dtype) if ev.dtype is not None else (
+        ev.xp.asarray(mat)
+    )
     for ridx, cidx, arr, cnt in traced_parts:
         out = out.at[ridx, cidx].set(arr) if hasattr(out, "at") else _npset(
             out, ridx, cidx, arr

@@ -28,6 +28,10 @@ SENSITIVITY_SOLVE_FAILED = -4
 INITIAL_CONDITION_DID_NOT_CONVERGE = -5
 STOP_TIME_BEFORE_CURRENT_TIME = -6
 MAX_STEPS_REACHED = -7
+# the adjoint forward pass has a static reset-event record; overflowing it
+# would silently drop boundary corrections => wrong gradients, so it is a
+# hard typed failure (no reference analog: diffsol's Vec grows on host)
+EVENT_CAPACITY_EXCEEDED = -8
 
 _MESSAGES = {
     STEP_SIZE_TOO_SMALL: "step size became too small",
@@ -37,6 +41,10 @@ _MESSAGES = {
     INITIAL_CONDITION_DID_NOT_CONVERGE: "initial condition solve did not converge",
     STOP_TIME_BEFORE_CURRENT_TIME: "stop time is before current time",
     MAX_STEPS_REACHED: "maximum number of steps reached",
+    EVENT_CAPACITY_EXCEEDED: (
+        "reset-event record overflowed (raise max_events on the "
+        "differentiable solve; gradients past the capacity would be wrong)"
+    ),
 }
 
 

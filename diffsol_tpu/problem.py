@@ -341,6 +341,14 @@ class OdeBuilder:
             self._p = jnp.asarray(
                 model.default_params, dtype=jnp.result_type(float)
             )
+        elif self._p.shape[-1] != len(model.default_params):
+            # JAX clamps out-of-bounds gathers, so a short params vector
+            # would silently produce wrong dynamics; reject like the
+            # reference's set_inputs length check
+            raise ValueError(
+                f"model declares {len(model.default_params)} inputs (in_i) "
+                f"but .p(...) supplied {self._p.shape[-1]}"
+            )
         problem = self.build()
         object.__setattr__(problem, "diffsl_model", model)
         return problem

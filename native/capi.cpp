@@ -322,6 +322,7 @@ extern "C" int diffsol_ode_solve_dense(int64_t ode, const double *t_eval,
     PyObject *stop = PyTuple_GetItem(r, 1);
     if (!ys || !stop) {
         Py_DECREF(r);
+        PyErr_Clear();
         set_err("solve_dense returned malformed tuple");
         return -1;
     }
@@ -346,6 +347,7 @@ extern "C" int diffsol_ode_solve(int64_t ode, double t_final,
     PyObject *stop = PyTuple_GetItem(r, 3);
     if (!ts || !ys || !np_ || !stop) {
         Py_DECREF(r);
+        PyErr_Clear();
         set_err("solve returned malformed tuple");
         return -1;
     }
@@ -390,6 +392,7 @@ extern "C" int diffsol_ode_solve_adjoint(int64_t ode, const double *t_eval,
     PyObject *grad = PyTuple_GetItem(r, 1);
     if (!ys || !grad) {
         Py_DECREF(r);
+        PyErr_Clear();
         set_err("solve_adjoint returned malformed tuple");
         return -1;
     }
@@ -414,6 +417,7 @@ extern "C" int diffsol_ode_solve_fwd_sens(int64_t ode, const double *t_eval,
     PyObject *sens = PyTuple_GetItem(r, 1);
     if (!ys || !sens) {
         Py_DECREF(r);
+        PyErr_Clear();
         set_err("solve_fwd_sens returned malformed tuple");
         return -1;
     }

@@ -190,3 +190,33 @@ def test_reset_adjoint_vs_fd():
     )
     rel = np.abs(np.asarray(grad) - fd) / np.max(np.abs(fd))
     assert np.max(rel) < 1e-3, (grad, fd)
+
+
+def test_event_capacity_overflow_fails_loudly():
+    """Overflowing the static reset-event record must NOT silently drop
+    event corrections (round-2 weak #3): the forward status becomes
+    EVENT_CAPACITY_EXCEEDED and outputs/gradients are NaN-poisoned."""
+    from diffsol_tpu import errors
+    from diffsol_tpu.adjoint import forward_with_table
+    from diffsol_tpu.models.exponential_decay import problem_with_reset
+    from diffsol_tpu.solvers.bdf import BdfSolver
+
+    # events fire at t = k * ln(1/0.6)/0.1 ~ 5.108 k: three in [0, 16]
+    prr = problem_with_reset()
+    t_eval = jnp.asarray([2.0, 8.0, 16.0])
+
+    _ys, _g, _tab, ev, status = forward_with_table(
+        BdfSolver(prr), t_eval, prr.params, 4096, max_events=8
+    )
+    assert int(status) >= 0
+    assert int(ev["count"]) == 3
+
+    ys, _g, _tab, ev, status = forward_with_table(
+        BdfSolver(prr), t_eval, prr.params, 4096, max_events=1
+    )
+    assert int(status) == errors.EVENT_CAPACITY_EXCEEDED
+    assert np.all(np.isnan(np.asarray(ys)))
+
+    ys_of = make_differentiable_solve(prr, t_eval, max_events=1)
+    grad = jax.grad(lambda p: jnp.sum(ys_of(p) ** 2))(prr.params)
+    assert np.all(np.isnan(np.asarray(grad)))

@@ -97,10 +97,10 @@ def test_bounded_storage_is_sublinear():
     solver = BdfSolver(problem)
     t_eval = jnp.linspace(0.0, 5.0, 5)
     max_steps, K = 4096, 64
-    _ys, _g, table, _ev = forward_with_table(
+    _ys, _g, table, _ev, _st = forward_with_table(
         solver, t_eval, problem.params, max_steps
     )
-    _ys2, _g2, (ck_ts, ck_states, n_ck), _ev2 = forward_with_checkpoints(
+    _ys2, _g2, (ck_ts, ck_states, n_ck), _ev2, _st2 = forward_with_checkpoints(
         solver, t_eval, problem.params, max_steps, K
     )
     assert table[0].shape[0] == max_steps + 1  # dense: one row per step

@@ -108,3 +108,32 @@ def test_use_coloring_keeps_dense_for_small_dense_patterns():
         .build()
     )
     assert not problem.linear_solver.name.startswith("banded")
+
+
+def test_differentiable_solve_on_auto_banded_problem():
+    """An auto-routed banded forward spec must not leak into the augmented
+    (n + nparams) adjoint system (ADVICE r2: grad on an auto-banded problem
+    failed at trace time with a shape mismatch)."""
+    from diffsol_tpu.adjoint import make_differentiable_solve
+    from diffsol_tpu.models import heat1d
+
+    ref_problem, _ = heat1d.make(mgrid=15)  # tridiagonal, n = 16
+    problem = (
+        dt.OdeBuilder()
+        .rhs(ref_problem.eqn.rhs)
+        .init(ref_problem.eqn.init)
+        .p(np.asarray(ref_problem.params))
+        .rtol(1e-6)
+        .atol(1e-8)
+        .use_coloring()
+        .build()
+    )
+    assert problem.linear_solver.name.startswith("banded")
+    t_eval = jnp.asarray([0.05, 0.1])
+    ys_of = make_differentiable_solve(problem, t_eval, max_steps=2000)
+    grad = jax.grad(lambda p: jnp.sum(ys_of(p) ** 2))(problem.params)
+    ys_of_d = make_differentiable_solve(ref_problem, t_eval, max_steps=2000)
+    grad_d = jax.grad(lambda p: jnp.sum(ys_of_d(p) ** 2))(ref_problem.params)
+    np.testing.assert_allclose(
+        np.asarray(grad), np.asarray(grad_d), rtol=1e-3, atol=1e-8
+    )

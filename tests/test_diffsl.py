@@ -568,3 +568,20 @@ def test_heat2d_style_matrix_mass_action():
     # the quadrature-style out entry: scalar sum dx2 * y^2
     o = prob.eqn.out(0.0, jnp.asarray(y0), prob.params)
     np.testing.assert_allclose(float(o[0]), dx2 * float((y0**2).sum()))
+
+
+def test_wrong_param_count_rejected():
+    """A .p(...) shorter/longer than the model's in_i declaration must be
+    rejected (ADVICE r2: JAX clamps out-of-bounds gathers, so a short
+    params vector silently produced wrong dynamics)."""
+    src = """
+in_i { a = 0.5, b = 2.0 }
+u_i { y = 1.0 }
+F_i { -a * b * y }
+"""
+    with pytest.raises(ValueError, match="2 inputs"):
+        OdeBuilder().p([5.0]).build_from_diffsl(src)
+    with pytest.raises(ValueError, match="2 inputs"):
+        OdeBuilder().p([5.0, 1.0, 2.0]).build_from_diffsl(src)
+    # correct length still builds
+    OdeBuilder().p([5.0, 1.0]).build_from_diffsl(src)
