@@ -16,6 +16,10 @@ from .adjoint import (  # noqa: F401
     make_differentiable_quadrature,
     make_differentiable_solve,
 )
+from .adjoint_ensemble import (  # noqa: F401
+    make_differentiable_quadrature_ensemble,
+    make_differentiable_solve_ensemble,
+)
 from .diffsl import DiffslModel, compile_diffsl  # noqa: F401
 from .sens import solve_dense_fwd_sens  # noqa: F401
 from .equations import OdeEquations, make_equations  # noqa: F401

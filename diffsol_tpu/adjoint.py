@@ -85,19 +85,22 @@ def forward_with_table(solver, t_eval, params, max_steps: int,
     t_eval = jnp.asarray(t_eval, state.t.dtype)
     dtype = state.y.dtype
     neval = t_eval.shape[0]
-    n = state.y.shape[-1]
+    # yshape is (n,) for single solves, (n, B) for lockstep ensembles --
+    # the table simply gains the member axis (batch-LAST, matching the
+    # lockstep state layout)
+    yshape = state.y.shape
     final_time = t_eval[-1]
     state = solver.set_stop_time(state, final_time)
 
     nrows = max_steps + 2 * max_ev + 1
     ts_tab = jnp.full((nrows,), jnp.inf, dtype)
-    ys_tab = jnp.zeros((nrows, n), dtype)
-    dys_tab = jnp.zeros((nrows, n), dtype)
+    ys_tab = jnp.zeros((nrows,) + yshape, dtype)
+    dys_tab = jnp.zeros((nrows,) + yshape, dtype)
     ts_tab = ts_tab.at[0].set(state.t)
     ys_tab = ys_tab.at[0].set(state.y)
     dys_tab = dys_tab.at[0].set(state.dy)
-    ys = jnp.zeros((neval, n), dtype)
-    ev = _empty_events(max_ev, n, dtype)
+    ys = jnp.zeros((neval,) + yshape, dtype)
+    ev = _empty_events(max_ev, yshape, dtype)
 
     def cond(c):
         (_s, _ys, _tt, _yt, _dt, _ev, k, done, _w) = c
@@ -115,7 +118,7 @@ def forward_with_table(solver, t_eval, params, max_steps: int,
         t_upper = jnp.where(fatal, written_to, t_upper)
         mask = (t_eval <= t_upper) & (t_eval > written_to)
         y_interp = jax.vmap(lambda tt: solver.interpolate(new, tt))(t_eval)
-        ys = jnp.where(mask[:, None], y_interp, ys)
+        ys = jnp.where(mask.reshape((-1,) + (1,) * len(yshape)), y_interp, ys)
         # record the accepted step knot (pin-backs overwrite it below)
         row = 2 * ev["count"] + k + 1
         write = lambda tab, val: jnp.where(fatal, tab, tab.at[row].set(val))
@@ -191,13 +194,15 @@ def forward_with_table(solver, t_eval, params, max_steps: int,
     return ys, g, (ts_tab, ys_tab, dys_tab, k), ev, state.status
 
 
-def _empty_events(max_ev, n, dtype):
+def _empty_events(max_ev, yshape, dtype):
+    if isinstance(yshape, int):  # legacy callers pass n
+        yshape = (yshape,)
     return dict(
         t=jnp.full((max_ev,), jnp.inf, dtype),
-        y_minus=jnp.zeros((max_ev, n), dtype),
-        dy_minus=jnp.zeros((max_ev, n), dtype),
-        y_plus=jnp.zeros((max_ev, n), dtype),
-        dy_plus=jnp.zeros((max_ev, n), dtype),
+        y_minus=jnp.zeros((max_ev,) + yshape, dtype),
+        dy_minus=jnp.zeros((max_ev,) + yshape, dtype),
+        y_plus=jnp.zeros((max_ev,) + yshape, dtype),
+        dy_plus=jnp.zeros((max_ev,) + yshape, dtype),
         idx=jnp.full((max_ev,), -1, jnp.int32),
         count=jnp.asarray(0, jnp.int32),
     )
@@ -559,8 +564,8 @@ def _adjoint_problem(problem: OdeProblem, t_top, nparams: int, ct_g=None,
     )
 
 
-def _make_jump(problem, params):
-    """Discrete output-jump operator: (lam, gp, v, t, x) -> (lam, gp).
+def _make_jump(problem):
+    """Discrete output-jump operator: (lam, gp, v, t, x, params) -> (lam, gp).
 
     Identity-mass: lam += v.  Regular mass: lam += M^{-T} v.  Singular-mass
     DAE: the differential/algebraic partition
@@ -568,6 +573,8 @@ def _make_jump(problem, params):
     parameter term -f_{p,a}^T A_aa^{-1} v_a
     (reference adjoint.rs:292-366 apply_delta_g_out_mass_alg).  ``x`` is the
     interpolated forward state at t (used only in the singular branch).
+    ``params`` is an explicit argument so lockstep ensembles can ``vmap``
+    the jump over per-member parameter rows.
     """
     from .solvers.consistent_ic import algebraic_mask
     from .ops import linsol
@@ -577,10 +584,10 @@ def _make_jump(problem, params):
     alg = algebraic_mask(problem) if eqn.mass is not None else None
 
     if eqn.mass is None:
-        def jump(lam, gp_rows, v, t, x):
+        def jump(lam, gp_rows, v, t, x, params):
             return lam + v, gp_rows
     elif alg is None:
-        def jump(lam, gp_rows, v, t, x):
+        def jump(lam, gp_rows, v, t, x, params):
             m_t = eqn.mass(t, params).T
             return (
                 lam + linsol.DENSE.solve(linsol.DENSE.factor(m_t), v),
@@ -589,7 +596,7 @@ def _make_jump(problem, params):
     else:
         alg_np = jnp.asarray(alg)
 
-        def jump(lam, gp_rows, v, t, x):
+        def jump(lam, gp_rows, v, t, x, params):
             J = jax.jacfwd(lambda yy: eqn.rhs(t, yy, params))(x)
             A = J.T
             diag_d = jnp.diag(jnp.where(alg_np, 0.0, 1.0).astype(dtype))
@@ -764,7 +771,7 @@ def backward_pass(problem, solver_cls, table, events, t_eval, ct_ys, params,
     solver = solver_cls(adj_problem)
     state = init_state_jit(solver, params)
 
-    jump = _make_jump(problem, params)
+    jump = _make_jump(problem)
     out_fn = eqn.out if eqn.out is not None else (lambda tt, yy, pp: yy)
     correct = _make_event_correction(problem, events, params, ct_g, out_fn)
     reinit = _make_reinit(solver, adj_problem)
@@ -776,7 +783,7 @@ def backward_pass(problem, solver_cls, table, events, t_eval, ct_ys, params,
         t = t_top - state.t
         x = hermite_interp(table, t)
         lam, gp_rows = state.y[:n], state.y[n:]
-        lam, gp_rows = jump(lam, gp_rows, ct_ys[slot], t, x)
+        lam, gp_rows = jump(lam, gp_rows, ct_ys[slot], t, x, params)
         return reinit(
             state.replace(y=jnp.concatenate([lam, gp_rows])), params
         )
@@ -846,7 +853,7 @@ def backward_pass_bounded(problem, solver_cls, fwd_solver, ckpts, events,
                                    table=None, table_rows=R)
     solver = solver_cls(adj_problem)
 
-    jump = _make_jump(problem, params)
+    jump = _make_jump(problem)
     out_fn = eqn.out if eqn.out is not None else (lambda tt, yy, pp: yy)
     correct = _make_event_correction(problem, events, params, ct_g, out_fn)
     reinit = _make_reinit(solver, adj_problem)
@@ -871,7 +878,7 @@ def backward_pass_bounded(problem, solver_cls, fwd_solver, ckpts, events,
         t = t_top - state.t
         x = hermite_interp(tab, t)
         lam, gp_rows = state.y[:n], state.y[n:]
-        lam, gp_rows = jump(lam, gp_rows, ct_ys[slot], t, x)
+        lam, gp_rows = jump(lam, gp_rows, ct_ys[slot], t, x, params)
         return reinit(state.replace(y=jnp.concatenate([lam, gp_rows])), pa)
 
     def apply_event_correction(state, slot, pa):

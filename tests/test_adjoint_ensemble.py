@@ -1,0 +1,155 @@
+"""Differentiable-ensemble tests: jax.grad over lockstep and vmap solves.
+
+The capability the reference lacks (its adjoint is single-context,
+adjoint.rs:13-159; the nbatch context batches only forward solves): per-
+member gradients of ensemble solves.  Each test checks the batched adjoint
+against the already-validated single-instance adjoint (itself tested vs
+finite differences / forward sens in test_adjoint.py) and, for the ODE
+case, directly against jax.jacfwd through the solver.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diffsol_tpu.adjoint import (
+    make_differentiable_quadrature,
+    make_differentiable_solve,
+)
+from diffsol_tpu.adjoint_ensemble import (
+    make_differentiable_quadrature_ensemble,
+    make_differentiable_solve_ensemble,
+)
+from diffsol_tpu.models import logistic, robertson
+
+
+def _member_params(base, B, spread=0.2):
+    """B distinct parameter rows around ``base``."""
+    base = np.asarray(base, dtype=np.float64)
+    f = 1.0 + spread * np.linspace(-1.0, 1.0, B)[:, None]
+    return jnp.asarray(base[None, :] * f)
+
+
+def test_lockstep_grad_matches_single_instance():
+    """Per-member lockstep-adjoint gradients == single-instance adjoint
+    gradients, member by member (logistic, 4 distinct parameter rows)."""
+    problem = logistic.problem(rtol=1e-8, atol=1e-10)
+    t_eval = jnp.linspace(0.5, 3.0, 4)
+    B = 4
+    pb = _member_params(problem.params, B)
+
+    ys_of = make_differentiable_solve_ensemble(problem, t_eval, B)
+    loss = lambda p: jnp.sum(ys_of(p) ** 2)
+    grad_b = jax.grad(loss)(pb)
+    assert grad_b.shape == (B, 3)
+
+    one = make_differentiable_solve(problem, t_eval)
+    for b in range(B):
+        g1 = jax.grad(lambda p: jnp.sum(one(p) ** 2))(pb[b])
+        np.testing.assert_allclose(
+            np.asarray(grad_b[b]), np.asarray(g1), rtol=5e-5, atol=1e-10
+        )
+
+
+def test_lockstep_grad_matches_jacfwd():
+    """Lockstep-adjoint per-member gradients vs jax.jacfwd straight through
+    the (differentiable) forward solver -- the sens-tolerance oracle."""
+    problem = logistic.problem(rtol=1e-9, atol=1e-11)
+    t_eval = jnp.linspace(0.5, 2.0, 3)
+    B = 3
+    pb = _member_params(problem.params, B)
+
+    ys_of = make_differentiable_solve_ensemble(problem, t_eval, B)
+    grad_b = jax.grad(lambda p: jnp.sum(ys_of(p) ** 2))(pb)
+
+    # oracle: jacfwd straight through the raw solver (while_loop is
+    # forward-differentiable; custom_vjp would block jvp)
+    from diffsol_tpu.drivers import solve_dense
+    from diffsol_tpu.solvers.bdf import BdfSolver
+
+    solver = BdfSolver(problem)
+
+    def ys_plain(p):
+        return solve_dense(solver, t_eval, params=p, max_steps=4096).ys
+
+    for b in range(B):
+        jac = jax.jacfwd(ys_plain)(pb[b])  # (neval, n, np)
+        ys = ys_plain(pb[b])
+        g_fwd = 2.0 * jnp.einsum("ij,ijk->k", ys, jac)
+        np.testing.assert_allclose(
+            np.asarray(grad_b[b]), np.asarray(g_fwd), rtol=1e-4, atol=1e-10
+        )
+
+
+def test_lockstep_grad_dae_mass():
+    """Singular-mass DAE (robertson): batched adjoint with the per-member
+    M^{-T} output-jump partition and algebraic lambda rows."""
+    problem = robertson.problem_dae(rtol=1e-8, atol=(1e-10, 1e-10, 1e-10))
+    t_eval = jnp.asarray([0.1, 1.0, 10.0])
+    B = 3
+    pb = _member_params(problem.params, B, spread=0.1)
+    w = jnp.asarray([1.0, 1e4, 1.0])[None, None, :]
+
+    ys_of = make_differentiable_solve_ensemble(problem, t_eval, B)
+    grad_b = jax.grad(lambda p: jnp.sum((w * ys_of(p)) ** 2))(pb)
+
+    one = make_differentiable_solve(problem, t_eval)
+    for b in range(B):
+        g1 = jax.grad(lambda p: jnp.sum((w[0] * one(p)) ** 2))(pb[b])
+        denom = np.max(np.abs(np.asarray(g1)))
+        rel = np.abs(np.asarray(grad_b[b]) - np.asarray(g1)) / denom
+        # lockstep shares one step sequence across members; the single
+        # solves each take their own, so agreement is solver-tolerance level
+        assert np.max(rel) < 1e-3, (grad_b[b], g1)
+
+
+def test_lockstep_quadrature_grad():
+    """Per-member gradients of the quadrature output G_b = int y_b dt."""
+    problem = (
+        logistic.problem(rtol=1e-8, atol=1e-10)
+    )
+    import dataclasses
+
+    problem = dataclasses.replace(problem, integrate_out=True)
+    B = 3
+    pb = _member_params(problem.params, B)
+    t_final = 2.0
+
+    g_of = make_differentiable_quadrature_ensemble(problem, t_final, B)
+    gb = g_of(pb)
+    assert gb.shape == (B, 1)
+    grad_b = jax.grad(lambda p: jnp.sum(g_of(p)))(pb)
+
+    one = make_differentiable_quadrature(problem, t_final)
+    for b in range(B):
+        g1v = one(pb[b])
+        np.testing.assert_allclose(
+            np.asarray(gb[b]), np.asarray(g1v), rtol=1e-6
+        )
+        g1 = jax.grad(lambda p: jnp.sum(one(p)))(pb[b])
+        np.testing.assert_allclose(
+            np.asarray(grad_b[b]), np.asarray(g1), rtol=5e-5, atol=1e-10
+        )
+
+
+def test_independent_mode_grad():
+    """mode='independent': vmap of the single-instance custom_vjp -- each
+    member its own step sequence; gradients still per member."""
+    problem = logistic.problem(rtol=1e-8, atol=1e-10)
+    t_eval = jnp.linspace(0.5, 3.0, 4)
+    B = 3
+    pb = _member_params(problem.params, B)
+
+    ys_of = make_differentiable_solve_ensemble(
+        problem, t_eval, B, mode="independent"
+    )
+    ys = ys_of(pb)
+    assert ys.shape == (4, B, 1)
+    grad_b = jax.grad(lambda p: jnp.sum(ys_of(p) ** 2))(pb)
+
+    one = make_differentiable_solve(problem, t_eval)
+    for b in range(B):
+        g1 = jax.grad(lambda p: jnp.sum(one(p) ** 2))(pb[b])
+        np.testing.assert_allclose(
+            np.asarray(grad_b[b]), np.asarray(g1), rtol=1e-6, atol=1e-12
+        )
