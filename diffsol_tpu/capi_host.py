@@ -61,6 +61,18 @@ class _OdeHandle:
         self.linear_solver = 0  # default
         self.scalar_type = 1  # f64 (the C data boundary is always double)
         self.integrate_out = False
+        # optional tolerance groups (None = unset; reference ode_c.rs
+        # sens/out/param rtol/atol get/setters)
+        self.sens_rtol = None
+        self.sens_atol = None
+        self.out_rtol = None
+        self.out_atol = None
+        self.param_rtol = None
+        self.param_atol = None
+        # solver-wide + consistent-IC option overrides (reference
+        # ode_options_c.rs / initial_condition_options_c.rs field surface)
+        self.options = {}
+        self.ic_options = {}
         self._problem = None
         self._solver = None
 
@@ -71,6 +83,10 @@ class _OdeHandle:
 
     def problem(self):
         if self._problem is None:
+            import dataclasses
+
+            from .problem import InitialConditionOptions, OdeSolverOptions
+
             b = (
                 OdeBuilder()
                 .rtol(self.rtol)
@@ -79,6 +95,21 @@ class _OdeHandle:
                 .h0(self.h0)
                 .integrate_out(self.integrate_out)
             )
+            for name in ("sens_rtol", "sens_atol", "out_rtol", "out_atol",
+                         "param_rtol", "param_atol"):
+                v = getattr(self, name)
+                if v is not None:
+                    b = getattr(b, name)(v)
+            if self.options:
+                b = b.options(
+                    dataclasses.replace(OdeSolverOptions(), **self.options)
+                )
+            if self.ic_options:
+                b = b.ic_options(
+                    dataclasses.replace(
+                        InitialConditionOptions(), **self.ic_options
+                    )
+                )
             if _LINEAR_SOLVERS[self.linear_solver] == "lu":
                 b = b.linear_solver("dense")  # explicit dense LU tier
             if _SCALARS[self.scalar_type] == "f32":
@@ -377,3 +408,162 @@ def solve_adjoint(handle, t_eval, dgdu, max_steps=16_384):
 
 def stop_reason_name(code):
     return errors._MESSAGES.get(int(code), "ok")
+
+
+# ---- optional tolerance groups (ode_c.rs sens/out/param get/setters) ------
+# get returns NaN when unset; setting NaN clears the group (the reference
+# errors on unconfigured getters; NaN-signalling keeps the C ABI one-call).
+
+
+def _tol_set(name):
+    def setter(handle, v):
+        h = _get(handle)
+        v = float(v)
+        setattr(h, name, None if v != v else v)  # NaN clears
+        h.invalidate()
+
+    return setter
+
+
+def _tol_get(name):
+    def getter(handle):
+        v = getattr(_get(handle), name)
+        return float("nan") if v is None else float(v)
+
+    return getter
+
+
+set_sens_rtol = _tol_set("sens_rtol")
+get_sens_rtol = _tol_get("sens_rtol")
+set_sens_atol = _tol_set("sens_atol")
+get_sens_atol = _tol_get("sens_atol")
+set_out_rtol = _tol_set("out_rtol")
+get_out_rtol = _tol_get("out_rtol")
+set_out_atol = _tol_set("out_atol")
+get_out_atol = _tol_get("out_atol")
+set_param_rtol = _tol_set("param_rtol")
+get_param_rtol = _tol_get("param_rtol")
+set_param_atol = _tol_set("param_atol")
+get_param_atol = _tol_get("param_atol")
+
+
+# ---- solver options / IC options field surface ----------------------------
+# The reference exposes options OBJECTS that read/write through to the live
+# solve (ode_options.rs Arc-backed get/setters).  Here the C side holds the
+# ode handle and routes per-field calls; the dict overlays the defaults of
+# problem.OdeSolverOptions / InitialConditionOptions.
+
+_OPTION_FIELDS = {
+    # name -> (python type, reference ode_options_c.rs field)
+    "max_nonlinear_solver_iterations": int,
+    "max_error_test_failures": int,
+    "max_nonlinear_solver_failures": int,
+    "update_jacobian_after_steps": int,
+    "update_rhs_jacobian_after_steps": int,
+    "threshold_to_update_jacobian": float,
+    "threshold_to_update_rhs_jacobian": float,
+    "min_timestep": float,
+}
+_IC_OPTION_FIELDS = {
+    "use_linesearch": bool,
+    "max_linesearch_iterations": int,
+    "max_newton_iterations": int,
+    "max_linear_solver_setups": int,
+    "step_reduction_factor": float,
+    "armijo_constant": float,
+}
+
+
+def options_set(handle, name, value):
+    h = _get(handle)
+    ty = _OPTION_FIELDS.get(name)
+    if ty is None:
+        raise ValueError(f"unknown solver option {name!r}")
+    h.options[name] = ty(value)
+    h.invalidate()
+
+
+def options_get(handle, name):
+    h = _get(handle)
+    if name not in _OPTION_FIELDS:
+        raise ValueError(f"unknown solver option {name!r}")
+    from .problem import OdeSolverOptions
+
+    v = h.options.get(name, getattr(OdeSolverOptions(), name))
+    return float(v)
+
+
+def ic_options_set(handle, name, value):
+    h = _get(handle)
+    ty = _IC_OPTION_FIELDS.get(name)
+    if ty is None:
+        raise ValueError(f"unknown ic option {name!r}")
+    h.ic_options[name] = ty(value)
+    h.invalidate()
+
+
+def ic_options_get(handle, name):
+    h = _get(handle)
+    if name not in _IC_OPTION_FIELDS:
+        raise ValueError(f"unknown ic option {name!r}")
+    from .problem import InitialConditionOptions
+
+    v = h.ic_options.get(name, getattr(InitialConditionOptions(), name))
+    return float(v)
+
+
+# ---- quadrature-output solve (reference integrate_out solve surface) ------
+
+
+def solve_dense_out(handle, t_eval, max_steps=10_000):
+    """Dense-output solve returning the integrated outputs g(t_i)
+    (requires set_integrate_out(1)); (gs_flat_row_major, nout, stop)."""
+    h = _get(handle)
+    p = h.problem()
+    if not p.integrate_out:
+        raise ValueError("solve_dense_out requires integrate_out")
+    sol = _solve_dense(
+        h.solver(),
+        jnp.asarray([float(t) for t in t_eval]),
+        max_steps=int(max_steps),
+    )
+    gs = np.asarray(sol.gs)
+    return (
+        [float(v) for v in gs.reshape(-1)],
+        int(gs.shape[-1]),
+        int(sol.stop_reason),
+    )
+
+
+# ---- type-enumeration helpers (reference *_type_count/name/is_valid) ------
+
+# matrix tiers: the TPU build's containers are jnp arrays; the role of the
+# reference's NalgebraDense/FaerDense/FaerSparse enum is played by the
+# linear-solver tier layout (matrix_type_c.rs)
+_MATRIX_TYPES = ("dense", "banded")
+# the JIT "backend" is XLA itself (jit.rs LlvmModule/CraneliftModule)
+_JIT_BACKENDS = ("xla",)
+
+_TYPE_TABLES = {
+    "ode_solver": _METHODS,
+    "linear_solver": _LINEAR_SOLVERS,
+    "scalar": _SCALARS,
+    "matrix": _MATRIX_TYPES,
+    "jit_backend": _JIT_BACKENDS,
+}
+
+
+def type_count(kind):
+    return len(_TYPE_TABLES[kind])
+
+
+def type_name(kind, value):
+    table = _TYPE_TABLES[kind]
+    value = int(value)
+    if not 0 <= value < len(table):
+        raise ValueError(f"invalid {kind} type {value}")
+    return table[value]
+
+
+def type_is_valid(kind, value):
+    return int(0 <= int(value) < len(_TYPE_TABLES[kind]))

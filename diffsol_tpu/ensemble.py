@@ -87,15 +87,15 @@ def _lockstep_dense_spec(nbatch: int, n: int) -> LinearSolverSpec:
 
 def make_lockstep_problem(problem: OdeProblem, nbatch: int) -> OdeProblem:
     """Lift a problem to 2-D (nstates, nbatch) lockstep form (reference
-    `nbatch` context).  params gain a leading (nbatch,) axis.  Root
-    functions are not supported in lockstep mode (the reference requires
-    batch-consistent sign changes and panics otherwise)."""
+    `nbatch` context).  params gain a leading (nbatch,) axis.
+
+    Root functions follow the reference's batched semantics
+    (vector/cuda.rs root_finding, tests vector/mod.rs:835-852): every
+    member must agree on the sign-change pattern; the event fires at ONE
+    shared root time (batch 0's polished crossing).  Disagreement is a
+    typed failure (errors.ROOT_BATCH_INCONSISTENT; the reference panics) --
+    use the independent (vmap) mode for event-heterogeneous ensembles."""
     eqn = problem.eqn
-    if eqn.root is not None:
-        raise ValueError(
-            "lockstep ensembles do not support root functions; "
-            "use independent (vmap) mode for event-driven problems"
-        )
     n = eqn.nstates
     nout = eqn.nout
     banded = problem.linear_solver.name.startswith("banded")
@@ -107,6 +107,7 @@ def make_lockstep_problem(problem: OdeProblem, nbatch: int) -> OdeProblem:
     b_rhs = over_members(eqn.rhs)
     b_reset = None if eqn.reset is None else over_members(eqn.reset)
     b_out = None if eqn.out is None else over_members(eqn.out)
+    b_root = None if eqn.root is None else over_members(eqn.root)
 
     def b_init(t, pb):
         return jax.vmap(eqn.init, in_axes=(None, 0), out_axes=1)(t, pb)  # (n, B)
@@ -135,14 +136,14 @@ def make_lockstep_problem(problem: OdeProblem, nbatch: int) -> OdeProblem:
         rhs=b_rhs,
         init=b_init,
         mass=b_mass,
-        root=None,
+        root=b_root,
         out=b_out,
         reset=b_reset,
         rhs_jac=b_jac,
         mass_mul_fn=mass_mul_fn,
         nstates=n,
         nout=nout,
-        nroots=0,
+        nroots=eqn.nroots,
         nparams=eqn.nparams,
     )
     params_b = jnp.broadcast_to(problem.params, (nbatch,) + problem.params.shape)

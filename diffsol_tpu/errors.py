@@ -32,6 +32,9 @@ MAX_STEPS_REACHED = -7
 # would silently drop boundary corrections => wrong gradients, so it is a
 # hard typed failure (no reference analog: diffsol's Vec grows on host)
 EVENT_CAPACITY_EXCEEDED = -8
+# lockstep members disagree on a root sign-change pattern (the reference
+# PANICS here: vector/cuda.rs:1166-1175 root_finding consistency assert)
+ROOT_BATCH_INCONSISTENT = -9
 
 _MESSAGES = {
     STEP_SIZE_TOO_SMALL: "step size became too small",
@@ -44,6 +47,10 @@ _MESSAGES = {
     EVENT_CAPACITY_EXCEEDED: (
         "reset-event record overflowed (raise max_events on the "
         "differentiable solve; gradients past the capacity would be wrong)"
+    ),
+    ROOT_BATCH_INCONSISTENT: (
+        "lockstep members disagree on a root crossing; use the "
+        "independent (vmap) ensemble mode for event-heterogeneous batches"
     ),
 }
 

@@ -44,6 +44,10 @@ class RootCheckResult(NamedTuple):
     t_root: jax.Array
     root_idx: jax.Array  # int32
     g0_next: jax.Array  # root-fn values to carry as g0 for the next step
+    # lockstep only: members disagree on (found, crossing index) -- a typed
+    # failure (the reference PANICS on batch-inconsistent sign patterns,
+    # vector/cuda.rs:1166-1175); always False for single solves
+    inconsistent: jax.Array
 
 
 def check_root(
@@ -53,12 +57,44 @@ def check_root(
     t0,
     y_new,
     t_new,
+    nbatch: int = 1,
 ) -> RootCheckResult:
     """Check for a root in (t0, t_new]; see module docstring.
 
     ``root_fn(t, y)`` evaluates the root function; ``interp_y(t)``
     interpolates the state inside the accepted step.
+
+    With ``nbatch > 1`` the g values are lockstep 2-D arrays (nroots, B):
+    every member must agree on (found, crossing index) -- the reference's
+    batch-consistency requirement (vector/cuda.rs root_finding asserts
+    first_result equality across batches and returns batch 0's result;
+    tests vector/mod.rs:835-852).  The secant then polishes batch 0's
+    crossing to a SHARED root time; disagreement sets ``inconsistent``
+    (mapped to a typed failure by the steppers, since we cannot panic
+    inside jit).
     """
+    if nbatch > 1:
+        g1_b = root_fn(t_new, y_new)  # (nroots, B)
+        found_b, _fr, imax_b = jax.vmap(root_finding, in_axes=1)(g0, g1_b)
+        inconsistent = jnp.any(found_b != found_b[0]) | jnp.any(
+            imax_b != imax_b[0]
+        )
+        res0 = check_root(
+            lambda tt, yy: root_fn(tt, yy)[..., 0],
+            interp_y,
+            g0[..., 0],
+            t0,
+            y_new,
+            t_new,
+        )
+        return RootCheckResult(
+            found=res0.found & ~inconsistent,
+            t_root=res0.t_root,
+            root_idx=res0.root_idx,
+            g0_next=g1_b,
+            inconsistent=inconsistent,
+        )
+
     dtype = jnp.result_type(t_new)
     eps = jnp.finfo(dtype).eps
     g1 = root_fn(t_new, y_new)
@@ -68,7 +104,8 @@ def check_root(
         # root exactly at the upper boundary, or nothing
         idx = jnp.argmin(jnp.abs(g1)).astype(jnp.int32)
         return RootCheckResult(
-            found=found_zero, t_root=t_new, root_idx=idx, g0_next=g1
+            found=found_zero, t_root=t_new, root_idx=idx, g0_next=g1,
+            inconsistent=jnp.asarray(False),
         )
 
     def secant(_):
@@ -136,7 +173,8 @@ def check_root(
         # g0 for the next step is re-initialized at the (pinned) state by the
         # driver via the state-modified path, but default to g1 here.
         return RootCheckResult(
-            found=jnp.asarray(True), t_root=t_root, root_idx=idx, g0_next=g1
+            found=jnp.asarray(True), t_root=t_root, root_idx=idx, g0_next=g1,
+            inconsistent=jnp.asarray(False),
         )
 
     return jax.lax.cond(imax < 0, no_crossing, secant, operand=None)

@@ -937,9 +937,13 @@ class BdfSolver:
                 lambda tt, yy: p.eqn.root(tt, yy, params),
                 lambda tt: self.interpolate(new_state, tt),
                 root_g0, state.t, y_new, t_new,
+                nbatch=self._nb,
             )
             found = res_root.found & (stop == errors.INTERNAL_TIMESTEP)
             stop = jnp.where(found, errors.ROOT_FOUND, stop).astype(i32)
+            stop = jnp.where(
+                res_root.inconsistent, errors.ROOT_BATCH_INCONSISTENT, stop
+            ).astype(i32)
             root_t = jnp.where(found, res_root.t_root, root_t)
             root_idx = jnp.where(found, res_root.root_idx, root_idx)
             new_state = new_state.replace(root_g=res_root.g0_next)

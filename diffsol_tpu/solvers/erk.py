@@ -345,8 +345,12 @@ class ErkSolver:
                 lambda tt, yy: p.eqn.root(tt, yy, params),
                 lambda tt: interp_y(tab, new_state, tt),
                 root_g, state.t, y_new, t_new,
+                nbatch=self._nb,
             )
             stop = jnp.where(res.found, errors.ROOT_FOUND, stop).astype(jnp.int32)
+            stop = jnp.where(
+                res.inconsistent, errors.ROOT_BATCH_INCONSISTENT, stop
+            ).astype(jnp.int32)
             root_t = jnp.where(res.found, res.t_root, root_t)
             root_idx = jnp.where(res.found, res.root_idx, root_idx)
             new_state = new_state.replace(root_g=res.g0_next)

@@ -14,8 +14,11 @@
 #include <Python.h>
 
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
+#include <map>
 #include <string>
+#include <vector>
 
 #include "diffsol_tpu.h"
 
@@ -428,4 +431,218 @@ extern "C" int diffsol_ode_solve_fwd_sens(int64_t ode, const double *t_eval,
     }
     Py_DECREF(r);
     return 0;
+}
+
+/* ---- round-3 parity fill (reference ode_c.rs surface) ------------------ */
+
+INT_SET(diffsol_ode_set_integrate_out, "set_integrate_out")
+INT_GET(diffsol_ode_get_integrate_out, "get_integrate_out", int)
+
+/* optional tolerance groups (sens/out/param): get returns NaN when unset,
+ * setting NaN clears -- reference ode_c.rs sens/out/param get/setters */
+SCALAR_SET(diffsol_ode_set_sens_rtol, "set_sens_rtol")
+SCALAR_GET(diffsol_ode_get_sens_rtol, "get_sens_rtol")
+SCALAR_SET(diffsol_ode_set_sens_atol, "set_sens_atol")
+SCALAR_GET(diffsol_ode_get_sens_atol, "get_sens_atol")
+SCALAR_SET(diffsol_ode_set_out_rtol, "set_out_rtol")
+SCALAR_GET(diffsol_ode_get_out_rtol, "get_out_rtol")
+SCALAR_SET(diffsol_ode_set_out_atol, "set_out_atol")
+SCALAR_GET(diffsol_ode_get_out_atol, "get_out_atol")
+SCALAR_SET(diffsol_ode_set_param_rtol, "set_param_rtol")
+SCALAR_GET(diffsol_ode_get_param_rtol, "get_param_rtol")
+SCALAR_SET(diffsol_ode_set_param_atol, "set_param_atol")
+SCALAR_GET(diffsol_ode_get_param_atol, "get_param_atol")
+
+/* solver options / consistent-IC options field surface
+ * (reference ode_options_c.rs + initial_condition_options_c.rs: the options
+ * object reads/writes through to the live solve; here the ode handle IS the
+ * options handle and each field routes one call) */
+#define OPTION_GETSET(cname_get, cname_set, host_get, host_set, field)     \
+    extern "C" int cname_get(int64_t ode, double *out) {                   \
+        Gil gil;                                                           \
+        PyObject *r = call_host(                                           \
+            host_get, Py_BuildValue("(Ls)", (long long)ode, field));       \
+        if (!r) return -1;                                                 \
+        *out = PyFloat_AsDouble(r);                                        \
+        Py_DECREF(r);                                                      \
+        if (PyErr_Occurred()) {                                            \
+            set_err_from_python();                                         \
+            return -1;                                                     \
+        }                                                                  \
+        return 0;                                                          \
+    }                                                                      \
+    extern "C" int cname_set(int64_t ode, double v) {                      \
+        Gil gil;                                                           \
+        PyObject *r = call_host(                                           \
+            host_set, Py_BuildValue("(Lsd)", (long long)ode, field, v));   \
+        if (!r) return -1;                                                 \
+        Py_DECREF(r);                                                      \
+        return 0;                                                          \
+    }
+
+#define ODE_OPTION(name)                                                    \
+    OPTION_GETSET(diffsol_ode_options_get_##name,                           \
+                  diffsol_ode_options_set_##name, "options_get",            \
+                  "options_set", #name)
+#define IC_OPTION(name)                                                     \
+    OPTION_GETSET(diffsol_ic_options_get_##name,                            \
+                  diffsol_ic_options_set_##name, "ic_options_get",          \
+                  "ic_options_set", #name)
+
+ODE_OPTION(max_nonlinear_solver_iterations)
+ODE_OPTION(max_error_test_failures)
+ODE_OPTION(max_nonlinear_solver_failures)
+ODE_OPTION(update_jacobian_after_steps)
+ODE_OPTION(update_rhs_jacobian_after_steps)
+ODE_OPTION(threshold_to_update_jacobian)
+ODE_OPTION(threshold_to_update_rhs_jacobian)
+ODE_OPTION(min_timestep)
+
+IC_OPTION(use_linesearch)
+IC_OPTION(max_linesearch_iterations)
+IC_OPTION(max_newton_iterations)
+IC_OPTION(max_linear_solver_setups)
+IC_OPTION(step_reduction_factor)
+IC_OPTION(armijo_constant)
+
+/* quadrature-output solve (reference integrate_out solve surface) */
+extern "C" int diffsol_ode_solve_dense_out(int64_t ode, const double *t_eval,
+                                           int64_t neval, int64_t max_steps,
+                                           double *gs_out, int64_t *nout,
+                                           int *stop_reason) {
+    Gil gil;
+    PyObject *l = list_from_doubles(t_eval, neval);
+    PyObject *r = call_host(
+        "solve_dense_out",
+        Py_BuildValue("(LNL)", (long long)ode, l, (long long)max_steps));
+    if (!r) return -1;
+    PyObject *gs = PyTuple_GetItem(r, 0);
+    PyObject *no = PyTuple_GetItem(r, 1);
+    PyObject *stop = PyTuple_GetItem(r, 2);
+    if (!gs || !no || !stop) {
+        Py_DECREF(r);
+        PyErr_Clear();
+        set_err("solve_dense_out returned malformed tuple");
+        return -1;
+    }
+    int64_t n = doubles_from_seq(gs, gs_out, -1);
+    if (nout) *nout = PyLong_AsLongLong(no);
+    if (stop_reason) *stop_reason = (int)PyLong_AsLong(stop);
+    Py_DECREF(r);
+    return n < 0 ? -1 : 0;
+}
+
+/* type-enumeration helpers (reference *_type_count/name/is_valid,
+ * ode_solver_type_c.rs, linear_solver_type_c.rs, scalar_type_c.rs,
+ * matrix_type_c.rs, jit_c.rs) */
+#define TYPE_ENUM(prefix, kind)                                             \
+    extern "C" int prefix##_count(void) {                                   \
+        Gil gil;                                                            \
+        PyObject *r = call_host("type_count", Py_BuildValue("(s)", kind));  \
+        if (!r) return -1;                                                  \
+        int n = (int)PyLong_AsLong(r);                                      \
+        Py_DECREF(r);                                                       \
+        return n;                                                           \
+    }                                                                       \
+    extern "C" int prefix##_is_valid(int value) {                           \
+        Gil gil;                                                            \
+        PyObject *r = call_host("type_is_valid",                            \
+                                Py_BuildValue("(si)", kind, value));        \
+        if (!r) return 0;                                                   \
+        int n = (int)PyLong_AsLong(r);                                      \
+        Py_DECREF(r);                                                       \
+        return n;                                                           \
+    }                                                                       \
+    extern "C" int prefix##_name(int value, char *out, int64_t cap) {       \
+        Gil gil;                                                            \
+        PyObject *r = call_host("type_name",                                \
+                                Py_BuildValue("(si)", kind, value));        \
+        if (!r) return -1;                                                  \
+        const char *s = PyUnicode_AsUTF8(r);                                \
+        if (!s || (int64_t)strlen(s) + 1 > cap) {                           \
+            Py_DECREF(r);                                                   \
+            set_err("type name buffer too small");                          \
+            return -1;                                                      \
+        }                                                                   \
+        strcpy(out, s);                                                     \
+        Py_DECREF(r);                                                       \
+        return 0;                                                           \
+    }
+
+TYPE_ENUM(diffsol_ode_solver_type, "ode_solver")
+TYPE_ENUM(diffsol_linear_solver_type, "linear_solver")
+TYPE_ENUM(diffsol_scalar_type, "scalar")
+TYPE_ENUM(diffsol_matrix_type, "matrix")
+TYPE_ENUM(diffsol_jit_backend_type, "jit_backend")
+
+/* host-array views (reference host_array_c.rs: ndim/dim/stride/dtype/ptr
+ * accessors over solver-owned memory; dtype 1 = f64).  Solve results can be
+ * materialized as a host array handle instead of copied into caller
+ * buffers. */
+struct DiffsolHostArray {
+    double *data;
+    int64_t ndim;
+    int64_t dims[4];
+};
+
+static std::map<int64_t, DiffsolHostArray> g_arrays;
+static int64_t g_next_array = 1;
+
+extern "C" int64_t diffsol_ode_solve_dense_array(int64_t ode,
+                                                 const double *t_eval,
+                                                 int64_t neval,
+                                                 int64_t max_steps,
+                                                 int *stop_reason) {
+    int64_t nst = 0;
+    if (diffsol_ode_nstates(ode, &nst) != 0) return 0;
+    std::vector<double> ys((size_t)(neval * nst));
+    if (diffsol_ode_solve_dense(ode, t_eval, neval, max_steps, ys.data(),
+                                stop_reason) != 0)
+        return 0;
+    DiffsolHostArray arr;
+    arr.ndim = 2;
+    arr.dims[0] = neval;
+    arr.dims[1] = nst;
+    arr.data = (double *)malloc(ys.size() * sizeof(double));
+    memcpy(arr.data, ys.data(), ys.size() * sizeof(double));
+    int64_t h = g_next_array++;
+    g_arrays[h] = arr;
+    return h;
+}
+
+extern "C" int64_t diffsol_host_array_ndim(int64_t arr) {
+    auto it = g_arrays.find(arr);
+    return it == g_arrays.end() ? -1 : it->second.ndim;
+}
+
+extern "C" int64_t diffsol_host_array_dim(int64_t arr, int64_t i) {
+    auto it = g_arrays.find(arr);
+    if (it == g_arrays.end() || i < 0 || i >= it->second.ndim) return -1;
+    return it->second.dims[i];
+}
+
+extern "C" int64_t diffsol_host_array_stride(int64_t arr, int64_t i) {
+    /* row-major contiguous: stride[i] = prod(dims[i+1:]) elements */
+    auto it = g_arrays.find(arr);
+    if (it == g_arrays.end() || i < 0 || i >= it->second.ndim) return -1;
+    int64_t s = 1;
+    for (int64_t j = i + 1; j < it->second.ndim; ++j) s *= it->second.dims[j];
+    return s;
+}
+
+extern "C" int diffsol_host_array_dtype(int64_t arr) {
+    return g_arrays.count(arr) ? 1 /* f64 */ : -1;
+}
+
+extern "C" double *diffsol_host_array_ptr(int64_t arr) {
+    auto it = g_arrays.find(arr);
+    return it == g_arrays.end() ? nullptr : it->second.data;
+}
+
+extern "C" void diffsol_host_array_free(int64_t arr) {
+    auto it = g_arrays.find(arr);
+    if (it != g_arrays.end()) {
+        free(it->second.data);
+        g_arrays.erase(it);
+    }
 }

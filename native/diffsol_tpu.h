@@ -89,6 +89,77 @@ int diffsol_ode_solve_adjoint(int64_t ode, const double *t_eval,
                               int64_t max_steps, double *ys_out,
                               double *grad_out);
 
+/* ---- integrate_out + optional tolerance groups (ode_c.rs parity) ---- */
+int diffsol_ode_set_integrate_out(int64_t ode, int value);
+int diffsol_ode_get_integrate_out(int64_t ode, int *out);
+/* sens/out/param rtol/atol: get returns NaN when the group is unset;
+ * setting NaN clears it. */
+int diffsol_ode_set_sens_rtol(int64_t ode, double v);
+int diffsol_ode_get_sens_rtol(int64_t ode, double *out);
+int diffsol_ode_set_sens_atol(int64_t ode, double v);
+int diffsol_ode_get_sens_atol(int64_t ode, double *out);
+int diffsol_ode_set_out_rtol(int64_t ode, double v);
+int diffsol_ode_get_out_rtol(int64_t ode, double *out);
+int diffsol_ode_set_out_atol(int64_t ode, double v);
+int diffsol_ode_get_out_atol(int64_t ode, double *out);
+int diffsol_ode_set_param_rtol(int64_t ode, double v);
+int diffsol_ode_get_param_rtol(int64_t ode, double *out);
+int diffsol_ode_set_param_atol(int64_t ode, double v);
+int diffsol_ode_get_param_atol(int64_t ode, double *out);
+
+/* ---- solver / consistent-IC options (ode_options_c.rs parity; the ode
+ * handle doubles as the options handle -- reads/writes go through to the
+ * next solve; integer fields are carried as doubles) ---- */
+#define DIFFSOL_DECLARE_OPTION(prefix, name)                                \
+    int prefix##_get_##name(int64_t ode, double *out);                      \
+    int prefix##_set_##name(int64_t ode, double v);
+DIFFSOL_DECLARE_OPTION(diffsol_ode_options, max_nonlinear_solver_iterations)
+DIFFSOL_DECLARE_OPTION(diffsol_ode_options, max_error_test_failures)
+DIFFSOL_DECLARE_OPTION(diffsol_ode_options, max_nonlinear_solver_failures)
+DIFFSOL_DECLARE_OPTION(diffsol_ode_options, update_jacobian_after_steps)
+DIFFSOL_DECLARE_OPTION(diffsol_ode_options, update_rhs_jacobian_after_steps)
+DIFFSOL_DECLARE_OPTION(diffsol_ode_options, threshold_to_update_jacobian)
+DIFFSOL_DECLARE_OPTION(diffsol_ode_options, threshold_to_update_rhs_jacobian)
+DIFFSOL_DECLARE_OPTION(diffsol_ode_options, min_timestep)
+DIFFSOL_DECLARE_OPTION(diffsol_ic_options, use_linesearch)
+DIFFSOL_DECLARE_OPTION(diffsol_ic_options, max_linesearch_iterations)
+DIFFSOL_DECLARE_OPTION(diffsol_ic_options, max_newton_iterations)
+DIFFSOL_DECLARE_OPTION(diffsol_ic_options, max_linear_solver_setups)
+DIFFSOL_DECLARE_OPTION(diffsol_ic_options, step_reduction_factor)
+DIFFSOL_DECLARE_OPTION(diffsol_ic_options, armijo_constant)
+#undef DIFFSOL_DECLARE_OPTION
+
+/* ---- quadrature-output solve (requires integrate_out) ---- */
+/* gs_out must hold neval * nout doubles. */
+int diffsol_ode_solve_dense_out(int64_t ode, const double *t_eval,
+                                int64_t neval, int64_t max_steps,
+                                double *gs_out, int64_t *nout,
+                                int *stop_reason);
+
+/* ---- type-enumeration helpers (reference *_type_count/name/is_valid) ---- */
+#define DIFFSOL_DECLARE_TYPE_ENUM(prefix)                                   \
+    int prefix##_count(void);                                               \
+    int prefix##_is_valid(int value);                                       \
+    int prefix##_name(int value, char *out, int64_t cap);
+DIFFSOL_DECLARE_TYPE_ENUM(diffsol_ode_solver_type)
+DIFFSOL_DECLARE_TYPE_ENUM(diffsol_linear_solver_type)
+DIFFSOL_DECLARE_TYPE_ENUM(diffsol_scalar_type)
+DIFFSOL_DECLARE_TYPE_ENUM(diffsol_matrix_type)
+DIFFSOL_DECLARE_TYPE_ENUM(diffsol_jit_backend_type)
+#undef DIFFSOL_DECLARE_TYPE_ENUM
+
+/* ---- host-array views (reference host_array_c.rs; dtype 1 = f64) ---- */
+/* Materialize a dense solve as a solver-owned array; returns handle > 0. */
+int64_t diffsol_ode_solve_dense_array(int64_t ode, const double *t_eval,
+                                      int64_t neval, int64_t max_steps,
+                                      int *stop_reason);
+int64_t diffsol_host_array_ndim(int64_t arr);
+int64_t diffsol_host_array_dim(int64_t arr, int64_t i);
+int64_t diffsol_host_array_stride(int64_t arr, int64_t i);
+int diffsol_host_array_dtype(int64_t arr);
+double *diffsol_host_array_ptr(int64_t arr);
+void diffsol_host_array_free(int64_t arr);
+
 #ifdef __cplusplus
 }
 #endif

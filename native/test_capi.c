@@ -144,6 +144,114 @@ int main(void) {
     CHECK(fabs(yf[0] - yd[0]) < 1e-3, "f32 vs f64 trajectory");
     diffsol_ode_free(dae);
 
+    /* ---- round-3 parity surface (ode_c.rs get/setters + enums) ---- */
+    int64_t ode2 = diffsol_ode_new_jit(LOGISTIC);
+    CHECK(ode2 > 0, "new_jit(parity)");
+    double tol = 0.0;
+    /* unset tolerance groups read back NaN; set/get round-trips */
+    CHECK(diffsol_ode_get_sens_rtol(ode2, &tol) == 0 && isnan(tol),
+          "sens_rtol unset -> NaN");
+    CHECK(diffsol_ode_set_sens_rtol(ode2, 1e-5) == 0, "set_sens_rtol");
+    CHECK(diffsol_ode_set_sens_atol(ode2, 1e-7) == 0, "set_sens_atol");
+    CHECK(diffsol_ode_get_sens_rtol(ode2, &tol) == 0 && fabs(tol - 1e-5) < 1e-18,
+          "sens_rtol roundtrip");
+    CHECK(diffsol_ode_set_out_rtol(ode2, 1e-4) == 0, "set_out_rtol");
+    CHECK(diffsol_ode_set_out_atol(ode2, 1e-6) == 0, "set_out_atol");
+    CHECK(diffsol_ode_get_out_atol(ode2, &tol) == 0 && fabs(tol - 1e-6) < 1e-18,
+          "out_atol roundtrip");
+    CHECK(diffsol_ode_set_param_rtol(ode2, 1e-3) == 0, "set_param_rtol");
+    CHECK(diffsol_ode_set_param_atol(ode2, 1e-5) == 0, "set_param_atol");
+    CHECK(diffsol_ode_get_param_atol(ode2, &tol) == 0 &&
+              fabs(tol - 1e-5) < 1e-18,
+          "param_atol roundtrip");
+    /* setting NaN clears the group */
+    CHECK(diffsol_ode_set_sens_rtol(ode2, NAN) == 0, "clear sens_rtol");
+    CHECK(diffsol_ode_get_sens_rtol(ode2, &tol) == 0 && isnan(tol),
+          "sens_rtol cleared");
+
+    /* solver/IC options: defaults match the reference, writes take effect */
+    double ov = 0.0;
+    CHECK(diffsol_ode_options_get_max_nonlinear_solver_iterations(ode2, &ov)
+              == 0 && ov == 10.0,
+          "default max newton iters == 10");
+    CHECK(diffsol_ode_options_get_update_jacobian_after_steps(ode2, &ov) == 0
+              && ov == 20.0,
+          "default jacobian update steps == 20");
+    CHECK(diffsol_ode_options_set_min_timestep(ode2, 1e-10) == 0,
+          "set min_timestep");
+    CHECK(diffsol_ode_options_get_min_timestep(ode2, &ov) == 0
+              && fabs(ov - 1e-10) < 1e-24,
+          "min_timestep roundtrip");
+    CHECK(diffsol_ic_options_get_use_linesearch(ode2, &ov) == 0 && ov == 1.0,
+          "ic linesearch default on");
+    CHECK(diffsol_ic_options_set_max_newton_iterations(ode2, 12) == 0,
+          "set ic newton iters");
+    CHECK(diffsol_ic_options_get_max_newton_iterations(ode2, &ov) == 0
+              && ov == 12.0,
+          "ic newton iters roundtrip");
+
+    /* quadrature-output solve: G(t) = int_0^t u dt for the logistic */
+    CHECK(diffsol_ode_set_integrate_out(ode2, 1) == 0, "set integrate_out");
+    int io = 0;
+    CHECK(diffsol_ode_get_integrate_out(ode2, &io) == 0 && io == 1,
+          "get integrate_out");
+    CHECK(diffsol_ode_set_rtol(ode2, 1e-8) == 0, "quad rtol");
+    CHECK(diffsol_ode_set_atol(ode2, 1e-10) == 0, "quad atol");
+    CHECK(diffsol_ode_set_params(ode2, params, 2) == 0, "quad params");
+    double gs[3];
+    int64_t nout = 0;
+    CHECK(diffsol_ode_solve_dense_out(ode2, t_eval, 3, 2000, gs, &nout,
+                                      &stop) == 0,
+          "solve_dense_out");
+    CHECK(nout == 1 && stop >= 0, "solve_dense_out dims");
+    /* analytic integral of the logistic: (k/r) ln((k + v0(e^{rt}-1))/k) */
+    {
+        double r = 1.0, k = 10.0, v0 = 0.1, t = t_eval[2];
+        double expect = (k / r) * log((k + v0 * (exp(r * t) - 1.0)) / k);
+        CHECK(fabs(gs[2] - expect) < 1e-6, "quadrature value");
+    }
+
+    /* host-array view of a dense solve */
+    CHECK(diffsol_ode_set_integrate_out(ode2, 0) == 0, "quad off");
+    int64_t arr = diffsol_ode_solve_dense_array(ode2, t_eval, 3, 2000, &stop);
+    CHECK(arr > 0 && stop >= 0, "solve_dense_array");
+    CHECK(diffsol_host_array_ndim(arr) == 2, "host array ndim");
+    CHECK(diffsol_host_array_dim(arr, 0) == 3, "host array dim 0");
+    CHECK(diffsol_host_array_dim(arr, 1) == 1, "host array dim 1");
+    CHECK(diffsol_host_array_stride(arr, 0) == 1, "host array stride 0");
+    CHECK(diffsol_host_array_dtype(arr) == 1, "host array dtype f64");
+    double *aptr = diffsol_host_array_ptr(arr);
+    CHECK(aptr != NULL, "host array ptr");
+    CHECK(fabs(aptr[0] - ys[0]) < 1e-9, "host array values match copy API");
+    diffsol_host_array_free(arr);
+    CHECK(diffsol_host_array_ptr(arr) == NULL, "host array freed");
+    diffsol_ode_free(ode2);
+
+    /* type-enumeration helpers (reference *_type_count/name/is_valid) */
+    char namebuf[32];
+    CHECK(diffsol_ode_solver_type_count() == 4, "ode solver type count");
+    CHECK(diffsol_ode_solver_type_is_valid(0) == 1, "bdf valid");
+    CHECK(diffsol_ode_solver_type_is_valid(4) == 0, "5th solver invalid");
+    CHECK(diffsol_ode_solver_type_name(0, namebuf, 32) == 0 &&
+              strcmp(namebuf, "bdf") == 0,
+          "solver 0 is bdf");
+    CHECK(diffsol_ode_solver_type_name(2, namebuf, 32) == 0 &&
+              strcmp(namebuf, "tr_bdf2") == 0,
+          "solver 2 is tr_bdf2");
+    CHECK(diffsol_linear_solver_type_count() == 3, "linsol type count");
+    CHECK(diffsol_linear_solver_type_name(2, namebuf, 32) == 0 &&
+              strcmp(namebuf, "klu") == 0,
+          "linsol 2 is klu");
+    CHECK(diffsol_scalar_type_count() == 2, "scalar type count");
+    CHECK(diffsol_scalar_type_name(1, namebuf, 32) == 0 &&
+              strcmp(namebuf, "f64") == 0,
+          "scalar 1 is f64");
+    CHECK(diffsol_matrix_type_count() == 2, "matrix type count");
+    CHECK(diffsol_jit_backend_type_count() == 1, "jit backend count");
+    CHECK(diffsol_jit_backend_type_name(0, namebuf, 32) == 0 &&
+              strcmp(namebuf, "xla") == 0,
+          "jit backend is xla");
+
     /* ---- error paths ---- */
     CHECK(diffsol_ode_new_jit("not a model {") == 0, "bad model rejected");
     CHECK(strlen(diffsol_last_error_message()) > 0, "error message set");

@@ -225,3 +225,74 @@ def test_f32_lockstep_ensemble():
         np.asarray(s32.ys, dtype=np.float64), np.asarray(s64.ys),
         rtol=0, atol=2e-4,
     )
+
+
+def test_lockstep_root_finding_bouncing_ball():
+    """Lockstep root+reset with IDENTICAL member dynamics: shared root
+    times, member-wise match with the single-instance solve (reference
+    batched root_finding semantics, vector/cuda.rs + tests
+    vector/mod.rs:835-844)."""
+    from diffsol_tpu.drivers import solve_dense
+
+    def build(lockstep_b=None):
+        b = (
+            dt.OdeBuilder()
+            .rhs(lambda t, y, p: jnp.stack([y[1], -p[0] * jnp.ones_like(y[1])]))
+            .init(lambda t, p: jnp.array([10.0, 0.0]))
+            .root(lambda t, y, p: y[0:1])
+            .reset(lambda t, y, p: jnp.stack([jnp.full_like(y[0], 1e-9),
+                                              -p[1] * y[1]]))
+            .p([9.81, 0.8])
+            .rtol(1e-8)
+            .atol(1e-10)
+        )
+        problem = b.build()
+        if lockstep_b is None:
+            return problem
+        return make_lockstep_problem(problem, lockstep_b)
+
+    from diffsol_tpu.ensemble import make_lockstep_problem
+
+    B = 5
+    t_eval = jnp.asarray([0.5, 1.0, 2.0, 3.0])
+    single = build()
+    lp = build(B)
+    pb = jnp.broadcast_to(single.params, (B, 2))
+    sol_b = solve_dense(dt.BdfSolver(lp), t_eval, params=pb, max_steps=4000)
+    assert int(sol_b.stop_reason) >= 0
+    sol_1 = solve_dense(dt.BdfSolver(single), t_eval, max_steps=4000)
+    for b in range(B):
+        np.testing.assert_allclose(
+            np.asarray(sol_b.ys[:, :, b]), np.asarray(sol_1.ys),
+            rtol=1e-6, atol=1e-8,
+        )
+
+
+def test_lockstep_root_inconsistent_fails_loudly():
+    """Members whose events would fire at (detectably) different times must
+    fail with ROOT_BATCH_INCONSISTENT, not silently pick one time (the
+    reference panics here, vector/cuda.rs:1166-1175)."""
+    from diffsol_tpu import errors
+    from diffsol_tpu.drivers import solve_dense
+
+    # threshold crossing of exponential decay: root time = ln(y0/c)/a
+    # differs strongly across members when a differs
+    problem = (
+        dt.OdeBuilder()
+        .rhs(lambda t, y, p: -p[0] * y)
+        .init(lambda t, p: jnp.array([1.0]))
+        .root(lambda t, y, p: y[0:1] - 0.5)
+        .reset(lambda t, y, p: jnp.ones_like(y))
+        .p([1.0])
+        .rtol(1e-8)
+        .atol(1e-10)
+        .build()
+    )
+    from diffsol_tpu.ensemble import make_lockstep_problem
+
+    B = 3
+    lp = make_lockstep_problem(problem, B)
+    pb = jnp.asarray([[0.5], [1.0], [2.0]])  # very different decay rates
+    sol = solve_dense(dt.BdfSolver(lp), jnp.asarray([1.0, 3.0]), params=pb,
+                      max_steps=4000)
+    assert int(sol.stop_reason) == errors.ROOT_BATCH_INCONSISTENT
