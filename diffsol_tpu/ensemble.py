@@ -123,6 +123,9 @@ def make_lockstep_problem(problem: OdeProblem, nbatch: int) -> OdeProblem:
             t, Y, pb
         )
 
+    if hasattr(per_member_jac, "jvp_probes"):
+        b_jac.jvp_probes = per_member_jac.jvp_probes
+
     b_mass = None
     mass_mul_fn = None
     if eqn.mass is not None:

@@ -84,6 +84,7 @@ def make_banded_jac(rhs, ml: int, mu: int):
         band = probes[color, i_c]
         return jnp.where(jnp.asarray(valid), band, 0.0)
 
+    jac.jvp_probes = nc  # OpStatistics jac_mul_evals accounting
     return jac
 
 

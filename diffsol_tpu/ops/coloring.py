@@ -151,6 +151,7 @@ def make_colored_jac(rhs, rows, cols, colors, ncolors: int, n: int):
         vals = probes[probes_idx, rows_j]
         return jnp.zeros((n, n), y.dtype).at[rows_j, cols_j].set(vals)
 
+    jac.jvp_probes = ncolors  # OpStatistics jac_mul_evals accounting
     return jac
 
 

@@ -245,6 +245,12 @@ class BdfSolver:
         self.aug = augmented
         self.sens = augmented is not None
         self.has_sens = self.sens
+        # JVP probes per Jacobian evaluation, for the OpStatistics
+        # jac_mul_evals counter (n dense jacfwd; tier jacs carry their own
+        # probe count as a .jvp_probes attribute)
+        self._jvp_probes = getattr(
+            problem.eqn.rhs_jac, "jvp_probes", problem.eqn.nstates
+        )
 
     def with_config(self, config: SolverConfig):
         """Mid-run configuration change (reference method.rs:84
@@ -308,6 +314,8 @@ class BdfSolver:
         stats = stats._replace(
             jacobian_evals=stats.jacobian_evals + 1,
             linear_solver_setups=stats.linear_solver_setups + 1,
+            jac_mul_evals=stats.jac_mul_evals + self._jvp_probes,
+            mass_evals=stats.mass_evals + int(p.eqn.mass is not None),
         )
         return jac, factors, stats
 
@@ -364,6 +372,10 @@ class BdfSolver:
             linear_solver_setups=stats.linear_solver_setups
             + do_any.astype(i32),
             jacobian_evals=stats.jacobian_evals + rhs_pred.astype(i32),
+            jac_mul_evals=stats.jac_mul_evals
+            + rhs_pred.astype(i32) * self._jvp_probes,
+            mass_evals=stats.mass_evals
+            + do_any.astype(i32) * int(p.eqn.mass is not None),
         )
         if causes is not None:
             # per-cause LU-setup breakdown (ode_solver/mod.rs:53-70)
@@ -738,6 +750,9 @@ class BdfSolver:
                 error_test_failures=c["stats"].error_test_failures
                 + err_fail.astype(i32),
                 worst_member=wm,
+                # one residual rhs evaluation per Newton iteration
+                # (OpStatistics number_of_calls, op/mod.rs)
+                rhs_evals=c["stats"].rhs_evals + niter_total,
             )
             jac, factors, stats, eta, ssj, ssrj, c_last = self._jac_slim(
                 c["jac"], c["factors"], stats, res.eta,

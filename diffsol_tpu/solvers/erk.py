@@ -332,6 +332,10 @@ class ErkSolver:
                 steps=state.stats.steps + 1,
                 error_test_failures=state.stats.error_test_failures + natt,
                 worst_member=carry["wm"],
+                # s-1 stage rhs evaluations per attempt (stage 0 is FSAL
+                # from dy) -- OpStatistics number_of_calls
+                rhs_evals=state.stats.rhs_evals
+                + (tab.s - 1) * (natt + 1),
             ),
             **sens_upd,
         )

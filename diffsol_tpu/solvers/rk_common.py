@@ -49,11 +49,20 @@ class Stats(NamedTuple):
     # (plain-int default: a module-level jnp constant would initialize the
     # backend at import, breaking later platform overrides)
     worst_member: jax.Array = 0
+    # op-call counters (reference `OpStatistics`, op/mod.rs: number_of_calls
+    # / number_of_jac_muls / number_of_matrix_evals).  rhs_evals counts
+    # residual rhs evaluations in the step loop (one per Newton iteration,
+    # one per ERK stage); jac_mul_evals the JVP probes behind each Jacobian
+    # evaluation (n dense, ncolors colored, ml+mu+1 banded); mass_evals the
+    # mass-matrix materializations at LU assembly.
+    rhs_evals: jax.Array = 0
+    jac_mul_evals: jax.Array = 0
+    mass_evals: jax.Array = 0
 
     @staticmethod
     def zeros() -> "Stats":
         z = jnp.asarray(0, jnp.int32)
-        return Stats(z, z, z, z, z, z, z, z, z, z, z, z)
+        return Stats(z, z, z, z, z, z, z, z, z, z, z, z, z, z, z)
 
 
 @pytree_dataclass

@@ -82,6 +82,10 @@ class SdirkSolver:
         self.aug = augmented
         self.sens = augmented is not None
         self.has_sens = self.sens
+        # JVP probes per Jacobian evaluation (OpStatistics jac_mul_evals)
+        self._jvp_probes = getattr(
+            problem.eqn.rhs_jac, "jvp_probes", problem.eqn.nstates
+        )
 
     def with_config(self, config: SolverConfig):
         """Mid-run configuration change (reference method.rs:84
@@ -106,6 +110,8 @@ class SdirkSolver:
         stats = stats._replace(
             jacobian_evals=stats.jacobian_evals + 1,
             linear_solver_setups=stats.linear_solver_setups + 1,
+            jac_mul_evals=stats.jac_mul_evals + self._jvp_probes,
+            mass_evals=stats.mass_evals + int(p.eqn.mass is not None),
         )
         return jac, factors, stats
 
@@ -405,7 +411,9 @@ class SdirkSolver:
                 sz = None
 
             st["stats"] = st["stats"]._replace(
-                newton_iterations=st["stats"].newton_iterations + niter
+                newton_iterations=st["stats"].newton_iterations + niter,
+                # one rhs evaluation per stage-Newton iteration
+                rhs_evals=st["stats"].rhs_evals + niter,
             )
             return diff, y_stage, z, sdiff, s_stage, sz, st, failed, niter
 

@@ -21,35 +21,35 @@ SNAPSHOTS = {
         "newton_fails": 0, "linear_solver_setups": 10, "jacobian_evals": 1,
         "lu_from_checkpoint": 1, "lu_from_first_fail": 0,
         "lu_from_second_fail": 0, "lu_from_error_test": 0,
-        "lu_from_step_success": 9, "worst_member": 0,
+        "lu_from_step_success": 9, "worst_member": 0, "rhs_evals": 35, "jac_mul_evals": 2, "mass_evals": 0,
     },
     "logistic_bdf": {
         "steps": 91, "error_test_failures": 4, "newton_iterations": 137,
         "newton_fails": 0, "linear_solver_setups": 19, "jacobian_evals": 2,
         "lu_from_checkpoint": 1, "lu_from_first_fail": 0,
         "lu_from_second_fail": 0, "lu_from_error_test": 4,
-        "lu_from_step_success": 14, "worst_member": 0,
+        "lu_from_step_success": 14, "worst_member": 0, "rhs_evals": 137, "jac_mul_evals": 2, "mass_evals": 0,
     },
     "robertson_dae_bdf": {
         "steps": 197, "error_test_failures": 0, "newton_iterations": 368,
         "newton_fails": 11, "linear_solver_setups": 48, "jacobian_evals": 10,
         "lu_from_checkpoint": 1, "lu_from_first_fail": 9,
         "lu_from_second_fail": 2, "lu_from_error_test": 0,
-        "lu_from_step_success": 36, "worst_member": 0,
+        "lu_from_step_success": 36, "worst_member": 0, "rhs_evals": 368, "jac_mul_evals": 30, "mass_evals": 48,
     },
     "logistic_trbdf2": {
         "steps": 156, "error_test_failures": 4, "newton_iterations": 618,
         "newton_fails": 0, "linear_solver_setups": 22, "jacobian_evals": 4,
         "lu_from_checkpoint": 1, "lu_from_first_fail": 0,
         "lu_from_second_fail": 0, "lu_from_error_test": 4,
-        "lu_from_step_success": 17, "worst_member": 0,
+        "lu_from_step_success": 17, "worst_member": 0, "rhs_evals": 618, "jac_mul_evals": 4, "mass_evals": 0,
     },
     "expdecay_tsit45": {
         "steps": 5, "error_test_failures": 0, "newton_iterations": 0,
         "newton_fails": 0, "linear_solver_setups": 0, "jacobian_evals": 0,
         "lu_from_checkpoint": 0, "lu_from_first_fail": 0,
         "lu_from_second_fail": 0, "lu_from_error_test": 0,
-        "lu_from_step_success": 0, "worst_member": 0,
+        "lu_from_step_success": 0, "worst_member": 0, "rhs_evals": 30, "jac_mul_evals": 0, "mass_evals": 0,
     },
 }
 
