@@ -2,27 +2,29 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 
-Workload (BASELINE.md north star): solve a 10,000-member Robertson stiff-ODE
-parameter ensemble (k1 perturbed +-10%) over the reference's robertson_ode
-output decades to t = 4e5 with the lockstep BDF solver (shared adaptive
-steps, batched Newton + batched dense LU).  Tolerances rtol=1e-4/atol=1e-6
-match the reference's own robertson_ode benchmark problem
-(reference crates/diffsol/src/ode_equations/test_models/robertson_ode.rs:56-60
-and book/src/benchmarks/python.md tol=1e-4 rows); a second config at
-rtol=1e-6/atol=1e-8 (the BASELINE.json trajectory-parity tolerance) is
-reported in the extra keys.
+Workloads:
+* robertson stiff-ODE ensemble, k1 spread +-10%, decades to t=4e5 at the
+  reference's robertson_ode tolerances (rtol=1e-4/atol=1e-6,
+  reference crates/diffsol/src/ode_equations/test_models/robertson_ode.rs:56-60)
+  -- the headline per-instance number, plus rtol=1e-6, f32 and batch-size
+  sweep variants;
+* the REFERENCE-MATCHED config (round-2 verdict: the old comparison was
+  flattered by a t-span mismatch): shared parameters across 10k members and
+  the reference's own output decades to t=4e10
+  (book/src/benchmarks/python_results.csv row "10000,0.0001" = 0.1340 s)
+  -- reported as vs_diffsol_t4e10 / _f32;
+* heat2d MOL banded DAE (Pallas banded LU) with a MEASURED compiled-CPU
+  denominator: LSODA (ODEPACK) in its banded-Jacobian mode on the
+  interior-point ODE reduction of the same grid/tolerances;
+* foodweb reaction-diffusion DAE wall time.
 
-``vs_baseline`` divides a MEASURED single-thread CPU baseline by our
-per-instance time.  The baseline is LSODA (compiled ODEPACK via
-scipy.integrate.odeint -- the same Hindmarsh solver family as Sundials
-CVODE, which the reference benchmarks itself against at ~0.9-1.9x,
-book/src/benchmarks/sundials.md) solving the identical Robertson problem at
-identical tolerances on THIS host, measured live in this run.  See
-BASELINE_MEASURED.md for the full provenance discussion, including the
-reference's published absolute numbers (book/src/benchmarks/python_results.csv)
-and the Python-callback overhead caveat that inflates the LSODA time;
-``vs_diffsol_ngroups10k`` compares against the reference's own published
-10k-group robertson_ode ensemble wall time as the alternative denominator.
+Timing: the axon TPU tunnel costs a MEASURED fixed ~25-30 ms per dispatched
+program (reported as dispatch_floor_ms; a local TPU does not pay it).
+Headline numbers are MARGINAL per-solve times from a 1-vs-4 back-to-back
+dispatch slope -- the throughput cost a production pipeline pays; the
+single-dispatch latency (including the tunnel floor) is reported alongside
+as *_latency_s keys.  NB: block_until_ready does NOT block on this tunnel;
+every timed run syncs with a device->host scalar read.
 """
 
 import json
@@ -35,6 +37,7 @@ import numpy as np
 NBATCH = 10_000
 # reference robertson_ode output decades within our t-span (robertson_ode.rs)
 T_EVAL = [0.4, 4.0, 40.0, 400.0, 4000.0, 4.0e4, 4.0e5]
+T_EVAL_4E10 = [4.0 * 10.0**k for k in range(-1, 11)]  # 0.4 ... 4e10
 
 # Reference-published measured total wall time for robertson_ode with
 # ngroups=10,000 (one 30k-state sparse-BDF solve to t=4e10), single host,
@@ -66,7 +69,86 @@ def measure_lsoda(rtol, atol, nsolve=30):
     return best
 
 
-def run_tpu(rtol, atol, nbatch=NBATCH, dtype=None):
+def measure_lsoda_heat2d(mgrid, t_eval, rtol, atol, nsolve=5):
+    """LSODA (banded-Jacobian mode) on the interior-point ODE reduction of
+    heat2d: the compiled-CPU denominator for the banded tier (the algebraic
+    boundary rows are identically zero under Dirichlet data, so the interior
+    ODE is the same physics on the same grid)."""
+    from scipy.integrate import odeint
+
+    m = mgrid - 2  # interior points per side
+    dx = 1.0 / (mgrid - 1)
+    coeff = 1.0 / (dx * dx)
+    ii = np.arange(mgrid) * dx
+    x, yv = np.meshgrid(ii[1:-1], ii[1:-1], indexing="ij")
+    u0 = (16.0 * x * (1.0 - x) * yv * (1.0 - yv)).reshape(-1)
+
+    def rhs(u, t):
+        g = np.zeros((m + 2, m + 2))
+        g[1:-1, 1:-1] = u.reshape(m, m)
+        lap = (
+            g[:-2, 1:-1] + g[2:, 1:-1] + g[1:-1, :-2] + g[1:-1, 2:]
+            - 4.0 * g[1:-1, 1:-1]
+        ) * coeff
+        return lap.reshape(-1)
+
+    te = np.concatenate([[0.0], t_eval])
+    odeint(rhs, u0, te, rtol=rtol, atol=atol, ml=m, mu=m)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _i in range(nsolve):
+            odeint(rhs, u0, te, rtol=rtol, atol=atol, ml=m, mu=m)
+        best = min(best, (time.perf_counter() - t0) / nsolve)
+    return best
+
+
+def _sync(sol):
+    # device->host scalar read: the only reliable sync on the axon tunnel
+    return float(jnp.sum(sol.ys[-1]))
+
+
+def measure_marginal(run, params):
+    """(marginal per-solve seconds, single-dispatch latency seconds).
+
+    Marginal = slope of a 1-vs-4 back-to-back dispatch: subsequent
+    dispatches overlap the tunnel latency, so (t4 - t1)/3 is the pure
+    device time per solve."""
+    _sync(run(params))  # warmup/compile
+    t1 = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _sync(run(params))
+        t1 = min(t1, time.perf_counter() - t0)
+    t4 = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        run(params)
+        run(params)
+        run(params)
+        _sync(run(params))
+        t4 = min(t4, time.perf_counter() - t0)
+    marginal = max((t4 - t1) / 3.0, 1e-9)
+    return marginal, t1
+
+
+def dispatch_floor():
+    @jax.jit
+    def noop(x):
+        return x + 1.0
+
+    x = jnp.asarray(1.0)
+    float(noop(x))
+    best = float("inf")
+    for _ in range(5):
+        t0 = time.perf_counter()
+        float(noop(x))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def run_robertson(rtol, atol, nbatch=NBATCH, dtype=None, t_eval=None,
+                  spread=True, max_steps=5000):
     from diffsol_tpu.ensemble import make_lockstep_problem
     from diffsol_tpu.drivers import solve_dense
     from diffsol_tpu.models import robertson
@@ -76,69 +158,62 @@ def run_tpu(rtol, atol, nbatch=NBATCH, dtype=None):
     # TPU floats, no f64 emulation -- trajectories agree with f64 to ~rtol
     problem = robertson.problem_ode(rtol=rtol, atol=atol, dtype=dtype)
     lp = make_lockstep_problem(problem, nbatch)
-    k1 = 0.04 * (1.0 + 0.1 * jnp.linspace(-1.0, 1.0, nbatch))
+    if spread:
+        k1 = 0.04 * (1.0 + 0.1 * jnp.linspace(-1.0, 1.0, nbatch))
+    else:  # reference-matched: every group shares the same parameters
+        k1 = jnp.full((nbatch,), 0.04)
     params = jnp.stack(
         [k1, jnp.full((nbatch,), 1.0e4), jnp.full((nbatch,), 3.0e7)], axis=1
     ).astype(lp.params.dtype)
     solver = BdfSolver(lp)
-    t_eval = jnp.asarray(T_EVAL)
+    te = jnp.asarray(t_eval if t_eval is not None else T_EVAL)
 
     def run(pb):
         # state=None: init is folded into the jitted solve (ONE dispatch)
-        return solve_dense(solver, t_eval, params=pb, max_steps=5000)
+        return solve_dense(solver, te, params=pb, max_steps=max_steps)
 
-    def sync(sol):
-        # NB: on the axon tunnel backend block_until_ready does NOT block;
-        # force a device->host scalar read to time real execution
-        return float(jnp.sum(sol.ys))
-
-    sol = run(params)  # warmup/compile
-    sync(sol)
+    sol = run(params)
+    _sync(sol)
     assert int(sol.stop_reason) >= 0, f"solve failed: {int(sol.stop_reason)}"
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        sol = run(params)
-        sync(sol)
-        best = min(best, time.perf_counter() - t0)
-
     # sanity: mass conservation across the ensemble (ys is (neval, 3, B))
     cons = float(jnp.max(jnp.abs(sol.ys.sum(axis=1) - 1.0)))
     assert cons < 1e-3, f"conservation violated: {cons}"
-    return best
+    # trajectory sanity vs the reference's CVODE/IDA table (robertson.rs):
+    # x at the t_eval decades for the nominal member, 1% relative
+    soln = robertson.SOLN
+    mid = nbatch // 2 if spread else 0
+    for row in range(1, 4):  # t = 0.4, 4, 40
+        got = float(sol.ys[row - 1, 0, mid])
+        want = float(soln[row, 1])
+        rel = abs(got - want) / want
+        assert rel < 2e-2, f"trajectory off at t={soln[row,0]}: {got} vs {want}"
+    marginal, latency = measure_marginal(run, params)
+    return marginal, latency, int(sol.state.stats.steps)
 
 
-def run_heat2d_banded(mgrid=20, nbatch=32):
-    """MOL banded workload (Pallas banded LU on TPU): heat2d DAE ensemble.
-
-    Validates the round-2 banded deliverable on real hardware: the XLA
-    formulation could not even compile here (docs/round1_status.md).
-    Returns (total_s, steps).
-    """
+def run_banded_dae(make_problem, t_eval, nbatch=32, max_steps=2000):
+    """MOL banded workload (Pallas banded LU on TPU); returns
+    (marginal_s, latency_s, steps)."""
     from diffsol_tpu.ensemble import make_lockstep_problem
     from diffsol_tpu.drivers import solve_dense
-    from diffsol_tpu.models import heat2d
     from diffsol_tpu.solvers.bdf import BdfSolver
 
-    problem = heat2d.make(mgrid=mgrid)
+    problem = make_problem()
     lp = make_lockstep_problem(problem, nbatch)
-    params = jnp.ones((nbatch, 1), lp.params.dtype)
+    params = jnp.broadcast_to(
+        problem.params, (nbatch,) + problem.params.shape
+    ).astype(lp.params.dtype)
     solver = BdfSolver(lp)
-    t_eval = jnp.asarray([0.01, 0.03, 0.1])
+    te = jnp.asarray(t_eval)
 
     def run(pb):
-        return solve_dense(solver, t_eval, params=pb, max_steps=2000)
+        return solve_dense(solver, te, params=pb, max_steps=max_steps)
 
     sol = run(params)
-    assert int(sol.stop_reason) >= 0, f"heat2d failed: {int(sol.stop_reason)}"
-    float(jnp.sum(sol.ys))
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        sol = run(params)
-        float(jnp.sum(sol.ys))
-        best = min(best, time.perf_counter() - t0)
-    return best, int(sol.state.stats.steps)
+    _sync(sol)
+    assert int(sol.stop_reason) >= 0, f"banded solve failed: {int(sol.stop_reason)}"
+    marginal, latency = measure_marginal(run, params)
+    return marginal, latency, int(sol.state.stats.steps)
 
 
 def main():
@@ -151,15 +226,60 @@ def main():
     )
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
+    floor = dispatch_floor()
     lsoda_hi = measure_lsoda(1e-4, 1e-6)
     lsoda_lo = measure_lsoda(1e-6, 1e-8)
-    t_hi = run_tpu(1e-4, 1e-6)
-    t_lo = run_tpu(1e-6, 1e-8)
+
+    t_hi, lat_hi, _ = run_robertson(1e-4, 1e-6)
+    t_lo, _, _ = run_robertson(1e-6, 1e-8)
+    # reference-matched: shared params, the reference's own t-span to 4e10
+    t_m64, _, _ = run_robertson(
+        1e-4, 1e-6, t_eval=T_EVAL_4E10, spread=False
+    )
+    t_m32, _, _ = run_robertson(
+        1e-4, 1e-6, t_eval=T_EVAL_4E10, spread=False, dtype=jnp.float32
+    )
     # ensemble-size sweep (reference book/src/benchmarks/python.md ngroups
     # table: per-instance time vs batch size)
-    sweep = {b: run_tpu(1e-4, 1e-6, nbatch=b) for b in (100, 1000)}
-    t_f32 = run_tpu(1e-4, 1e-6, dtype=jnp.float32)
-    heat2d_s, heat2d_steps = run_heat2d_banded()
+    sweep = {b: run_robertson(1e-4, 1e-6, nbatch=b)[0] for b in (100, 1000)}
+    t_f32, _, _ = run_robertson(1e-4, 1e-6, dtype=jnp.float32)
+    t_100k, _, _ = run_robertson(1e-4, 1e-6, nbatch=100_000)
+    t_100k32, _, _ = run_robertson(
+        1e-4, 1e-6, nbatch=100_000, dtype=jnp.float32
+    )
+
+    # unstructured-sparse (block-dense) tier: the reference's own
+    # robertson_ode ngroups workload as ONE n=3000 problem, solved without
+    # materializing a dense Jacobian (3x3 blocks on the lanes); published
+    # diffsol number: python_results.csv row "1000,0.0001" = 0.012448 s
+    from diffsol_tpu.drivers import solve_dense as _sd
+    from diffsol_tpu.models.robertson import problem_ode_groups
+    from diffsol_tpu.solvers.bdf import BdfSolver as _Bdf
+
+    pgrp = problem_ode_groups(1000, rtol=1e-4, atol=(1e-8, 1e-6, 1e-6))
+    assert pgrp.linear_solver.name == "blockdiag(3,1000)"
+    gsolver = _Bdf(pgrp)
+    te10 = jnp.asarray(T_EVAL_4E10)
+
+    def run_grp(pb):
+        return _sd(gsolver, te10, params=pb, max_steps=5000)
+
+    sol_g = run_grp(pgrp.params)
+    _sync(sol_g)
+    assert int(sol_g.stop_reason) >= 0, int(sol_g.stop_reason)
+    t_grp, _ = measure_marginal(run_grp, pgrp.params)
+
+    # banded MOL tier
+    from diffsol_tpu.models import foodweb, heat2d
+
+    heat_te = [0.01, 0.03, 0.1]
+    heat_s, heat_lat, heat_steps = run_banded_dae(
+        lambda: heat2d.make(mgrid=20), heat_te
+    )
+    heat_cpu = measure_lsoda_heat2d(20, heat_te, 1e-5, 1e-5)
+    food_s, _, food_steps = run_banded_dae(
+        lambda: foodweb.make(nx=10), [1e-3, 1e-2, 1e-1], max_steps=3000
+    )
 
     per_hi = t_hi / NBATCH
     per_lo = t_lo / NBATCH
@@ -174,18 +294,34 @@ def main():
                 "baseline_us": round(lsoda_hi * 1e6, 1),
                 "rtol": 1e-4,
                 "total_s": round(t_hi, 4),
+                "latency_s": round(lat_hi, 4),
+                "dispatch_floor_ms": round(floor * 1e3, 2),
                 "value_rtol1e6": round(per_lo * 1e6, 3),
                 "vs_baseline_rtol1e6": round(lsoda_lo / per_lo, 2),
                 "baseline_rtol1e6_us": round(lsoda_lo * 1e6, 1),
-                "vs_diffsol_ngroups10k": round(
-                    DIFFSOL_NGROUPS10K_S / t_hi, 2
-                ),
-                "heat2d_mgrid20_b32_total_s": round(heat2d_s, 4),
-                "heat2d_mgrid20_b32_steps": heat2d_steps,
+                # t-span-matched, shared-parameter comparison against the
+                # reference's own published ngroups=10k run (to t=4e10)
+                "vs_diffsol_t4e10": round(DIFFSOL_NGROUPS10K_S / t_m64, 2),
+                "vs_diffsol_t4e10_f32": round(DIFFSOL_NGROUPS10K_S / t_m32, 2),
+                "matched_t4e10_total_s": round(t_m64, 4),
+                "matched_t4e10_f32_total_s": round(t_m32, 4),
                 "per_instance_us_b100": round(sweep[100] / 100 * 1e6, 2),
                 "per_instance_us_b1000": round(sweep[1000] / 1000 * 1e6, 2),
+                "per_instance_us_b100k": round(t_100k / 100_000 * 1e6, 3),
                 "per_instance_us_f32": round(t_f32 / NBATCH * 1e6, 3),
+                "per_instance_us_b100k_f32": round(
+                    t_100k32 / 100_000 * 1e6, 3
+                ),
                 "f32_vs_f64_speedup": round(t_hi / t_f32, 2),
+                "heat2d_mgrid20_b32_total_s": round(heat_s, 4),
+                "heat2d_mgrid20_b32_steps": heat_steps,
+                "heat2d_per_instance_ms": round(heat_s / 32 * 1e3, 3),
+                "heat2d_cpu_lsoda_banded_ms": round(heat_cpu * 1e3, 2),
+                "heat2d_vs_cpu": round(heat_cpu / (heat_s / 32), 2),
+                "foodweb_nx10_b32_total_s": round(food_s, 4),
+                "foodweb_nx10_b32_steps": food_steps,
+                "robertson_ode_ngroups1000_total_s": round(t_grp, 4),
+                "vs_diffsol_ngroups1000": round(0.012448280966944164 / t_grp, 3),
             }
         )
     )

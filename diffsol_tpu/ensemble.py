@@ -49,8 +49,13 @@ def _lockstep_dense_spec(nbatch: int, n: int) -> LinearSolverSpec:
     """Batch-last block-dense LU: matrices (n, n, nbatch), RHS (n, nbatch)."""
 
     def assemble(mass, jac, c):
+        from .ops.linsol import DiagMass
+
         if mass is None:
             m = jnp.eye(n, dtype=jac.dtype)[:, :, None]
+        elif isinstance(mass, DiagMass):
+            # diag (n, B): D[i, j, b] = (i == j) * d[j, b]
+            m = jnp.eye(n, dtype=jac.dtype)[:, :, None] * mass.d[None, :, :]
         else:
             m = mass
         return m - c * jac
@@ -128,12 +133,20 @@ def make_lockstep_problem(problem: OdeProblem, nbatch: int) -> OdeProblem:
 
     b_mass = None
     mass_mul_fn = None
+    b_mass_diag = None
     if eqn.mass is not None:
         def b_mass(t, pb):  # (n, n, B)
             return jax.vmap(eqn.mass, in_axes=(None, 0), out_axes=2)(t, pb)
 
-        def mass_mul_fn(t, pb, v):
-            return jnp.einsum("ijb,...jb->...ib", b_mass(t, pb), v)
+        if eqn.mass_diag_fn is not None:
+            # diagonal fast path: (n, B) values; mass_mul is elementwise
+            def b_mass_diag(t, pb):
+                return jax.vmap(
+                    eqn.mass_diag_fn, in_axes=(None, 0), out_axes=1
+                )(t, pb)
+        else:
+            def mass_mul_fn(t, pb, v):
+                return jnp.einsum("ijb,...jb->...ib", b_mass(t, pb), v)
 
     new_eqn = OdeEquations(
         rhs=b_rhs,
@@ -144,6 +157,7 @@ def make_lockstep_problem(problem: OdeProblem, nbatch: int) -> OdeProblem:
         reset=b_reset,
         rhs_jac=b_jac,
         mass_mul_fn=mass_mul_fn,
+        mass_diag_fn=b_mass_diag,
         nstates=n,
         nout=nout,
         nroots=eqn.nroots,

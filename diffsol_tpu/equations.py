@@ -48,6 +48,14 @@ class OdeEquations:
     # Optional override for the mass action M(t,p) @ v (used by lockstep
     # ensembles where M is batched: (B,n,n) @ (B,n) needs an einsum).
     mass_mul_fn: Optional[Callable] = None  # (t, p, v) -> M v
+    # Structurally DIAGONAL mass fast path: (t, p) -> (n,) diagonal values
+    # ((n, B) under lockstep).  Set automatically by the builder when the
+    # probed mass is diagonal (the common DAE case: reference heat2d,
+    # foodweb, robertson all carry diag masses).  mass_mul becomes an
+    # elementwise multiply and LU assembly never materializes (n, n[, B]) --
+    # for a 400-state 32-member heat2d the dense einsum was ~4e8
+    # f64-emulated MACs PER RESIDUAL EVALUATION.
+    mass_diag_fn: Optional[Callable] = None  # (t, p) -> diag
     nstates: int = 0
     nout: int = 0
     nroots: int = 0
@@ -97,9 +105,24 @@ class OdeEquations:
             return None
         return self.mass(t, p)
 
+    def mass_repr(self, t, p):
+        """Mass in the cheapest representation ``assemble`` understands:
+        None (identity), :class:`~diffsol_tpu.ops.linsol.DiagMass`
+        (structurally diagonal -- no dense materialization), or the dense
+        matrix."""
+        if self.mass is None:
+            return None
+        if self.mass_diag_fn is not None:
+            from .ops.linsol import DiagMass
+
+            return DiagMass(self.mass_diag_fn(t, p))
+        return self.mass(t, p)
+
     def mass_mul(self, t, p, v):
         if self.mass is None:
             return v
+        if self.mass_diag_fn is not None:
+            return v * self.mass_diag_fn(t, p)
         if self.mass_mul_fn is not None:
             return self.mass_mul_fn(t, p, v)
         return self.mass(t, p) @ v
@@ -118,6 +141,7 @@ class OdeEquations:
                 self.reset,
                 self.rhs_jac,
                 self.mass_mul_fn,
+                self.mass_diag_fn,
                 self.nstates,
                 self.nout,
                 self.nroots,
@@ -137,6 +161,7 @@ def make_equations(
     out: Optional[Callable] = None,
     reset: Optional[Callable] = None,
     rhs_jac: Optional[Callable] = None,
+    mass_diag: Optional[Callable] = None,
 ) -> OdeEquations:
     """Build an :class:`OdeEquations`, inferring dimensions with eval_shape."""
     params = jnp.asarray(params)
@@ -161,6 +186,7 @@ def make_equations(
         out=out,
         reset=reset,
         rhs_jac=rhs_jac,
+        mass_diag_fn=mass_diag,
         nstates=nstates,
         nout=nout,
         nroots=nroots,

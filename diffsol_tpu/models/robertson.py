@@ -87,3 +87,41 @@ def problem_ode(rtol=1e-4, atol=(1e-8, 1e-6, 1e-6), p=P_DEFAULT,
     if dtype is not None:
         b = b.dtype(dtype)
     return b.build()
+
+
+def problem_ode_groups(ngroups: int, rtol=1e-4, atol=(1e-8, 1e-6, 1e-6),
+                       p=P_DEFAULT, use_coloring=True,
+                       dtype=None) -> OdeProblem:
+    """robertson_ode with ``ngroups`` duplicated groups sharing one
+    parameter set (reference test_models/robertson_ode.rs:48-100: states
+    group-major [x_g, y_g, z_g], nstates = 3*ngroups).  With
+    ``use_coloring`` the builder detects the 3x3-block-diagonal sparsity
+    and routes it to the block-dense tier (the KLU-role path the reference
+    benchmarks this model on, sundials.md robertson_ode row)."""
+
+    def rhs(t, y, pv):
+        u = y.reshape(ngroups, 3)
+        r0 = -pv[0] * u[:, 0] + pv[1] * u[:, 1] * u[:, 2]
+        r1 = (
+            pv[0] * u[:, 0] - pv[1] * u[:, 1] * u[:, 2]
+            - pv[2] * u[:, 1] * u[:, 1]
+        )
+        r2 = pv[2] * u[:, 1] * u[:, 1]
+        return jnp.stack([r0, r1, r2], axis=1).reshape(-1)
+
+    def init(t, pv):
+        return jnp.tile(jnp.array([1.0, 0.0, 0.0]), ngroups)
+
+    b = (
+        OdeBuilder()
+        .rhs(rhs)
+        .init(init)
+        .p(list(p))
+        .rtol(rtol)
+        .atol(jnp.tile(jnp.asarray(atol), ngroups))
+    )
+    if use_coloring:
+        b = b.use_coloring()
+    if dtype is not None:
+        b = b.dtype(dtype)
+    return b.build()

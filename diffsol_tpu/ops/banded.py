@@ -200,9 +200,15 @@ def make_banded_solver(ml: int, mu: int, kernel: str = "auto") -> LinearSolverSp
         raise ValueError(f"unknown banded kernel {kernel!r}")
 
     def assemble(mass, jac_band, c):
+        from .linsol import DiagMass
+
         if mass is None:
             # identity mass: 1.0 on the main-diagonal band row (axis 0 = d)
             m_band = jnp.zeros_like(jac_band).at[mu].set(1.0)
+        elif isinstance(mass, DiagMass):
+            # diagonal mass: values straight onto the main-diagonal band
+            # row -- no dense (n, n[, B]) materialization
+            m_band = jnp.zeros_like(jac_band).at[mu].set(mass.d)
         elif mass.ndim == 2 and mass.shape[-1] == mass.shape[-2]:
             m_band = dense_to_band(mass, ml, mu)
             if jac_band.ndim == 3:  # lockstep batch-last: broadcast members

@@ -19,12 +19,22 @@ op/bdf.rs:259-270; SDIRK: c = h*gamma, op/sdirk.rs:248-263).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Any, Callable
+from typing import Any, Callable, NamedTuple
 
+import jax
 import jax.numpy as jnp
 import jax.scipy.linalg as jsl
 
 from . import smalllu
+
+
+class DiagMass(NamedTuple):
+    """Diagonal-mass representation passed to ``assemble`` when the
+    equations carry a structurally diagonal mass (eqn.mass_diag_fn): the
+    (n,) / lockstep (n, B) diagonal values -- LU assembly never builds the
+    dense (n, n[, B]) matrix."""
+
+    d: jax.Array
 
 
 @dataclass(frozen=True)
@@ -50,6 +60,8 @@ def _dense_assemble(mass, jac, c):
     n = jac.shape[-1]
     if mass is None:
         m = jnp.eye(n, dtype=jac.dtype)
+    elif isinstance(mass, DiagMass):
+        m = jnp.eye(n, dtype=jac.dtype) * mass.d
     else:
         m = mass
     return m - c * jac

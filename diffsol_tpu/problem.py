@@ -433,11 +433,34 @@ class OdeBuilder:
                 if len(mi):
                     ml = max(ml, int(np.max(mi - mj)))
                     mu = max(mu, int(np.max(mj - mi)))
-            if n >= 8 and ml + mu + 1 <= max(n // 2, 1):
-                # narrow band detected: route BOTH the Jacobian probes and
-                # the factorization to the band tier (the role of the
-                # reference's KLU sparse LU, suitesparse/klu.rs:1-245 --
-                # coloring compresses the factorization, not just the JVPs)
+            # tier routing order (all playing the reference KLU role,
+            # suitesparse/klu.rs:1-245):
+            # 1. independent dense blocks (robertson_ode ngroups layouts,
+            #    circuit components): exact structure, zero fill-in, pivoted
+            #    batch-last LU -- safe for stiff blocks where the no-pivot
+            #    f32 band kernel is not;
+            # 2. narrow band (MOL stencils): banded probes + band LU;
+            # 3. colored-probe dense fallback.
+            blk_rows, blk_cols = rows, cols
+            if mass_f is not None:
+                m0 = np.asarray(mass_f(t0_arr, p_arr))
+                mi, mj = np.nonzero(m0)
+                blk_rows = np.concatenate([rows, mi])
+                blk_cols = np.concatenate([cols, mj])
+            blocks = None
+            if n >= 8:
+                from .ops.blockdiag import (
+                    detect_blocks,
+                    make_blockdiag_jac,
+                    make_blockdiag_solver,
+                )
+
+                blocks = detect_blocks(blk_rows, blk_cols, n)
+            if blocks is not None:
+                perm, nb_, K_ = blocks
+                rhs_jac_f = make_blockdiag_jac(rhs_f, perm, nb_, K_, n)
+                linear_solver = make_blockdiag_solver(perm, nb_, K_, n)
+            elif n >= 8 and ml + mu + 1 <= max(n // 2, 1):
                 rhs_jac_f = make_banded_jac(rhs_f, ml, mu)
                 linear_solver = make_banded_solver(ml, mu)
             else:
@@ -445,6 +468,26 @@ class OdeBuilder:
                 rhs_jac_f = make_colored_jac(
                     rhs_f, rows, cols, colors, ncolors, n
                 )
+        mass_diag_f = None
+        if mass_f is not None:
+            # structurally diagonal mass -> elementwise fast path (the
+            # common DAE case; probed concretely like the sparsity
+            # detection, same structure-independence caveat)
+            import numpy as np
+
+            p_arr0 = jnp.asarray(self._p, dtype=jnp.result_type(float))
+            m_probe = np.asarray(mass_f(jnp.asarray(self._t0), p_arr0))
+            if (
+                m_probe.ndim == 2
+                and np.count_nonzero(
+                    m_probe - np.diag(np.diag(m_probe))
+                ) == 0
+            ):
+                _mf = mass_f
+
+                def mass_diag_f(t, p):
+                    return jnp.diagonal(_mf(t, p))
+
         eqn = make_equations(
             rhs_f,
             init_f,
@@ -455,6 +498,7 @@ class OdeBuilder:
             out=out_f,
             reset=reset_f,
             rhs_jac=rhs_jac_f,
+            mass_diag=mass_diag_f,
         )
         dtype = self._dtype or jnp.result_type(float)
         atol = jnp.asarray(self._atol, dtype)

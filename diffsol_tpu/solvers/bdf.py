@@ -308,7 +308,7 @@ class BdfSolver:
         """Evaluate J = df/dy at (t, y), assemble M - c*J and factorize."""
         p = self.problem
         jac = p.eqn.jac(t, y, params)
-        mass = p.eqn.mass_matrix(t, params)
+        mass = p.eqn.mass_repr(t, params)
         a = p.linear_solver.assemble(mass, jac, c)
         factors = p.linear_solver.factor(a)
         stats = stats._replace(
@@ -322,7 +322,7 @@ class BdfSolver:
     def _refactor(self, t, params, jac, c, stats):
         """Re-factorize M - c*J with the existing (possibly stale) J."""
         p = self.problem
-        mass = p.eqn.mass_matrix(t, params)
+        mass = p.eqn.mass_repr(t, params)
         a = p.linear_solver.assemble(mass, jac, c)
         factors = p.linear_solver.factor(a)
         stats = stats._replace(linear_solver_setups=stats.linear_solver_setups + 1)
@@ -356,7 +356,7 @@ class BdfSolver:
                 lambda _: jac0,
                 None,
             )
-            mass = p.eqn.mass_matrix(t, params)
+            mass = p.eqn.mass_repr(t, params)
             a = p.linear_solver.assemble(mass, jac1, c)
             return jac1, p.linear_solver.factor(a)
 

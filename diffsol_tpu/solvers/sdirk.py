@@ -104,7 +104,7 @@ class SdirkSolver:
     def _assemble_and_factor(self, t, y, params, h, stats):
         p = self.problem
         jac = p.eqn.jac(t, y, params)
-        mass = p.eqn.mass_matrix(t, params)
+        mass = p.eqn.mass_repr(t, params)
         a = p.linear_solver.assemble(mass, jac, self.gamma * h)
         factors = p.linear_solver.factor(a)
         stats = stats._replace(
@@ -117,7 +117,7 @@ class SdirkSolver:
 
     def _refactor(self, t, params, jac, h, stats):
         p = self.problem
-        mass = p.eqn.mass_matrix(t, params)
+        mass = p.eqn.mass_repr(t, params)
         a = p.linear_solver.assemble(mass, jac, self.gamma * h)
         factors = p.linear_solver.factor(a)
         stats = stats._replace(linear_solver_setups=stats.linear_solver_setups + 1)
