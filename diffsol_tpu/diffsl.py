@@ -81,7 +81,7 @@ _TOKEN_RE = re.compile(
   | (?P<num>(\d+\.(?!\.)\d*|\.\d+|\d+)([eE][+-]?\d+)?)
   | (?P<name>[A-Za-z][A-Za-z0-9_]*)
   | (?P<dotdot>\.\.)
-  | (?P<op>[{}(),:=+\-*/^])
+  | (?P<op>[{}(),:=+\-*/^\[\]])
     """,
     re.VERBOSE,
 )
@@ -116,10 +116,14 @@ class Num:
 
 @dataclass(frozen=True)
 class Ref:
-    """Identifier reference, optionally subscripted: u_i -> Ref('u', 'i')."""
+    """Identifier reference, optionally subscripted: u_i -> Ref('u', 'i').
+
+    ``slc`` is an optional element-range slice ``x_i[a:b]`` (pybamm-
+    generated models slice state segments into electrode regions)."""
 
     name: str
     idx: str  # "" for bare references
+    slc: Optional[tuple] = None  # (start, stop) or None
 
 
 @dataclass(frozen=True)
@@ -326,7 +330,19 @@ class _Parser:
                 self.expect(")")
                 return Call(v, tuple(args))
             base, idx = _split_subscript(v)
-            return Ref(base, idx)
+            slc = None
+            if self.peek()[1] == "[":
+                self.next()
+                k1, a = self.next()
+                if k1 != "num":
+                    raise DiffslError(f"expected integer in slice, got {a!r}")
+                self.expect(":")
+                k2, b = self.next()
+                if k2 != "num":
+                    raise DiffslError(f"expected integer in slice, got {b!r}")
+                self.expect("]")
+                slc = (int(a), int(b))
+            return Ref(base, idx, slc)
         raise DiffslError(f"unexpected token {v!r} in expression")
 
 
@@ -416,17 +432,29 @@ class _Eval:
             a = self.xp.sum(a, axis=drop_axes)
         return a, "".join(keep)
 
-    def eval(self, node):
+    def eval(self, node, top: bool = True):
+        """Evaluate ``node``; ``top`` marks TERM-level position (the entry
+        top and the spine of its +/- tree).  Implicit contraction over
+        indices absent from the destination happens only at term level --
+        at the top of each additive term and of each product chain there.
+        Inside function arguments, powers and nested factors everything is
+        pure elementwise broadcasting (a pybamm-DFN expression like
+        ``c_ij * pow(K - f(u_j), 0.5)`` must keep j alive until the
+        enclosing product with the _ij tensor)."""
         xp = self.xp
         if isinstance(node, Num):
             return xp.asarray(node.v, self.dtype), ""
         if isinstance(node, Neg):
-            a, ls = self.eval(node.x)
+            a, ls = self.eval(node.x, top)
             return -a, ls
         if isinstance(node, Ref):
             if node.name not in self.env:
                 raise DiffslError(f"undefined identifier {node.name!r}")
             arr, rank = self.env[node.name]
+            if rank == 0 and len(node.idx) == 1:
+                # a length-1 segment label referenced as a vector
+                # (pybamm M_i lists scalar dudt labels as `name_i`)
+                return xp.reshape(xp.asarray(arr), (1,)), node.idx
             if len(node.idx) not in (rank, 0):
                 raise DiffslError(
                     f"{node.name} has rank {rank}, subscripted _{node.idx}"
@@ -441,6 +469,18 @@ class _Eval:
                     "a subscript"
                 )
             arr = xp.asarray(arr)
+            if node.slc is not None:
+                if rank != 1:
+                    raise DiffslError(
+                        f"slice on rank-{rank} tensor {node.name!r}"
+                    )
+                a, b = node.slc
+                if not 0 <= a <= b <= int(arr.shape[0]):
+                    raise DiffslError(
+                        f"slice [{a}:{b}] out of range for {node.name!r} "
+                        f"(length {int(arr.shape[0])})"
+                    )
+                arr = arr[a:b]
             for c, size in zip(node.idx, arr.shape):
                 if self.dims.setdefault(c, size) != size:
                     raise DiffslError(
@@ -448,7 +488,7 @@ class _Eval:
                     )
             return arr, node.idx
         if isinstance(node, Call):
-            vals = [self.eval(a) for a in node.args]
+            vals = [self.eval(a, top=False) for a in node.args]
             arrs, letters = self._align(vals)
             if node.fn in _FUNCS and len(arrs) == 1:
                 return getattr(xp, _FUNCS[node.fn])(arrs[0]), letters
@@ -467,7 +507,9 @@ class _Eval:
                 # node: flatten the whole * / chain, combine ALL factors on
                 # the union index set, THEN contract once at the chain top
                 # (A_ij * u_j * w_j must be sum_j A_ij u_j w_j, not
-                # (A@u)_i * sum w).
+                # (A@u)_i * sum w).  Factors are NON-top positions: an
+                # additive or function subexpression inside keeps all its
+                # indices for this chain's contraction.
                 factors = []
 
                 def flatten(nd, inverted):
@@ -475,26 +517,30 @@ class _Eval:
                         flatten(nd.l, inverted)
                         flatten(nd.r, inverted ^ (nd.op == "/"))
                     else:
-                        factors.append((self.eval(nd), inverted))
+                        factors.append((self.eval(nd, top=False), inverted))
 
                 flatten(node, False)
                 arrs, letters = self._align([v for v, _inv in factors])
                 acc = arrs[0]  # leftmost factor is never inverted
                 for a, (_v, inv) in zip(arrs[1:], factors[1:]):
                     acc = acc / a if inv else acc * a
-                return self._contract(acc, letters)
-            lv = self.eval(node.l)
-            rv = self.eval(node.r)
+                if top:
+                    return self._contract(acc, letters)
+                return acc, letters
+            lv = self.eval(node.l, top)
+            rv = self.eval(node.r, top)
             if node.op == "^":
                 # a power applies WITHIN a term (u_i ^ 2 is sum u_i^2 at a
                 # scalar destination, not (sum u)^2): combine elementwise,
                 # contraction happens at the enclosing term/entry level
                 (la, ra), letters = self._align([lv, rv])
                 return la**ra, letters
-            # additive: each side is its own term -> contract independently
-            la, lls = self._contract(*lv)
-            ra, rls = self._contract(*rv)
-            (la, ra), letters = self._align([(la, lls), (ra, rls)])
+            # additive at term level: each side is its own term -> contract
+            # independently; in nested positions, pure broadcasting
+            if top:
+                lv = self._contract(*lv)
+                rv = self._contract(*rv)
+            (la, ra), letters = self._align([lv, rv])
             if node.op == "+":
                 return la + ra, letters
             return la - ra, letters
@@ -523,8 +569,12 @@ def _eval_vector(td: TensorDef, ev: _Eval, length_hint=None):
     segments = []
     pos = 0
     for e in td.entries:
-        val = ev.eval(e.expr)
-        val = ev._contract(*val)
+        # index letters are scoped PER ENTRY: different entries of one
+        # vector may bind i to different segment lengths (pybamm models
+        # tile F_i from 400-, 60- and 20-row blocks)
+        ev_e = _Eval(xp, ev.env, {}, ev.dest, ev.dtype)
+        val = ev_e.eval(e.expr)
+        val = ev_e._contract(*val)
         n = _entry_length(val, e.rng)
         arr, letters = val
         if e.rng is not None:
