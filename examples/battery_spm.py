@@ -19,6 +19,9 @@ import jax
 import jax.numpy as jnp
 
 jax.config.update("jax_enable_x64", True)
+# whole-solve compiles dominate; cache them across runs
+jax.config.update("jax_compilation_cache_dir", "/tmp/diffsol_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 import diffsol_tpu as dt
 
@@ -47,12 +50,18 @@ def main():
             solver, final_time, params=jnp.asarray([current]), max_steps=2000
         )
         npts = int(sol.n_points)
-        t_end = float(sol.ts[npts - 1])
-        v_end = float(
-            problem.eqn.out(
-                sol.ts[npts - 1], sol.ys[npts - 1], jnp.asarray([current])
-            )[0]
-        )
+        pcur = jnp.asarray([current])
+        vs = jax.jit(
+            jax.vmap(lambda tt, yy: problem.eqn.out(tt, yy, pcur)[0])
+        )(sol.ts[:npts], sol.ys[:npts])
+        # near full discharge the sqrt-SOC terms leave their domain within
+        # the last step; report the last finite voltage on the trajectory
+        import numpy as np
+
+        vn = np.asarray(vs)
+        k_last = int(np.flatnonzero(np.isfinite(vn))[-1])
+        t_end = float(sol.ts[k_last])
+        v_end = float(vn[k_last])
         stopped = "voltage cutoff" if int(sol.stop_reason) == 1 else "t_final"
         print(f"I = {current:.1f} A: discharged to t = {t_end:7.1f} s "
               f"({stopped}), V = {v_end:.3f} V")
