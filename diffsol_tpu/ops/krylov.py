@@ -1,0 +1,257 @@
+"""Matrix-free Newton-Krylov linear tier (GMRES on JVPs).
+
+The third KLU-role tier (SURVEY §7; reference suitesparse/klu.rs,
+faer/sparse_lu.rs): for Jacobians that are neither narrow-banded nor
+block-decomposable, the iteration matrix ``A = M - c*J`` is never
+materialized -- GMRES solves ``A x = b`` with the operator applied as
+
+    A v = mass_mul(v) - c * jvp(rhs, y)(v)
+
+one rhs-JVP per Krylov iteration.  This is the tier that scales on TPU:
+JVPs are elementwise/stencil work (f64 fine under emulation), while a
+dense n>48 f64 LU cannot even compile there (no f64 LuDecomposition).
+
+Used inside the steppers' frozen-Jacobian Newton: the "factorization" is
+the frozen linearization point (t, y, c) plus an optional TRIDIAGONAL
+preconditioner extracted with 3 cyclic JVP probes and factored by the
+Thomas algorithm -- for diffusion-dominated MOL/battery systems the main
+couplings sit near the diagonal, and the preconditioner turns hundreds of
+GMRES iterations into a handful.  Inexactness is governed by ``gmres_tol``;
+the Newton convergence control measures true-residual progress, so a loose
+inner solve degrades the convergence RATE, not the answer (same contract
+as the f32 tiers).
+
+Reference role citation: diffsol has no Krylov tier (KLU/faer direct
+solvers only) -- this is TPU-motivated capability beyond the reference.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from .linsol import DiagMass, LinearSolverSpec
+
+
+def _tridiag_probes(op, n, dtype):
+    """Extract the tridiagonal part of a linear operator with 3 cyclic
+    probes: band[d, j] = (A e_{j mod 3})[j + d - 1], d in {0, 1, 2}."""
+    idx = jnp.arange(n)
+
+    def probe(c):
+        e = jnp.where(idx % 3 == c, 1.0, 0.0).astype(dtype)
+        return op(e)
+
+    probes = jax.vmap(probe)(jnp.arange(3))  # (3, n)
+    # a[j] = A[j, j-1] (from probe of column j-1), d[j] = A[j, j],
+    # c[j] = A[j, j+1] (from probe of column j+1); wider-than-tridiagonal
+    # structure aliases into the probes, which only perturbs the
+    # PRECONDITIONER, never the GMRES answer
+    dmain = probes[idx % 3, idx]
+    a_sub = jnp.zeros((n,), dtype).at[1:].set(
+        probes[(idx[:-1]) % 3, idx[1:]]
+    )  # A[j, j-1]: probe seeding col j-1 read at row j
+    c_sup = jnp.zeros((n,), dtype).at[:-1].set(
+        probes[(idx[1:]) % 3, idx[:-1]]
+    )  # A[j, j+1]
+    return a_sub, dmain, c_sup
+
+
+def _thomas_factor(a, d, c):
+    """LU of a tridiagonal system without pivoting (scan over n).
+
+    Pivots are clamped away from zero: the tridiagonal here is only ever a
+    PRECONDITIONER (possibly alias-contaminated), and a singular pivot
+    would NaN-poison GMRES."""
+
+    def step(carry, x):
+        d_prev = carry
+        a_j, d_j, c_prev = x
+        w = a_j / d_prev
+        d_new = d_j - w * c_prev
+        d_new = jnp.where(jnp.abs(d_new) < 1e-30, 1.0, d_new)
+        return d_new, (w, d_new)
+
+    c_shift = jnp.concatenate([jnp.zeros((1,), d.dtype), c[:-1]])
+    _, (w, dd) = jax.lax.scan(step, d[0], (a[1:], d[1:], c_shift[1:]))
+    w = jnp.concatenate([jnp.zeros((1,), d.dtype), w])
+    dd = jnp.concatenate([d[:1], dd])
+    return w, dd, c
+
+
+def _thomas_solve(factors, b):
+    w, dd, c = factors
+
+    def fwd(carry, x):
+        b_prev = carry
+        b_j, w_j = x
+        b_new = b_j - w_j * b_prev
+        return b_new, b_new
+
+    _, y = jax.lax.scan(fwd, b[0], (b[1:], w[1:]))
+    y = jnp.concatenate([b[:1], y])
+
+    def bwd(carry, x):
+        x_next = carry
+        y_j, d_j, c_j = x
+        x_j = (y_j - c_j * x_next) / d_j
+        return x_j, x_j
+
+    _, xs = jax.lax.scan(
+        bwd, y[-1] / dd[-1], (y[:-1][::-1], dd[:-1][::-1], c[:-1][::-1])
+    )
+    return jnp.concatenate([xs[::-1], y[-1:] / dd[-1:]])
+
+
+def make_krylov_solver(
+    rhs,
+    *,
+    gmres_tol: float = 1e-6,
+    restart: int = 30,
+    maxiter: int = 10,
+    precond: str = "lu32",
+) -> LinearSolverSpec:
+    """Matrix-free GMRES tier over ``rhs(t, y, p)``.
+
+    The equations' ``rhs_jac`` must be :func:`make_krylov_jac` (the builder
+    installs it): the "Jacobian representation" is the frozen linearization
+    point itself.  ``precond``:
+
+    * ``"lu32"`` (default): an f32 LU of the EXACT iteration matrix --
+      mixed-precision iterative refinement.  The factorization compiles on
+      TPU at any n (XLA's LuDecomposition is f32 there); GMRES in the
+      problem dtype recovers full accuracy in a handful of iterations
+      (residual contraction ~ eps_f32 * cond(A) per apply).  Costs one
+      n-column jacfwd + O(n^3) f32 factor per Jacobian refresh (amortized
+      by the steppers' reuse policy) and O(n^2) f32 memory.
+    * ``"tridiag"``: 3-probe Thomas preconditioner -- O(n) memory, best
+      for diffusion-dominated operators; wider structure aliases into the
+      probes and can weaken it badly.
+    * ``"none"``: unpreconditioned.
+    """
+    if precond not in ("lu32", "tridiag", "none"):
+        raise ValueError(f"unknown preconditioner {precond!r}")
+    import jax.scipy.linalg as jsl
+
+    def assemble(mass, jac, c):
+        # jac is the frozen point (t, y, p) from make_krylov_jac
+        t, y, p = jac
+        return (mass, t, y, p, jnp.asarray(c))
+
+    def _op(mass, t, y, p, c, v):
+        jv = jax.jvp(lambda yy: rhs(t, yy, p), (y,), (v,))[1]
+        if mass is None:
+            mv = v
+        elif isinstance(mass, DiagMass):
+            mv = v * mass.d
+        else:
+            mv = mass @ v
+        return mv - c * jv
+
+    def factor(a):
+        mass, t, y, p, c = a
+        if precond == "none":
+            pre = None
+        elif precond == "lu32":
+            jac32 = jax.jacfwd(lambda yy: rhs(t, yy, p))(y).astype(
+                jnp.float32
+            )
+            n = y.shape[-1]
+            if mass is None:
+                m32 = jnp.eye(n, dtype=jnp.float32)
+            elif isinstance(mass, DiagMass):
+                m32 = jnp.eye(n, dtype=jnp.float32) * mass.d.astype(
+                    jnp.float32
+                )
+            else:
+                m32 = mass.astype(jnp.float32)
+            pre = jsl.lu_factor(m32 - c.astype(jnp.float32) * jac32)
+        else:
+            n = y.shape[-1]
+            op = functools.partial(_op, mass, t, y, p, c)
+            sub, dmain, sup = _tridiag_probes(op, n, y.dtype)
+            # guard breakdowns: fall back to the identity row where the
+            # tridiagonal pivot vanishes
+            dmain = jnp.where(jnp.abs(dmain) < 1e-30, 1.0, dmain)
+            pre = _thomas_factor(sub, dmain, sup)
+        return (mass, t, y, p, c, pre)
+
+    def solve(factors, b):
+        mass, t, y, p, c, pre = factors
+        if b.ndim == 2:  # augmented rows (naug, n)
+            return jax.vmap(lambda v: solve(factors, v))(b)
+        op = functools.partial(_op, mass, t, y, p, c)
+        if pre is None:
+            M = None
+        elif precond == "lu32":
+            M = lambda v: jsl.lu_solve(pre, v.astype(jnp.float32)).astype(
+                b.dtype
+            )
+        else:
+            M = lambda v: _thomas_solve(pre, v)
+        x, _info = jax.scipy.sparse.linalg.gmres(
+            op, b, tol=gmres_tol, atol=0.0, restart=restart,
+            maxiter=maxiter, M=M, solve_method="batched",
+        )
+        return x
+
+    def placeholder(n, dtype):
+        # never used by the steppers (they assemble real factors at init);
+        # the frozen-point structure depends on params, unknowable here
+        raise NotImplementedError("krylov tier has no placeholder factors")
+
+    return LinearSolverSpec(
+        name=f"krylov({precond})",
+        assemble=assemble,
+        factor=factor,
+        solve=solve,
+        placeholder_factors=placeholder,
+        meta=(gmres_tol, restart, maxiter, precond),
+    )
+
+
+def make_krylov_jac():
+    """The matching ``rhs_jac``: the Jacobian "representation" is the
+    frozen linearization point (t, y, p) -- no matrix is ever formed."""
+
+    def jac(t, y, p):
+        return (t, y, p)
+
+    jac.jvp_probes = 0  # no probes at jac-eval time (JVPs happen per solve)
+    return jac
+
+
+def make_matfree_residual_solver(residual, gmres_tol: float = 1e-8,
+                                 restart: int = 30, maxiter: int = 20):
+    """(factorize, solve) pair for Newton on an arbitrary residual F(x)
+    without an f64 factorization -- the consistent-IC analog of the krylov
+    tier (used by solvers/consistent_ic.py when the problem's linear
+    solver is matrix-free).  ``factorize(x)`` freezes the linearization
+    point and builds the f32-LU preconditioner of the exact dF/dx;
+    ``solve(factors, v)`` runs preconditioned GMRES on the f64 JVP
+    operator (mixed-precision iterative refinement)."""
+    import jax.scipy.linalg as jsl
+
+    def factorize(x):
+        jac32 = jax.jacfwd(residual)(x).astype(jnp.float32)
+        return (x, jsl.lu_factor(jac32))
+
+    def solve(factors, v):
+        x0, pre = factors
+
+        def op(w):
+            return jax.jvp(residual, (x0,), (w,))[1]
+
+        sol, _info = jax.scipy.sparse.linalg.gmres(
+            op, v, tol=gmres_tol, atol=0.0, restart=restart,
+            maxiter=maxiter,
+            M=lambda w: jsl.lu_solve(pre, w.astype(jnp.float32)).astype(
+                v.dtype
+            ),
+            solve_method="batched",
+        )
+        return sol
+
+    return factorize, solve

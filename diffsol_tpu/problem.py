@@ -317,6 +317,11 @@ class OdeBuilder:
         return self
 
     def linear_solver(self, spec):
+        if spec == "krylov":
+            # matrix-free GMRES needs the rhs closure: constructed in
+            # build() (ops/krylov.make_krylov_solver)
+            self._linear_solver = "krylov"
+            return self
         self._linear_solver = get_solver(spec)
         return self
 
@@ -404,6 +409,11 @@ class OdeBuilder:
             out_f = _c(out_f)
             reset_f = _c(reset_f)
             rhs_jac_f = _c(rhs_jac_f)
+        if linear_solver == "krylov":
+            from .ops.krylov import make_krylov_jac, make_krylov_solver
+
+            linear_solver = make_krylov_solver(rhs_f)
+            rhs_jac_f = make_krylov_jac()
         if linear_solver.name.startswith("banded") and rhs_jac_f is None:
             from .ops.banded import make_banded_jac
 
@@ -463,6 +473,14 @@ class OdeBuilder:
             elif n >= 8 and ml + mu + 1 <= max(n // 2, 1):
                 rhs_jac_f = make_banded_jac(rhs_f, ml, mu)
                 linear_solver = make_banded_solver(ml, mu)
+            elif n >= 256:
+                # large unstructured pattern: matrix-free Newton-Krylov
+                # (a dense n>48 f64 LU cannot compile on TPU; colored
+                # probes would still feed an O(n^3) factorization)
+                from .ops.krylov import make_krylov_jac, make_krylov_solver
+
+                linear_solver = make_krylov_solver(rhs_f)
+                rhs_jac_f = make_krylov_jac()
             else:
                 colors, ncolors = greedy_color(rows, cols, n, n)
                 rhs_jac_f = make_colored_jac(

@@ -144,6 +144,14 @@ def make_consistent(problem, params, y, dy, is_alg, t=None):
         def lin_solve_dense(factors, v):
             return spec.solve(factors, v)
 
+    elif spec.name.startswith("krylov"):
+        # matrix-free problems keep the IC solve matrix-free too: GMRES on
+        # the IC-residual JVP with the 3-probe tridiagonal preconditioner
+        # (a dense n>48 f64 LU cannot compile on TPU)
+        from ..ops.krylov import make_matfree_residual_solver
+
+        factorize, lin_solve_dense = make_matfree_residual_solver(residual)
+
     elif nb > 1:
         # 2-D lockstep state (n, nb): n member probes (column seeds broadcast
         # over the lanes) build the batch-last (n, n, nb) block Jacobian
