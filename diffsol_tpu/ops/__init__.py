@@ -4,7 +4,6 @@ from . import (  # noqa: F401
     controller,
     linsol,
     newton,
-    pallas_norms,
     rootfind,
     smalllu,
 )
