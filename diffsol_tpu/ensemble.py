@@ -101,6 +101,12 @@ def make_lockstep_problem(problem: OdeProblem, nbatch: int) -> OdeProblem:
     typed failure (errors.ROOT_BATCH_INCONSISTENT; the reference panics) --
     use the independent (vmap) mode for event-heterogeneous ensembles."""
     eqn = problem.eqn
+    if problem.linear_solver.name.startswith("krylov"):
+        raise ValueError(
+            "the matrix-free krylov tier is single-instance; lift the "
+            "problem with a dense/banded/blockdiag linear solver for "
+            "lockstep ensembles (or use independent vmap mode)"
+        )
     n = eqn.nstates
     nout = eqn.nout
     banded = problem.linear_solver.name.startswith("banded")

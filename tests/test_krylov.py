@@ -119,3 +119,32 @@ def test_auto_route_large_unstructured_to_krylov():
     np.testing.assert_allclose(
         np.asarray(sol.ys[1]), y1, rtol=1e-4, atol=1e-7
     )
+
+
+def test_krylov_dae_diag_mass_heat2d():
+    """Singular-diagonal-mass DAE through the krylov tier: the DiagMass
+    operator branch and the matrix-free consistent-IC solve both engage;
+    trajectories match the banded-tier solve."""
+    from diffsol_tpu.models import heat2d
+
+    ref = heat2d.make(mgrid=10)  # n = 100, banded tier
+    kry = (
+        dt.OdeBuilder()
+        .rhs(ref.eqn.rhs)
+        .init(ref.eqn.init)
+        .mass(ref.eqn.mass)
+        .p(np.asarray(ref.params))
+        .rtol(1e-5)
+        .atol(1e-5)
+        .linear_solver("krylov")
+        .build()
+    )
+    assert kry.linear_solver.name == "krylov(lu32)"
+    assert kry.eqn.mass_diag_fn is not None
+    t_eval = jnp.asarray([0.01, 0.1])
+    sol_k = dt.solve_dense(dt.BdfSolver(kry), t_eval, max_steps=2000)
+    assert int(sol_k.stop_reason) >= 0
+    sol_b = dt.solve_dense(dt.BdfSolver(ref), t_eval, max_steps=2000)
+    np.testing.assert_allclose(
+        np.asarray(sol_k.ys), np.asarray(sol_b.ys), rtol=1e-3, atol=1e-6
+    )
