@@ -230,7 +230,7 @@ def forward_with_checkpoints(solver, t_eval, params, max_steps: int,
     t_eval = jnp.asarray(t_eval, state.t.dtype)
     dtype = state.y.dtype
     neval = t_eval.shape[0]
-    n = state.y.shape[-1]
+    yshape = state.y.shape  # (n,) single / (n, B) lockstep
     final_time = t_eval[-1]
     state = solver.set_stop_time(state, final_time)
 
@@ -246,8 +246,8 @@ def forward_with_checkpoints(solver, t_eval, params, max_steps: int,
         return bufs, ts.at[i].set(st.t)
 
     ck_states, ck_ts = write_ck(ck_states, ck_ts, state, 0)
-    ys = jnp.zeros((neval, n), dtype)
-    ev = _empty_events(max_ev, n, dtype)
+    ys = jnp.zeros((neval,) + yshape, dtype)
+    ev = _empty_events(max_ev, yshape, dtype)
 
     def cond(c):
         (_s, _ys, _ct, _cs, _ev, k, done, _w, _ci) = c
@@ -265,7 +265,7 @@ def forward_with_checkpoints(solver, t_eval, params, max_steps: int,
         t_upper = jnp.where(fatal, written_to, t_upper)
         mask = (t_eval <= t_upper) & (t_eval > written_to)
         y_interp = jax.vmap(lambda tt: solver.interpolate(new, tt))(t_eval)
-        ys = jnp.where(mask[:, None], y_interp, ys)
+        ys = jnp.where(mask.reshape((-1,) + (1,) * len(yshape)), y_interp, ys)
 
         if has_reset:
             def on_root(args):
@@ -347,11 +347,11 @@ def _record_segment(solver, state0, t_end, params, seg_steps: int,
     has_reset = p.eqn.root is not None and p.eqn.reset is not None
     max_ev = max_events if has_reset else 0
     dtype = state0.y.dtype
-    n = state0.y.shape[-1]
+    yshape = state0.y.shape
     nrows = seg_steps + 2 * max_ev + 1
     ts_tab = jnp.full((nrows,), jnp.inf, dtype)
-    ys_tab = jnp.zeros((nrows, n), dtype)
-    dys_tab = jnp.zeros((nrows, n), dtype)
+    ys_tab = jnp.zeros((nrows,) + yshape, dtype)
+    dys_tab = jnp.zeros((nrows,) + yshape, dtype)
     ts_tab = ts_tab.at[0].set(state0.t)
     ys_tab = ys_tab.at[0].set(state0.y)
     dys_tab = dys_tab.at[0].set(state0.dy)

@@ -55,7 +55,8 @@ from .problem import OdeProblem
 
 def _adjoint_problem_lockstep(base_problem: OdeProblem,
                               lockstep_problem: OdeProblem,
-                              t_top, table, ct_g=None):
+                              t_top, table, ct_g=None,
+                              table_rows=None):
     """Batched time-reversed augmented adjoint problem in sigma = t_top - t.
 
     State z = (n + nparams, B) batch-last; member b solves
@@ -73,13 +74,37 @@ def _adjoint_problem_lockstep(base_problem: OdeProblem,
     nparams = eqn.nparams
     B = lockstep_problem.lockstep_nbatch
     dtype = base_problem.atol.dtype
-    ts_tab, ys_tab, dys_tab = table[0], table[1], table[2]
     N = n + nparams
     out_fn = eqn.out if eqn.out is not None else (lambda tt, yy, pp: yy)
 
-    def member_rhs(sigma, z, p, ys_m, dys_m, ct_g_m):
+    if table is not None:
+        ts_tab, ys_tab, dys_tab = table[0], table[1], table[2]
+
+        def split(p_row):
+            return p_row, None  # table comes in via vmap operands
+    else:
+        # bounded-memory mode: each member's segment Hermite table rides in
+        # its params row after the real parameters (the single-instance
+        # packing of adjoint._adjoint_problem, lifted per member)
+        if table_rows is None:
+            raise ValueError("need table or table_rows")
+        R = table_rows
+
+        def split(p_row):
+            rp = p_row[:nparams]
+            ts = p_row[nparams:nparams + R]
+            off = nparams + R
+            ys_m = p_row[off:off + R * n].reshape(R, n)
+            dys_m = p_row[off + R * n:off + 2 * R * n].reshape(R, n)
+            return rp, (ts, ys_m, dys_m)
+
+    def member_rhs(sigma, z, p_row, ys_m, dys_m, ct_g_m):
+        p, packed = split(p_row)
         t = t_top - sigma
-        x = hermite_interp((ts_tab, ys_m, dys_m), t)
+        if packed is None:
+            x = hermite_interp((ts_tab, ys_m, dys_m), t)
+        else:
+            x = hermite_interp(packed, t)
         lam = z[:n]
         _, vjp_y = jax.vjp(lambda yy: eqn.rhs(t, yy, p), x)
         _, vjp_p = jax.vjp(lambda pp: eqn.rhs(t, x, pp), p)
@@ -93,21 +118,30 @@ def _adjoint_problem_lockstep(base_problem: OdeProblem,
         return jnp.concatenate([dlam, dgp])
 
     ct_dummy = jnp.zeros((B, 0), dtype) if ct_g is None else ct_g.T  # (B, nout)
+    if table is not None:
+        tab_axes = (2, 2)
+        tab_args = lambda: (ys_tab, dys_tab)
+    else:
+        zero_tab = jnp.zeros((0, 0, B), dtype)
+        tab_axes = (2, 2)
+        tab_args = lambda: (zero_tab, zero_tab)
 
     def rhs(sigma, Z, Pb):
+        ys_a, dys_a = tab_args()
         return jax.vmap(
-            member_rhs, in_axes=(None, 1, 0, 2, 2, 0), out_axes=1
-        )(sigma, Z, Pb, ys_tab, dys_tab, ct_dummy)
+            member_rhs, in_axes=(None, 1, 0) + tab_axes + (0,), out_axes=1
+        )(sigma, Z, Pb, ys_a, dys_a, ct_dummy)
 
     def rhs_jac(sigma, Z, Pb):
-        def member_jac(z, p, ys_m, dys_m, ct_g_m):
+        def member_jac(z, p_row, ys_m, dys_m, ct_g_m):
             return jax.jacfwd(
-                lambda zz: member_rhs(sigma, zz, p, ys_m, dys_m, ct_g_m)
+                lambda zz: member_rhs(sigma, zz, p_row, ys_m, dys_m, ct_g_m)
             )(z)
 
+        ys_a, dys_a = tab_args()
         return jax.vmap(
-            member_jac, in_axes=(1, 0, 2, 2, 0), out_axes=2
-        )(Z, Pb, ys_tab, dys_tab, ct_dummy)
+            member_jac, in_axes=(1, 0) + tab_axes + (0,), out_axes=2
+        )(Z, Pb, ys_a, dys_a, ct_dummy)
 
     def init(sigma, Pb):
         return jnp.zeros((N, B), dtype)
@@ -115,7 +149,8 @@ def _adjoint_problem_lockstep(base_problem: OdeProblem,
     adj_mass = None
     mass_mul_fn = None
     if eqn.mass is not None:
-        def member_mass(sigma, p):
+        def member_mass(sigma, p_row):
+            p = split(p_row)[0]
             m_t = eqn.mass(t_top - sigma, p).T
             return jnp.eye(N, dtype=m_t.dtype).at[:n, :n].set(m_t)
 
@@ -216,6 +251,107 @@ def backward_pass_lockstep(base_problem, lockstep_problem, solver_cls, table,
     return corr(params_b, lam0, gp)  # (B, nparams)
 
 
+def backward_pass_bounded_lockstep(base_problem, lockstep_problem,
+                                   solver_cls, fwd_solver, ckpts, t_eval,
+                                   ct_ys, params_b, max_steps, interval,
+                                   ct_g=None):
+    """Bounded-memory batched backward pass (the lockstep lift of
+    adjoint.backward_pass_bounded): walk the sparse full-state checkpoints
+    top-down, re-solve each segment with the LOCKSTEP forward solver to
+    rebuild its (R, n, B) Hermite table, and ride each member's table
+    slice into the adjoint solver inside its params row."""
+    from .adjoint import _record_segment
+
+    eqn = base_problem.eqn
+    n = eqn.nstates
+    nparams = eqn.nparams
+    dtype = base_problem.atol.dtype
+    t_eval = jnp.asarray(t_eval, dtype)
+    neval = t_eval.shape[0]
+    t_top = t_eval[-1]
+    B = params_b.shape[0]
+    ck_ts, ck_states, n_ck = ckpts
+    n_slots = ck_ts.shape[0]
+    seg_steps = interval + 4  # margin for the tstop-truncated last step
+    R = seg_steps + 1
+
+    adj_problem = _adjoint_problem_lockstep(
+        base_problem, lockstep_problem, t_top, None, ct_g=ct_g,
+        table_rows=R,
+    )
+    solver = solver_cls(adj_problem)
+
+    jump1 = _make_jump(base_problem)
+    jump_b = jax.vmap(jump1, in_axes=(1, 1, 1, None, 1, 0), out_axes=(1, 1))
+    reinit = _make_reinit(solver, adj_problem)
+
+    def seg_params(s):
+        st = jax.tree_util.tree_map(lambda b: b[s], ck_states)
+        t_end = ck_ts[s + 1]
+        ts_l, ys_l, dys_l = _record_segment(
+            fwd_solver, st, t_end, params_b, seg_steps, max_events=0
+        )  # ts (R,), ys/dys (R, n, B)
+        pa = jnp.concatenate(
+            [
+                params_b,
+                jnp.broadcast_to(ts_l, (B, R)),
+                jnp.moveaxis(ys_l, -1, 0).reshape(B, R * n),
+                jnp.moveaxis(dys_l, -1, 0).reshape(B, R * n),
+            ],
+            axis=1,
+        )
+        return pa, (ts_l, ys_l, dys_l)
+
+    top = seg_params(n_ck - 2)
+    state = init_state_jit(solver, top[0])
+
+    def apply_output_jump(state, slot, pa, tab):
+        t = t_top - state.t
+        x = hermite_interp(tab, t)  # (n, B)
+        lam, gp_rows = state.y[:n], state.y[n:]
+        lam, gp_rows = jump_b(lam, gp_rows, ct_ys[slot], t, x, params_b)
+        return reinit(state.replace(y=jnp.concatenate([lam, gp_rows])), pa)
+
+    def seg_body(i, state):
+        s = n_slots - 2 - i
+        valid = (s >= 0) & (s <= n_ck - 2)
+
+        def process(state):
+            is_top = s == n_ck - 2
+            pa, tab = jax.lax.cond(is_top, lambda: top, lambda: seg_params(s))
+            is_bot = s == 0
+            upper = jnp.where(is_top, jnp.inf, ck_ts[s + 1])
+            lower = jnp.where(is_bot, -jnp.inf, ck_ts[s])
+
+            def bnd_body(jj, state):
+                slot = neval - 1 - jj
+                t_b = t_eval[slot]
+                inside = (t_b > lower) & (t_b <= upper)
+
+                def apply(state):
+                    state = _integrate_to(
+                        solver, state, t_top - t_b, pa, max_steps
+                    )
+                    return apply_output_jump(state, slot, pa, tab)
+
+                return jax.lax.cond(inside, apply, lambda st: st, state)
+
+            state = jax.lax.fori_loop(0, neval, bnd_body, state)
+            return _integrate_to(
+                solver, state, t_top - ck_ts[s], pa, max_steps
+            )
+
+        return jax.lax.cond(valid, process, lambda st: st, state)
+
+    state = jax.lax.fori_loop(0, n_slots - 1, seg_body, state)
+    lam0, gp = state.y[:n], state.y[n:]
+    corr = jax.vmap(
+        lambda p, l, g: _init_correction(base_problem, p, l, g),
+        in_axes=(0, 1, 1),
+    )
+    return corr(params_b, lam0, gp)  # (B, nparams)
+
+
 def make_differentiable_solve_ensemble(
     problem: OdeProblem,
     t_eval,
@@ -225,6 +361,7 @@ def make_differentiable_solve_ensemble(
     max_steps: int = 16_384,
     bwd_solver_cls=None,
     bwd_max_steps: Optional[int] = None,
+    checkpoint_interval: Optional[int] = None,
 ):
     """Return ``ys_of(params_b) -> (neval, B, n)`` differentiable per member.
 
@@ -263,27 +400,54 @@ def make_differentiable_solve_ensemble(
     lp = make_lockstep_problem(problem, nbatch)
     solver = solver_cls(lp)
 
-    @jax.custom_vjp
-    def ys_of(params_b):
-        ys, _g, _table, _ev, _st = forward_with_table(
-            solver, t_eval, params_b, max_steps
-        )
-        return jnp.moveaxis(ys, -1, 1)  # (neval, B, n)
+    if checkpoint_interval is None:
+        @jax.custom_vjp
+        def ys_of(params_b):
+            ys, _g, _table, _ev, _st = forward_with_table(
+                solver, t_eval, params_b, max_steps
+            )
+            return jnp.moveaxis(ys, -1, 1)  # (neval, B, n)
 
-    def fwd(params_b):
-        ys, _g, table, _ev, _st = forward_with_table(
-            solver, t_eval, params_b, max_steps
-        )
-        return jnp.moveaxis(ys, -1, 1), (params_b, table)
+        def fwd(params_b):
+            ys, _g, table, _ev, _st = forward_with_table(
+                solver, t_eval, params_b, max_steps
+            )
+            return jnp.moveaxis(ys, -1, 1), (params_b, table)
 
-    def bwd(res, ct):
-        params_b, table = res
-        ct_int = jnp.moveaxis(ct, 1, -1)  # (neval, n, B)
-        grad_b = backward_pass_lockstep(
-            problem, lp, bwd_solver_cls, table, t_eval, ct_int, params_b,
-            bwd_max_steps,
-        )
-        return (grad_b,)
+        def bwd(res, ct):
+            params_b, table = res
+            ct_int = jnp.moveaxis(ct, 1, -1)  # (neval, n, B)
+            grad_b = backward_pass_lockstep(
+                problem, lp, bwd_solver_cls, table, t_eval, ct_int, params_b,
+                bwd_max_steps,
+            )
+            return (grad_b,)
+    else:
+        from .adjoint import forward_with_checkpoints
+
+        K = int(checkpoint_interval)
+
+        @jax.custom_vjp
+        def ys_of(params_b):
+            ys, _g, _ck, _ev, _st = forward_with_checkpoints(
+                solver, t_eval, params_b, max_steps, K
+            )
+            return jnp.moveaxis(ys, -1, 1)
+
+        def fwd(params_b):
+            ys, _g, ckpts, _ev, _st = forward_with_checkpoints(
+                solver, t_eval, params_b, max_steps, K
+            )
+            return jnp.moveaxis(ys, -1, 1), (params_b, ckpts)
+
+        def bwd(res, ct):
+            params_b, ckpts = res
+            ct_int = jnp.moveaxis(ct, 1, -1)
+            grad_b = backward_pass_bounded_lockstep(
+                problem, lp, bwd_solver_cls, solver, ckpts, t_eval, ct_int,
+                params_b, bwd_max_steps, K,
+            )
+            return (grad_b,)
 
     ys_of.defvjp(fwd, bwd)
     return ys_of

@@ -153,3 +153,31 @@ def test_independent_mode_grad():
         np.testing.assert_allclose(
             np.asarray(grad_b[b]), np.asarray(g1), rtol=1e-6, atol=1e-12
         )
+
+
+def test_lockstep_bounded_memory_grad():
+    """checkpoint_interval on the ENSEMBLE adjoint: sparse full-state
+    checkpoints + lockstep segment re-solve reproduce the dense-table
+    per-member gradients (the lockstep lift of backward_pass_bounded)."""
+    problem = logistic.problem(rtol=1e-8, atol=1e-10)
+    t_eval = jnp.linspace(0.5, 3.0, 4)
+    B = 3
+    pb = _member_params(problem.params, B)
+
+    dense = make_differentiable_solve_ensemble(
+        problem, t_eval, B, max_steps=4096
+    )
+    bounded = make_differentiable_solve_ensemble(
+        problem, t_eval, B, max_steps=4096, checkpoint_interval=16
+    )
+    loss = lambda f: (lambda p: jnp.sum(f(p) ** 2))
+    ys_d = dense(pb)
+    ys_b = bounded(pb)
+    np.testing.assert_allclose(
+        np.asarray(ys_b), np.asarray(ys_d), rtol=1e-10
+    )
+    g_d = jax.grad(loss(dense))(pb)
+    g_b = jax.grad(loss(bounded))(pb)
+    np.testing.assert_allclose(
+        np.asarray(g_b), np.asarray(g_d), rtol=2e-4, atol=1e-10
+    )
