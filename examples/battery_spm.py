@@ -62,7 +62,12 @@ def main():
         k_last = int(np.flatnonzero(np.isfinite(vn))[-1])
         t_end = float(sol.ts[k_last])
         v_end = float(vn[k_last])
-        stopped = "voltage cutoff" if int(sol.stop_reason) == 1 else "t_final"
+        if int(sol.stop_reason) == 1:
+            stopped = "voltage cutoff"
+        elif k_last < npts - 1:
+            stopped = "fully discharged"  # SOC left the sqrt domain in-step
+        else:
+            stopped = "t_final"
         print(f"I = {current:.1f} A: discharged to t = {t_end:7.1f} s "
               f"({stopped}), V = {v_end:.3f} V")
         assert 2.0 < v_end < 4.5
