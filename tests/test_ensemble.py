@@ -296,3 +296,37 @@ def test_lockstep_root_inconsistent_fails_loudly():
     sol = solve_dense(dt.BdfSolver(lp), jnp.asarray([1.0, 3.0]), params=pb,
                       max_steps=4000)
     assert int(sol.stop_reason) == errors.ROOT_BATCH_INCONSISTENT
+
+
+def test_independent_ensemble_with_reset_events():
+    """Independent (vmap) ensembles carry per-member event sequences: each
+    bouncing ball bounces at ITS OWN times (heterogeneous gravity), unlike
+    lockstep's shared-root requirement."""
+    problem = (
+        dt.OdeBuilder()
+        .rhs(lambda t, y, p: jnp.stack([y[1], -p[0] * jnp.ones_like(y[1])]))
+        .init(lambda t, p: jnp.array([10.0, 0.0]))
+        .root(lambda t, y, p: y[0:1])
+        .reset(lambda t, y, p: jnp.stack([jnp.full_like(y[0], 1e-9),
+                                          -0.8 * y[1]]))
+        .p([9.81])
+        .rtol(1e-8)
+        .atol(1e-10)
+        .build()
+    )
+    gs = jnp.asarray([[6.0], [9.81], [15.0]])  # very different bounce times
+    t_eval = jnp.asarray([0.5, 1.5, 2.5])
+    sol = dt.solve_dense_ensemble(
+        dt.BdfSolver, problem, t_eval, gs, mode="independent",
+        max_steps=4000,
+    )
+    ys = np.asarray(sol.ys)  # (neval, B, 2)
+    from diffsol_tpu.drivers import solve_dense
+
+    for b in range(3):
+        one = solve_dense(
+            dt.BdfSolver(problem), t_eval, params=gs[b], max_steps=4000
+        )
+        np.testing.assert_allclose(
+            ys[:, b], np.asarray(one.ys), rtol=1e-6, atol=1e-7
+        )

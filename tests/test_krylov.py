@@ -148,3 +148,36 @@ def test_krylov_dae_diag_mass_heat2d():
     np.testing.assert_allclose(
         np.asarray(sol_k.ys), np.asarray(sol_b.ys), rtol=1e-3, atol=1e-6
     )
+
+
+def test_krylov_forward_sensitivities():
+    """Continuous forward sens on a krylov problem: the augmented rows
+    (naug, n) go through the matrix-free solve's vmap branch."""
+    from diffsol_tpu.models import heat1d
+    from diffsol_tpu.sens import solve_dense_fwd_sens
+
+    ref_problem, _ = heat1d.make(mgrid=15)  # n = 16
+    kry = (
+        dt.OdeBuilder()
+        .rhs(ref_problem.eqn.rhs)
+        .init(ref_problem.eqn.init)
+        .p(np.asarray(ref_problem.params))
+        .rtol(1e-7)
+        .atol(1e-9)
+        .linear_solver("krylov")
+        .build()
+    )
+    t_eval = jnp.asarray([0.05, 0.1])
+    ys, sens = solve_dense_fwd_sens(dt.BdfSolver(kry, sens=True), t_eval)
+    # oracle: jacfwd through the dense-LU solver
+    from diffsol_tpu.drivers import solve_dense
+
+    solver_d = dt.BdfSolver(ref_problem)
+
+    def ys_plain(p):
+        return solve_dense(solver_d, t_eval, params=p, max_steps=2000).ys
+
+    jac = jax.jacfwd(ys_plain)(ref_problem.params)  # (neval, n, np)
+    np.testing.assert_allclose(
+        np.asarray(sens[0]), np.asarray(jac[:, :, 0]), rtol=2e-3, atol=1e-7
+    )
