@@ -645,10 +645,19 @@ def _make_event_correction(problem, events, params, ct_g, out_fn):
         dy_p = events["dy_plus"][slot]
         k = events["idx"][slot]
 
-        reset_f = lambda yy: eqn.reset(t_star, yy, params)
+        if eqn.reset_n is not None:
+            reset_f = lambda yy: eqn.reset_n(t_star, yy, params, k)
+        else:
+            reset_f = lambda yy: eqn.reset(t_star, yy, params)
         root_f = lambda yy: eqn.root(t_star, yy, params)
+        if eqn.reset_n is not None:
+            reset_t = lambda tt: eqn.reset_n(tt, y_m, params, k)
+            reset_p = lambda pp: eqn.reset_n(t_star, y_m, pp, k)
+        else:
+            reset_t = lambda tt: eqn.reset(tt, y_m, params)
+            reset_p = lambda pp: eqn.reset(t_star, y_m, pp)
         R_t = jax.jvp(
-            lambda tt: eqn.reset(tt, y_m, params), (t_star,),
+            reset_t, (t_star,),
             (jnp.ones_like(t_star),),
         )[1]
         r_t = jax.jvp(
@@ -668,7 +677,7 @@ def _make_event_correction(problem, events, params, ct_g, out_fn):
         e_k = jnp.zeros((nroots,), dtype).at[k].set(alpha)
         _, vjp_ry = jax.vjp(root_f, y_m)
         lam_new = vjp_Ry(lam)[0] - vjp_ry(e_k)[0]
-        _, vjp_Rp = jax.vjp(lambda pp: eqn.reset(t_star, y_m, pp), params)
+        _, vjp_Rp = jax.vjp(reset_p, params)
         _, vjp_rp = jax.vjp(lambda pp: eqn.root(t_star, y_m, pp), params)
         gp_new = gp_rows + vjp_Rp(lam)[0] - vjp_rp(e_k)[0]
         return lam_new, gp_new

@@ -191,7 +191,10 @@ class SensEquations(AugmentedEquations):
         """
         p = self.problem
         eqn = p.eqn
-        reset = eqn.reset
+        if eqn.reset_n is not None:
+            reset = lambda tt, yy, pp: eqn.reset_n(tt, yy, pp, root_idx)
+        else:
+            reset = eqn.reset
         root = eqn.root
 
         # time partials via jvp in t (reference NonLinearOpTimePartial)

@@ -35,9 +35,15 @@ diffsol-c JIT tests):
   linear in the dudt labels), ``F_i`` (rhs), ``out_i``, ``stop_i`` (root
   functions), ``reset_i``; ``t`` is available in every expression.
 
-Not supported (reference-parity gaps raised as errors at build time): the
-reset counter built-in ``N`` (diffsol-c logistic_time_reset_jit.rs) and
-multi-model ``set_model_index``.
+The model-index built-in ``N`` (reference diffsl.rs `set_model_index`;
+diffsol-c ode_solver_type.rs:66 sets it to the index of the root that
+fired before each reset, logistic_time_reset_jit.rs) is supported as a
+HIDDEN TRAILING STATE: models referencing ``N`` gain one extra state
+(dy/dt = 0, mass diag 1, init 0) holding the current index; the bridge
+emits an index-aware ``reset_n`` the drivers call with the fired root's
+index.  The functional equivalent of `set_model_index(m)` mid-trajectory
+is setting that trailing state; `N` selects between sub-models exactly as
+in the reference's multi-model test (``F_i { r_i[N] * y }``).
 """
 
 from __future__ import annotations
@@ -334,14 +340,25 @@ class _Parser:
             if self.peek()[1] == "[":
                 self.next()
                 k1, a = self.next()
-                if k1 != "num":
-                    raise DiffslError(f"expected integer in slice, got {a!r}")
-                self.expect(":")
-                k2, b = self.next()
-                if k2 != "num":
-                    raise DiffslError(f"expected integer in slice, got {b!r}")
-                self.expect("]")
-                slc = (int(a), int(b))
+                if k1 == "num" and self.peek()[1] == ":":
+                    self.next()
+                    k2, b = self.next()
+                    if k2 != "num":
+                        raise DiffslError(
+                            f"expected integer in slice, got {b!r}"
+                        )
+                    self.expect("]")
+                    slc = ("slice", int(a), int(b))
+                elif k1 == "num":
+                    self.expect("]")
+                    slc = ("index", Num(float(a)))
+                elif k1 == "name":
+                    # dynamic index by an identifier (the model-index
+                    # built-in: r_i[N])
+                    self.expect("]")
+                    slc = ("index", Ref(*_split_subscript(a)))
+                else:
+                    raise DiffslError(f"bad subscript {a!r} in []")
             return Ref(base, idx, slc)
         raise DiffslError(f"unexpected token {v!r} in expression")
 
@@ -359,6 +376,8 @@ def parse(src: str) -> list:
 def _refs(node, out):
     if isinstance(node, Ref):
         out.add(node.name)
+        if node.slc is not None and node.slc[0] == "index":
+            _refs(node.slc[1], out)  # dynamic index: r_i[N]
     elif isinstance(node, Call):
         for a in node.args:
             _refs(a, out)
@@ -474,13 +493,29 @@ class _Eval:
                     raise DiffslError(
                         f"slice on rank-{rank} tensor {node.name!r}"
                     )
-                a, b = node.slc
-                if not 0 <= a <= b <= int(arr.shape[0]):
-                    raise DiffslError(
-                        f"slice [{a}:{b}] out of range for {node.name!r} "
-                        f"(length {int(arr.shape[0])})"
+                if node.slc[0] == "slice":
+                    _tag, a, b = node.slc
+                    if not 0 <= a <= b <= int(arr.shape[0]):
+                        raise DiffslError(
+                            f"slice [{a}:{b}] out of range for "
+                            f"{node.name!r} (length {int(arr.shape[0])})"
+                        )
+                    arr = arr[a:b]
+                else:  # dynamic element index: r_i[N]
+                    iv, ils = self.eval(node.slc[1], top=False)
+                    if ils:
+                        raise DiffslError(
+                            f"index into {node.name!r} must be a scalar"
+                        )
+                    if self.xp is np:
+                        return xp.asarray(arr[int(iv)]), ""
+                    import jax.numpy as _jnp
+
+                    idx32 = _jnp.clip(
+                        _jnp.asarray(iv).astype(_jnp.int32), 0,
+                        arr.shape[0] - 1,
                     )
-                arr = arr[a:b]
+                    return _jnp.take(arr, idx32), ""
             for c, size in zip(node.idx, arr.shape):
                 if self.dims.setdefault(c, size) != size:
                     raise DiffslError(
@@ -706,6 +741,9 @@ class DiffslModel:
     has_reset: bool
     state_dep: set = field(default_factory=set)  # transitively state-dep
     constants: dict = field(default_factory=dict)
+    # model references the `N` built-in: the model index rides as a hidden
+    # trailing state (nstates reports the DSL count; callables carry +1)
+    uses_n: bool = False
 
     # ---- serialization (reference solve_serialization.rs role) ----
     def serialize(self) -> str:
@@ -742,6 +780,10 @@ class DiffslModel:
         state_segs = self.state_segments
         dudt_segs = self.dudt_segments
         n = self.nstates
+        # `N` rides as a hidden trailing state (dy/dt = 0, mass diag 1),
+        # updated to the fired root's index by the index-aware reset
+        uses_n = self.uses_n
+        n_full = n + 1 if uses_n else n
         consts = {
             k: (jnp.asarray(v[0], dtype), v[1])
             for k, v in self.constants.items()
@@ -778,10 +820,14 @@ class DiffslModel:
             return env
 
         def bind_state(env, y):
-            env["u"] = (y, 1)
+            base = y[:n]
+            env["u"] = (base, 1)
+            if uses_n:
+                env["N"] = (y[n], 0)
             for name, start, ln in state_segs:
                 env[name] = (
-                    (y[start], 0) if ln == 1 else (y[start:start + ln], 1)
+                    (base[start], 0) if ln == 1
+                    else (base[start:start + ln], 1)
                 )
             return env
 
@@ -796,27 +842,38 @@ class DiffslModel:
             td = by_name["u"]
             ev = _Eval(jnp, env, {}, td.idx or "i", dtype)
             arr, _ = _eval_vector(td, ev)
-            return arr.reshape((n,))
+            arr = arr.reshape((n,))
+            if uses_n:
+                arr = jnp.concatenate([arr, jnp.zeros((1,), arr.dtype)])
+            return arr
 
         def rhs(t, y, p):
-            env = bind_state(base_env(t, p), y.reshape((n,)))
+            yf = y.reshape((n_full,))
+            env = bind_state(base_env(t, p), yf)
             env = eval_intermediates(env)
-            return eval_special("F", env).reshape(y.shape)
+            f = eval_special("F", env).reshape((n,))
+            if uses_n:
+                f = jnp.concatenate([f, jnp.zeros((1,), f.dtype)])
+            return f.reshape(y.shape)
 
         callables = {"rhs": rhs, "init": init}
 
         if self.has_mass:
             def mass_action(t, p, v):
+                vf = v.reshape((n_full,))
+                vb = vf[:n]
                 env = base_env(t, p)
-                v = v.reshape((n,))
-                env["dudt"] = (v, 1)
+                env["dudt"] = (vb, 1)
                 for name, start, ln in dudt_segs:
                     env[name] = (
-                        (v[start], 0) if ln == 1
-                        else (v[start:start + ln], 1)
+                        (vb[start], 0) if ln == 1
+                        else (vb[start:start + ln], 1)
                     )
                 env = eval_intermediates(env, skip_state_deps=True)
-                return eval_special("M", env)
+                m = eval_special("M", env)
+                if uses_n:  # hidden index row is differential: M v = v
+                    m = jnp.concatenate([m, vf[n:]])
+                return m
 
             def mass(t, p):
                 import jax
@@ -824,13 +881,13 @@ class DiffslModel:
                 # M_i is linear in dudt: the matrix is its exact jacobian
                 return jax.jacfwd(
                     lambda v: mass_action(t, p, v)
-                )(jnp.zeros((n,), dtype))
+                )(jnp.zeros((n_full,), dtype))
 
             callables["mass"] = mass
 
         def make_state_fn(tdname):
             def f(t, y, p):
-                env = bind_state(base_env(t, p), y.reshape((n,)))
+                env = bind_state(base_env(t, p), y.reshape((n_full,)))
                 env = eval_intermediates(env)
                 return eval_special(tdname, env)
 
@@ -841,7 +898,30 @@ class DiffslModel:
         if self.has_out:
             callables["out"] = make_state_fn("out")
         if self.has_reset:
-            callables["reset"] = make_state_fn("reset")
+            if uses_n:
+                plain = make_state_fn("reset")
+
+                def reset(t, y, p):
+                    # evaluated with the CURRENT hidden index (used only by
+                    # API consumers; drivers apply reset_n at events)
+                    yf = y.reshape((n_full,))
+                    return jnp.concatenate([plain(t, y, p), yf[n:]])
+
+                def reset_n(t, y, p, k):
+                    # reference protocol: N <- index of the fired root,
+                    # THEN the reset applies (ode_solver_type.rs:66)
+                    yf = y.reshape((n_full,))
+                    kf = jnp.asarray(k, yf.dtype).reshape((1,))
+                    env = bind_state(base_env(t, p), yf)
+                    env["N"] = (kf[0], 0)
+                    env = eval_intermediates(env)
+                    vals = eval_special("reset", env)
+                    return jnp.concatenate([vals, kf])
+
+                callables["reset"] = reset
+                callables["reset_n"] = reset_n
+            else:
+                callables["reset"] = make_state_fn("reset")
 
         return callables
 
@@ -859,12 +939,13 @@ def compile_diffsl(source: str) -> DiffslModel:
     if "u" not in by_name or "F" not in by_name:
         raise DiffslError("a DiffSL model needs `u` (states) and `F` (rhs)")
 
-    # reject the unsupported reset counter built-in
-    if "reset" in by_name and "N" in _tensor_refs(by_name["reset"]):
-        if "N" not in by_name:
-            raise DiffslError(
-                "the reset counter built-in `N` is not supported"
-            )
+    # the model-index built-in `N` (reference diffsl.rs set_model_index +
+    # diffsol-c ode_solver_type.rs:66: N is set to the index of the root
+    # that fired, before the reset applies): carried as a HIDDEN trailing
+    # state (dy/dt = 0) updated by the index-aware reset
+    uses_n = any(
+        "N" in _tensor_refs(td) for td in defs if "N" not in by_name
+    )
 
     # ---- in_i: parameter labels + defaults ----
     param_labels, defaults = [], []
@@ -887,7 +968,7 @@ def compile_diffsl(source: str) -> DiffslModel:
     if "dudt" in by_name:
         dudt_labels = {e.label for e in by_name["dudt"].entries if e.label}
     dynamic = (
-        {"t", "u", "dudt"}
+        {"t", "u", "dudt", "N"}
         | state_labels
         | dudt_labels
         | {pl[0] for pl in param_labels}
@@ -922,7 +1003,7 @@ def compile_diffsl(source: str) -> DiffslModel:
 
     # transitive state-dependency: tensors that (directly or through other
     # tensors) read u/dudt or their labels cannot be evaluated at init time
-    state_roots = {"u", "dudt"} | state_labels | dudt_labels
+    state_roots = {"u", "dudt", "N"} | state_labels | dudt_labels
     state_dep = set()
     for td in defs:
         if td.name in SPECIAL:
@@ -980,4 +1061,5 @@ def compile_diffsl(source: str) -> DiffslModel:
         has_reset="reset" in by_name,
         state_dep=state_dep,
         constants=constants,
+        uses_n=uses_n,
     )

@@ -82,7 +82,12 @@ def _apply_reset(solver, state, params):
     p = solver.problem
     y_minus, dy_minus = state.y, state.dy
     s_minus = getattr(state, "s", None)
-    y_new = p.eqn.reset(state.t, state.y, params)
+    if p.eqn.reset_n is not None:
+        # index-aware reset: N = the root that fired (reference
+        # set_model_index(root_idx) before apply_reset)
+        y_new = p.eqn.reset_n(state.t, state.y, params, state.root_idx)
+    else:
+        y_new = p.eqn.reset(state.t, state.y, params)
     state = state.replace(y=y_new, state_modified=jnp.asarray(True))
     if hasattr(solver, "reinit_after_reset"):
         state = solver.reinit_after_reset(state, params)

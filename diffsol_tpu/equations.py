@@ -42,6 +42,12 @@ class OdeEquations:
     root: Optional[Callable] = None  # g(t, y, p) -> (nroots,)
     out: Optional[Callable] = None  # g(t, y, p) -> (nout,)
     reset: Optional[Callable] = None  # R(t, y, p) -> (n,)
+    # Index-aware reset R(t, y, p, root_idx) -> (n,): the reference's
+    # model-index protocol (diffsol-c ode_solver_type.rs:66
+    # `set_model_index(root_idx)` before apply_reset; the DiffSL built-in
+    # ``N``).  When present, drivers apply THIS at events, passing the
+    # index of the root that fired.
+    reset_n: Optional[Callable] = None
     # Optional user-supplied Jacobian in the linear-solver tier's matrix
     # representation; default is dense jax.jacfwd of rhs w.r.t. y.
     rhs_jac: Optional[Callable] = None  # (t, y, p) -> jac representation
@@ -139,6 +145,7 @@ class OdeEquations:
                 self.root,
                 self.out,
                 self.reset,
+                self.reset_n,
                 self.rhs_jac,
                 self.mass_mul_fn,
                 self.mass_diag_fn,
@@ -162,6 +169,7 @@ def make_equations(
     reset: Optional[Callable] = None,
     rhs_jac: Optional[Callable] = None,
     mass_diag: Optional[Callable] = None,
+    reset_n: Optional[Callable] = None,
 ) -> OdeEquations:
     """Build an :class:`OdeEquations`, inferring dimensions with eval_shape."""
     params = jnp.asarray(params)
@@ -185,6 +193,7 @@ def make_equations(
         root=root,
         out=out,
         reset=reset,
+        reset_n=reset_n,
         rhs_jac=rhs_jac,
         mass_diag_fn=mass_diag,
         nstates=nstates,

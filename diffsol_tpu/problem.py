@@ -182,6 +182,7 @@ class OdeBuilder:
         self._root = None
         self._out = None
         self._reset = None
+        self._reset_n = None  # index-aware reset (DiffSL N protocol)
         self._p = jnp.zeros((0,))
         self._t0 = 0.0
         self._h0 = 0.0  # 0 => use heuristic
@@ -342,6 +343,7 @@ class OdeBuilder:
         self._root = fns.get("root", self._root)
         self._out = fns.get("out", self._out)
         self._reset = fns.get("reset", self._reset)
+        self._reset_n = fns.get("reset_n", self._reset_n)
         if self._p is None or self._p.size == 0:
             self._p = jnp.asarray(
                 model.default_params, dtype=jnp.result_type(float)
@@ -392,6 +394,7 @@ class OdeBuilder:
         rhs_f, init_f = self._rhs, self._init
         mass_f, root_f = self._mass, self._root
         out_f, reset_f = self._out, self._reset
+        reset_n_f = self._reset_n
         rhs_jac_f = self._rhs_jac
         linear_solver = self._linear_solver
         if self._dtype is not None:
@@ -408,6 +411,7 @@ class OdeBuilder:
             root_f = _c(root_f)
             out_f = _c(out_f)
             reset_f = _c(reset_f)
+            reset_n_f = _c(reset_n_f)
             rhs_jac_f = _c(rhs_jac_f)
         if linear_solver == "krylov":
             from .ops.krylov import make_krylov_jac, make_krylov_solver
@@ -517,6 +521,7 @@ class OdeBuilder:
             reset=reset_f,
             rhs_jac=rhs_jac_f,
             mass_diag=mass_diag_f,
+            reset_n=reset_n_f,
         )
         dtype = self._dtype or jnp.result_type(float)
         atol = jnp.asarray(self._atol, dtype)

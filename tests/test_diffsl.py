@@ -248,11 +248,13 @@ def test_errors():
     with pytest.raises(DiffslError, match="undefined"):
         p = OdeBuilder().build_from_diffsl("u { 1.0 }\nF { -q * u }")
         p.eqn.rhs(0.0, jnp.ones(1), p.params)
-    with pytest.raises(DiffslError, match="reset counter"):
-        compile_diffsl(
-            "in_i { r = 1 }\nu_i { y = 0.1 }\nF_i { r * y }\n"
-            "stop_i { t - 0.5 }\nreset_i { 0.1 + 0.5 * N }"
-        )
+    # N is now SUPPORTED (hidden model-index state); a model using it
+    # compiles and flags uses_n (see test_model_index_builtin_N)
+    m = compile_diffsl(
+        "in_i { r = 1 }\nu_i { y = 0.1 }\nF_i { r * y }\n"
+        "stop_i { t - 0.5 }\nreset_i { 0.1 + 0.5 * N }"
+    )
+    assert m.uses_n
 
 
 def test_spm_battery_model_from_reference():
@@ -618,3 +620,64 @@ def test_pybamm_dfn_from_reference():
     v = np.asarray(sol.gs)[:, 0]
     assert np.all(v < 4.1) and np.all(v > 3.1), v
     assert v[-1] < v[0]  # discharging
+
+
+def test_model_index_builtin_N():
+    """The `N` model-index built-in (reference diffsl multi-model test,
+    diffsl.rs:2030-2080 `F_i { r_i[N] * y }`, and the diffsol-c reset
+    protocol: N <- fired root index before each reset,
+    ode_solver_type.rs:66 + logistic_time_reset_jit.rs)."""
+    src = """
+        in_i { r = 1 }
+        u_i { y = 0.1 }
+        dudt_i { dydt = 0 }
+        F_i { r * y * (1.0 - y) }
+        stop_i { t - 0.5 }
+        reset_i { 0.1 + 0.5 * N }
+        out_i { y }
+    """
+    problem = OdeBuilder().rtol(1e-8).atol(1e-10).build_from_diffsl(src)
+    assert problem.eqn.reset_n is not None
+    # hidden trailing state: n = 1 DSL state + the index
+    assert problem.eqn.nstates == 2
+
+    def logistic_state(y0, r, t):
+        e = np.exp(r * t)
+        return y0 * e / (1.0 - y0 + y0 * e)
+
+    # reference expected values (logistic_time_reset_jit.rs
+    # time_reset_state): reset at t=0.5 applies y <- 0.1 + 0.5*N with
+    # N = 0 (the single stop root's index)
+    t_eval = jnp.asarray([0.25, 0.5, 0.75, 1.0])
+    sol = solve_dense(BdfSolver(problem), t_eval, max_steps=4000)
+    assert int(sol.stop_reason) >= 0
+    ys = np.asarray(sol.ys)[:, 0]
+    expect = [
+        logistic_state(0.1, 1.0, 0.25),
+        logistic_state(0.1, 1.0, 0.5),
+        logistic_state(0.1, 1.0, 0.25),   # restarted from 0.1 at t=0.5
+        logistic_state(0.1, 1.0, 0.5),
+    ]
+    np.testing.assert_allclose(ys, expect, rtol=1e-6)
+
+    # multi-model selection via N (reference diffsl.rs:2030-2080):
+    # F = r_i[N] * y picks sub-model N
+    src2 = """
+        r_i { 1, 2, 4 }
+        u_i { y = 0.1 }
+        reset_i { y }
+        stop_i { y - 0.5 }
+        F_i { r_i[N] * y }
+    """
+    import pytest
+
+    from diffsol_tpu.diffsl import compile_diffsl
+
+    model = compile_diffsl(src2)
+    assert model.uses_n
+    fns = model.make_callables()
+    p = jnp.zeros((0,))
+    for m, rate in ((0, 1.0), (1, 2.0), (2, 4.0)):
+        y = jnp.asarray([0.1, float(m)])  # trailing state = model index
+        f = fns["rhs"](jnp.asarray(0.0), y, p)
+        np.testing.assert_allclose(float(f[0]), rate * 0.1, rtol=1e-12)
