@@ -461,6 +461,7 @@ def make_differentiable_quadrature_ensemble(
     max_steps: int = 16_384,
     bwd_solver_cls=None,
     bwd_max_steps: Optional[int] = None,
+    checkpoint_interval: Optional[int] = None,
 ):
     """Return ``g_of(params_b) -> (B, nout)``: per-member quadrature outputs
     G_b = int u(t, y_b, p_b) dt, reverse-differentiable through the batched
@@ -481,28 +482,56 @@ def make_differentiable_quadrature_ensemble(
     solver = solver_cls(lp)
     n = problem.eqn.nstates
 
-    @jax.custom_vjp
-    def g_of(params_b):
-        _ys, g, _table, _ev, _st = forward_with_table(
-            solver, t_eval, params_b, max_steps
-        )
-        return g.T  # (B, nout)
+    if checkpoint_interval is None:
+        @jax.custom_vjp
+        def g_of(params_b):
+            _ys, g, _table, _ev, _st = forward_with_table(
+                solver, t_eval, params_b, max_steps
+            )
+            return g.T  # (B, nout)
 
-    def fwd(params_b):
-        _ys, g, table, _ev, _st = forward_with_table(
-            solver, t_eval, params_b, max_steps
-        )
-        return g.T, (params_b, table)
+        def fwd(params_b):
+            _ys, g, table, _ev, _st = forward_with_table(
+                solver, t_eval, params_b, max_steps
+            )
+            return g.T, (params_b, table)
 
-    def bwd(res, ct_g):
-        params_b, table = res
-        B = params_b.shape[0]
-        zeros_ct = jnp.zeros((1, n, B), problem.atol.dtype)
-        grad_b = backward_pass_lockstep(
-            problem, lp, bwd_solver_cls, table, t_eval, zeros_ct, params_b,
-            bwd_max_steps, ct_g=ct_g.T,
-        )
-        return (grad_b,)
+        def bwd(res, ct_g):
+            params_b, table = res
+            B = params_b.shape[0]
+            zeros_ct = jnp.zeros((1, n, B), problem.atol.dtype)
+            grad_b = backward_pass_lockstep(
+                problem, lp, bwd_solver_cls, table, t_eval, zeros_ct,
+                params_b, bwd_max_steps, ct_g=ct_g.T,
+            )
+            return (grad_b,)
+    else:
+        from .adjoint import forward_with_checkpoints
+
+        K = int(checkpoint_interval)
+
+        @jax.custom_vjp
+        def g_of(params_b):
+            _ys, g, _ck, _ev, _st = forward_with_checkpoints(
+                solver, t_eval, params_b, max_steps, K
+            )
+            return g.T
+
+        def fwd(params_b):
+            _ys, g, ckpts, _ev, _st = forward_with_checkpoints(
+                solver, t_eval, params_b, max_steps, K
+            )
+            return g.T, (params_b, ckpts)
+
+        def bwd(res, ct_g):
+            params_b, ckpts = res
+            B = params_b.shape[0]
+            zeros_ct = jnp.zeros((1, n, B), problem.atol.dtype)
+            grad_b = backward_pass_bounded_lockstep(
+                problem, lp, bwd_solver_cls, solver, ckpts, t_eval,
+                zeros_ct, params_b, bwd_max_steps, K, ct_g=ct_g.T,
+            )
+            return (grad_b,)
 
     g_of.defvjp(fwd, bwd)
     return g_of

@@ -252,6 +252,45 @@ int main(void) {
               strcmp(namebuf, "xla") == 0,
           "jit backend is xla");
 
+    /* ---- time-reset model with the N built-in (reference
+     * diffsol-c/tests/logistic_time_reset_jit.rs): a stop at t = 0.5
+     * resets y to 0.1 + 0.5*N with N = the fired root's index (0).
+     * The hidden model-index state appears as one extra state column. */
+    static const char *TIME_RESET =
+        "in_i { r = 1 }\n"
+        "u_i { y = 0.1 }\n"
+        "dudt_i { dydt = 0 }\n"
+        "F_i { r * y * (1.0 - y) }\n"
+        "stop_i { t - 0.5 }\n"
+        "reset_i { 0.1 + 0.5 * N }\n"
+        "out_i { y }\n";
+    int64_t tr = diffsol_ode_new_jit(TIME_RESET);
+    CHECK(tr > 0, "new_jit(time_reset)");
+    CHECK(diffsol_ode_set_rtol(tr, 1e-8) == 0, "tr rtol");
+    CHECK(diffsol_ode_set_atol(tr, 1e-10) == 0, "tr atol");
+    int64_t ntr = 0;
+    CHECK(diffsol_ode_nstates(tr, &ntr) == 0 && ntr == 2,
+          "time-reset nstates (1 + hidden index)");
+    double tr_eval[4] = {0.25, 0.5, 0.75, 1.0};
+    double tr_ys[8];
+    CHECK(diffsol_ode_solve_dense(tr, tr_eval, 4, 4000, tr_ys, &stop) == 0,
+          "time-reset solve");
+    CHECK(stop >= 0, "time-reset stop ok");
+    {
+        /* reference time_reset_state: logistic from 0.1, restarted from
+         * 0.1 + 0.5*0 at t = 0.5 */
+        double expect[4];
+        double ts_rel[4] = {0.25, 0.5, 0.25, 0.5};
+        for (int i = 0; i < 4; ++i) {
+            double e = exp(1.0 * ts_rel[i]);
+            expect[i] = 0.1 * e / (1.0 - 0.1 + 0.1 * e);
+        }
+        for (int i = 0; i < 4; ++i)
+            CHECK(fabs(tr_ys[2 * i] - expect[i]) < 1e-6,
+                  "time-reset trajectory point");
+    }
+    diffsol_ode_free(tr);
+
     /* ---- error paths ---- */
     CHECK(diffsol_ode_new_jit("not a model {") == 0, "bad model rejected");
     CHECK(strlen(diffsol_last_error_message()) > 0, "error message set");

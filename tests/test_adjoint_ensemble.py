@@ -181,3 +181,31 @@ def test_lockstep_bounded_memory_grad():
     np.testing.assert_allclose(
         np.asarray(g_b), np.asarray(g_d), rtol=2e-4, atol=1e-10
     )
+
+
+def test_lockstep_bounded_quadrature_grad():
+    """checkpoint_interval on the ensemble QUADRATURE adjoint (bounded
+    segment re-solve + the u_y^T forcing)."""
+    import dataclasses
+
+    problem = dataclasses.replace(
+        logistic.problem(rtol=1e-8, atol=1e-10), integrate_out=True
+    )
+    B = 3
+    pb = _member_params(problem.params, B)
+    t_final = 2.0
+
+    dense = make_differentiable_quadrature_ensemble(
+        problem, t_final, B, max_steps=4096
+    )
+    bounded = make_differentiable_quadrature_ensemble(
+        problem, t_final, B, max_steps=4096, checkpoint_interval=16
+    )
+    np.testing.assert_allclose(
+        np.asarray(bounded(pb)), np.asarray(dense(pb)), rtol=1e-10
+    )
+    g_d = jax.grad(lambda p: jnp.sum(dense(p)))(pb)
+    g_b = jax.grad(lambda p: jnp.sum(bounded(p)))(pb)
+    np.testing.assert_allclose(
+        np.asarray(g_b), np.asarray(g_d), rtol=2e-4, atol=1e-10
+    )
