@@ -624,8 +624,8 @@ def _make_jump(problem):
     return jump
 
 
-def _make_event_correction(problem, events, params, ct_g, out_fn):
-    """Reset-event adjoint boundary correction: (lam, gp, slot) -> (lam, gp).
+def _event_correction_core(eqn, dtype, out_fn, with_ct_g: bool):
+    """Per-member reset-event adjoint boundary correction.
 
     lambda- = R_y^T lambda+ - alpha r_{y,k}^T,
     gp += R_p^T lambda+ - alpha r_{p,k}^T,
@@ -633,29 +633,24 @@ def _make_event_correction(problem, events, params, ct_g, out_fn):
     c = R_y f- + R_t - f+, d = (r_y f- + r_t)_k
     (reference adjoint.rs:106-148 + state.rs:560-692
     apply_reset_with_adjoint).
+
+    All operands are explicit single-member arrays so the lockstep-ensemble
+    path (:mod:`diffsol_tpu.adjoint_ensemble`) can ``vmap`` this over the
+    member axis -- the single-instance path binds them from the recorded
+    events dict in :func:`_make_event_correction`.
     """
-    eqn = problem.eqn
-    dtype = problem.atol.dtype
 
-    def correct(lam, gp_rows, slot):
-        t_star = events["t"][slot]
-        y_m = events["y_minus"][slot]
-        dy_m = events["dy_minus"][slot]
-        y_p = events["y_plus"][slot]
-        dy_p = events["dy_plus"][slot]
-        k = events["idx"][slot]
-
+    def correct1(lam, gp_rows, t_star, y_m, dy_m, y_p, dy_p, k, params,
+                 ct_g_m):
         if eqn.reset_n is not None:
             reset_f = lambda yy: eqn.reset_n(t_star, yy, params, k)
-        else:
-            reset_f = lambda yy: eqn.reset(t_star, yy, params)
-        root_f = lambda yy: eqn.root(t_star, yy, params)
-        if eqn.reset_n is not None:
             reset_t = lambda tt: eqn.reset_n(tt, y_m, params, k)
             reset_p = lambda pp: eqn.reset_n(t_star, y_m, pp, k)
         else:
+            reset_f = lambda yy: eqn.reset(t_star, yy, params)
             reset_t = lambda tt: eqn.reset(tt, y_m, params)
             reset_p = lambda pp: eqn.reset(t_star, y_m, pp)
+        root_f = lambda yy: eqn.root(t_star, yy, params)
         R_t = jax.jvp(
             reset_t, (t_star,),
             (jnp.ones_like(t_star),),
@@ -668,10 +663,10 @@ def _make_event_correction(problem, events, params, ct_g, out_fn):
         c_dir = jax.jvp(reset_f, (y_m,), (dy_m,))[1] + R_t - dy_p
         d = (jax.jvp(root_f, (y_m,), (dy_m,))[1] + r_t)[k]
         alpha_num = jnp.sum(lam * c_dir)
-        if ct_g is not None:
+        if with_ct_g:
             u_m = out_fn(t_star, y_m, params)
             u_p = out_fn(t_star, y_p, params)
-            alpha_num = alpha_num + jnp.sum((u_m - u_p) * ct_g)
+            alpha_num = alpha_num + jnp.sum((u_m - u_p) * ct_g_m)
         alpha = alpha_num / d
         nroots = eqn.nroots
         e_k = jnp.zeros((nroots,), dtype).at[k].set(alpha)
@@ -681,6 +676,28 @@ def _make_event_correction(problem, events, params, ct_g, out_fn):
         _, vjp_rp = jax.vjp(lambda pp: eqn.root(t_star, y_m, pp), params)
         gp_new = gp_rows + vjp_Rp(lam)[0] - vjp_rp(e_k)[0]
         return lam_new, gp_new
+
+    return correct1
+
+
+def _make_event_correction(problem, events, params, ct_g, out_fn):
+    """Reset-event adjoint boundary correction: (lam, gp, slot) -> (lam, gp).
+
+    Single-instance binding of :func:`_event_correction_core` to the
+    recorded events dict (see there for the formulas + reference citation).
+    """
+    core = _event_correction_core(
+        problem.eqn, problem.atol.dtype, out_fn, ct_g is not None
+    )
+
+    def correct(lam, gp_rows, slot):
+        return core(
+            lam, gp_rows,
+            events["t"][slot],
+            events["y_minus"][slot], events["dy_minus"][slot],
+            events["y_plus"][slot], events["dy_plus"][slot],
+            events["idx"][slot], params, ct_g,
+        )
 
     return correct
 

@@ -40,6 +40,8 @@ import jax.numpy as jnp
 
 from .adjoint import (
     MAX_EVENTS,
+    _boundary_schedule,
+    _event_correction_core,
     _init_correction,
     _integrate_to,
     _make_jump,
@@ -196,13 +198,54 @@ def _adjoint_problem_lockstep(base_problem: OdeProblem,
     )
 
 
+def _make_event_correction_lockstep(base_problem, events, params_b, ct_g,
+                                    out_fn):
+    """Batched reset-event boundary correction: (lam, gp, slot) -> (lam, gp).
+
+    The member-wise :func:`diffsol_tpu.adjoint._event_correction_core`
+    vmapped over the member lanes.  Lockstep root semantics guarantee ONE
+    shared event time t* and root index k per event (ensemble.py batched
+    root protocol), so only the states/params/cotangents carry the member
+    axis: lam/gp/y-/dy-/y+/dy+ map over axis 1 (lanes), params and ct_g
+    over axis 0 (member rows).  Reference: apply_reset_with_adjoint over
+    the nbatch context, adjoint.rs:106-148.
+    """
+    core = _event_correction_core(
+        base_problem.eqn, base_problem.atol.dtype, out_fn, ct_g is not None
+    )
+    B = params_b.shape[0]
+    dtype = base_problem.atol.dtype
+    ct_b = jnp.zeros((B, 0), dtype) if ct_g is None else ct_g.T  # (B, nout)
+
+    def correct(lam, gp_rows, slot):
+        t_star = events["t"][slot]
+        k = events["idx"][slot]
+
+        def member(lam1, gp1, y_m, dy_m, y_p, dy_p, p, cg):
+            return core(lam1, gp1, t_star, y_m, dy_m, y_p, dy_p, k, p, cg)
+
+        return jax.vmap(
+            member, in_axes=(1, 1, 1, 1, 1, 1, 0, 0), out_axes=(1, 1)
+        )(
+            lam, gp_rows,
+            events["y_minus"][slot], events["dy_minus"][slot],
+            events["y_plus"][slot], events["dy_plus"][slot],
+            params_b, ct_b,
+        )
+
+    return correct
+
+
 def backward_pass_lockstep(base_problem, lockstep_problem, solver_cls, table,
-                           t_eval, ct_ys, params_b, max_steps, ct_g=None):
-    """Batched adjoint backward pass over all output times.
+                           events, t_eval, ct_ys, params_b, max_steps,
+                           ct_g=None):
+    """Batched adjoint backward pass over all output times and reset events.
 
     ``ct_ys``: (neval, n, B) internal batch-last cotangents; ``ct_g``:
-    optional (nout, B) quadrature cotangent.  Returns per-member gradients
-    (B, nparams).
+    optional (nout, B) quadrature cotangent.  ``events`` is the recorded
+    reset-event dict from the lockstep forward pass (member axes on
+    y/dy fields, ONE shared time/index per event).  Returns per-member
+    gradients (B, nparams).
     """
     eqn = base_problem.eqn
     n = eqn.nstates
@@ -211,6 +254,7 @@ def backward_pass_lockstep(base_problem, lockstep_problem, solver_cls, table,
     neval = t_eval.shape[0]
     t_top = t_eval[-1]
     t0 = base_problem.t0
+    has_events = eqn.reset is not None and eqn.root is not None
 
     adj_problem = _adjoint_problem_lockstep(
         base_problem, lockstep_problem, t_top, table, ct_g=ct_g
@@ -222,7 +266,13 @@ def backward_pass_lockstep(base_problem, lockstep_problem, solver_cls, table,
     # lam (n,B) / gp (np,B) / v (n,B) / x (n,B) map over axis 1 (the member
     # lanes); params over axis 0 (member rows)
     jump_b = jax.vmap(jump1, in_axes=(1, 1, 1, None, 1, 0), out_axes=(1, 1))
+    out_fn = eqn.out if eqn.out is not None else (lambda tt, yy, pp: yy)
+    correct_b = _make_event_correction_lockstep(
+        base_problem, events, params_b, ct_g, out_fn
+    )
     reinit = _make_reinit(solver, adj_problem)
+    bt, btype, bslot, order = _boundary_schedule(t_eval, events, dtype)
+    max_ev = events["t"].shape[0]
     sigma_end = t_top - t0
 
     def apply_output_jump(state, slot):
@@ -234,14 +284,34 @@ def backward_pass_lockstep(base_problem, lockstep_problem, solver_cls, table,
             state.replace(y=jnp.concatenate([lam, gp_rows])), params_b
         )
 
-    def seg_body(i, state):
-        slot = neval - 1 - i
-        state = _integrate_to(
-            solver, state, t_top - t_eval[slot], params_b, max_steps
+    def apply_event_correction(state, slot):
+        lam, gp_rows = state.y[:n], state.y[n:]
+        lam_new, gp_new = correct_b(lam, gp_rows, slot)
+        return reinit(
+            state.replace(y=jnp.concatenate([lam_new, gp_new])), params_b
         )
-        return apply_output_jump(state, slot)
 
-    state = jax.lax.fori_loop(0, neval, seg_body, state)
+    def seg_body(i, state):
+        j = order[i]
+        t_b = bt[j]
+        valid = jnp.isfinite(t_b)
+
+        def process(state):
+            state = _integrate_to(
+                solver, state, t_top - t_b, params_b, max_steps
+            )
+            if has_events:
+                return jax.lax.cond(
+                    btype[j] == 0,
+                    lambda s: apply_output_jump(s, bslot[j]),
+                    lambda s: apply_event_correction(s, bslot[j]),
+                    state,
+                )
+            return apply_output_jump(state, bslot[j])
+
+        return jax.lax.cond(valid, process, lambda s: s, state)
+
+    state = jax.lax.fori_loop(0, neval + max_ev, seg_body, state)
     state = _integrate_to(solver, state, sigma_end, params_b, max_steps)
     lam0, gp = state.y[:n], state.y[n:]
     corr = jax.vmap(
@@ -252,14 +322,17 @@ def backward_pass_lockstep(base_problem, lockstep_problem, solver_cls, table,
 
 
 def backward_pass_bounded_lockstep(base_problem, lockstep_problem,
-                                   solver_cls, fwd_solver, ckpts, t_eval,
-                                   ct_ys, params_b, max_steps, interval,
-                                   ct_g=None):
+                                   solver_cls, fwd_solver, ckpts, events,
+                                   t_eval, ct_ys, params_b, max_steps,
+                                   interval, ct_g=None):
     """Bounded-memory batched backward pass (the lockstep lift of
     adjoint.backward_pass_bounded): walk the sparse full-state checkpoints
     top-down, re-solve each segment with the LOCKSTEP forward solver to
     rebuild its (R, n, B) Hermite table, and ride each member's table
-    slice into the adjoint solver inside its params row."""
+    slice into the adjoint solver inside its params row.  Reset events are
+    re-found by the segment re-solve (double table knots) and their
+    boundary corrections fire inside the segment that contains them,
+    exactly as in the single-instance bounded pass."""
     from .adjoint import _record_segment
 
     eqn = base_problem.eqn
@@ -272,8 +345,10 @@ def backward_pass_bounded_lockstep(base_problem, lockstep_problem,
     B = params_b.shape[0]
     ck_ts, ck_states, n_ck = ckpts
     n_slots = ck_ts.shape[0]
+    has_events = eqn.reset is not None and eqn.root is not None
+    max_ev = events["t"].shape[0]
     seg_steps = interval + 4  # margin for the tstop-truncated last step
-    R = seg_steps + 1
+    R = seg_steps + 2 * max_ev + 1
 
     adj_problem = _adjoint_problem_lockstep(
         base_problem, lockstep_problem, t_top, None, ct_g=ct_g,
@@ -283,13 +358,18 @@ def backward_pass_bounded_lockstep(base_problem, lockstep_problem,
 
     jump1 = _make_jump(base_problem)
     jump_b = jax.vmap(jump1, in_axes=(1, 1, 1, None, 1, 0), out_axes=(1, 1))
+    out_fn = eqn.out if eqn.out is not None else (lambda tt, yy, pp: yy)
+    correct_b = _make_event_correction_lockstep(
+        base_problem, events, params_b, ct_g, out_fn
+    )
     reinit = _make_reinit(solver, adj_problem)
+    bt, btype, bslot, order = _boundary_schedule(t_eval, events, dtype)
 
     def seg_params(s):
         st = jax.tree_util.tree_map(lambda b: b[s], ck_states)
         t_end = ck_ts[s + 1]
         ts_l, ys_l, dys_l = _record_segment(
-            fwd_solver, st, t_end, params_b, seg_steps, max_events=0
+            fwd_solver, st, t_end, params_b, seg_steps, max_events=max_ev
         )  # ts (R,), ys/dys (R, n, B)
         pa = jnp.concatenate(
             [
@@ -312,6 +392,13 @@ def backward_pass_bounded_lockstep(base_problem, lockstep_problem,
         lam, gp_rows = jump_b(lam, gp_rows, ct_ys[slot], t, x, params_b)
         return reinit(state.replace(y=jnp.concatenate([lam, gp_rows])), pa)
 
+    def apply_event_correction(state, slot, pa):
+        lam, gp_rows = state.y[:n], state.y[n:]
+        lam_new, gp_new = correct_b(lam, gp_rows, slot)
+        return reinit(
+            state.replace(y=jnp.concatenate([lam_new, gp_new])), pa
+        )
+
     def seg_body(i, state):
         s = n_slots - 2 - i
         valid = (s >= 0) & (s <= n_ck - 2)
@@ -324,19 +411,30 @@ def backward_pass_bounded_lockstep(base_problem, lockstep_problem,
             lower = jnp.where(is_bot, -jnp.inf, ck_ts[s])
 
             def bnd_body(jj, state):
-                slot = neval - 1 - jj
-                t_b = t_eval[slot]
-                inside = (t_b > lower) & (t_b <= upper)
+                j = order[jj]
+                t_b = bt[j]
+                inside = jnp.isfinite(t_b) & (t_b > lower) & (t_b <= upper)
 
                 def apply(state):
                     state = _integrate_to(
                         solver, state, t_top - t_b, pa, max_steps
                     )
-                    return apply_output_jump(state, slot, pa, tab)
+                    if has_events:
+                        return jax.lax.cond(
+                            btype[j] == 0,
+                            lambda st: apply_output_jump(
+                                st, bslot[j], pa, tab
+                            ),
+                            lambda st: apply_event_correction(
+                                st, bslot[j], pa
+                            ),
+                            state,
+                        )
+                    return apply_output_jump(state, bslot[j], pa, tab)
 
                 return jax.lax.cond(inside, apply, lambda st: st, state)
 
-            state = jax.lax.fori_loop(0, neval, bnd_body, state)
+            state = jax.lax.fori_loop(0, neval + max_ev, bnd_body, state)
             return _integrate_to(
                 solver, state, t_top - ck_ts[s], pa, max_steps
             )
@@ -409,17 +507,17 @@ def make_differentiable_solve_ensemble(
             return jnp.moveaxis(ys, -1, 1)  # (neval, B, n)
 
         def fwd(params_b):
-            ys, _g, table, _ev, _st = forward_with_table(
+            ys, _g, table, ev, _st = forward_with_table(
                 solver, t_eval, params_b, max_steps
             )
-            return jnp.moveaxis(ys, -1, 1), (params_b, table)
+            return jnp.moveaxis(ys, -1, 1), (params_b, table, ev)
 
         def bwd(res, ct):
-            params_b, table = res
+            params_b, table, ev = res
             ct_int = jnp.moveaxis(ct, 1, -1)  # (neval, n, B)
             grad_b = backward_pass_lockstep(
-                problem, lp, bwd_solver_cls, table, t_eval, ct_int, params_b,
-                bwd_max_steps,
+                problem, lp, bwd_solver_cls, table, ev, t_eval, ct_int,
+                params_b, bwd_max_steps,
             )
             return (grad_b,)
     else:
@@ -435,17 +533,17 @@ def make_differentiable_solve_ensemble(
             return jnp.moveaxis(ys, -1, 1)
 
         def fwd(params_b):
-            ys, _g, ckpts, _ev, _st = forward_with_checkpoints(
+            ys, _g, ckpts, ev, _st = forward_with_checkpoints(
                 solver, t_eval, params_b, max_steps, K
             )
-            return jnp.moveaxis(ys, -1, 1), (params_b, ckpts)
+            return jnp.moveaxis(ys, -1, 1), (params_b, ckpts, ev)
 
         def bwd(res, ct):
-            params_b, ckpts = res
+            params_b, ckpts, ev = res
             ct_int = jnp.moveaxis(ct, 1, -1)
             grad_b = backward_pass_bounded_lockstep(
-                problem, lp, bwd_solver_cls, solver, ckpts, t_eval, ct_int,
-                params_b, bwd_max_steps, K,
+                problem, lp, bwd_solver_cls, solver, ckpts, ev, t_eval,
+                ct_int, params_b, bwd_max_steps, K,
             )
             return (grad_b,)
 
@@ -491,17 +589,17 @@ def make_differentiable_quadrature_ensemble(
             return g.T  # (B, nout)
 
         def fwd(params_b):
-            _ys, g, table, _ev, _st = forward_with_table(
+            _ys, g, table, ev, _st = forward_with_table(
                 solver, t_eval, params_b, max_steps
             )
-            return g.T, (params_b, table)
+            return g.T, (params_b, table, ev)
 
         def bwd(res, ct_g):
-            params_b, table = res
+            params_b, table, ev = res
             B = params_b.shape[0]
             zeros_ct = jnp.zeros((1, n, B), problem.atol.dtype)
             grad_b = backward_pass_lockstep(
-                problem, lp, bwd_solver_cls, table, t_eval, zeros_ct,
+                problem, lp, bwd_solver_cls, table, ev, t_eval, zeros_ct,
                 params_b, bwd_max_steps, ct_g=ct_g.T,
             )
             return (grad_b,)
@@ -518,17 +616,17 @@ def make_differentiable_quadrature_ensemble(
             return g.T
 
         def fwd(params_b):
-            _ys, g, ckpts, _ev, _st = forward_with_checkpoints(
+            _ys, g, ckpts, ev, _st = forward_with_checkpoints(
                 solver, t_eval, params_b, max_steps, K
             )
-            return g.T, (params_b, ckpts)
+            return g.T, (params_b, ckpts, ev)
 
         def bwd(res, ct_g):
-            params_b, ckpts = res
+            params_b, ckpts, ev = res
             B = params_b.shape[0]
             zeros_ct = jnp.zeros((1, n, B), problem.atol.dtype)
             grad_b = backward_pass_bounded_lockstep(
-                problem, lp, bwd_solver_cls, solver, ckpts, t_eval,
+                problem, lp, bwd_solver_cls, solver, ckpts, ev, t_eval,
                 zeros_ct, params_b, bwd_max_steps, K, ct_g=ct_g.T,
             )
             return (grad_b,)

@@ -110,6 +110,7 @@ def make_lockstep_problem(problem: OdeProblem, nbatch: int) -> OdeProblem:
     n = eqn.nstates
     nout = eqn.nout
     banded = problem.linear_solver.name.startswith("banded")
+    blockdiag = problem.linear_solver.name.startswith("blockdiag")
 
     def over_members(f):
         # member function (t, (n,), (np,)) -> vectorized (t, (n,B), (B,np))
@@ -128,14 +129,21 @@ def make_lockstep_problem(problem: OdeProblem, nbatch: int) -> OdeProblem:
     else:
         per_member_jac = lambda t, y, p: jax.jacfwd(eqn.rhs, argnums=1)(t, y, p)
 
-    def b_jac(t, Y, pb):
-        # batch-last: (nbands, n, B) band arrays or (n, n, B) dense blocks
-        return jax.vmap(per_member_jac, in_axes=(None, 1, 0), out_axes=2)(
-            t, Y, pb
-        )
+    if blockdiag:
+        # fuse the block axis and the member axis: (nb, nb, K*B) batch-last
+        from .ops.blockdiag import make_blockdiag_jac_lockstep
 
-    if hasattr(per_member_jac, "jvp_probes"):
-        b_jac.jvp_probes = per_member_jac.jvp_probes
+        nb_, K_ = problem.linear_solver.meta[:2]
+        b_jac = make_blockdiag_jac_lockstep(per_member_jac, nb_, K_)
+    else:
+        def b_jac(t, Y, pb):
+            # batch-last: (nbands, n, B) band arrays or (n, n, B) dense blocks
+            return jax.vmap(per_member_jac, in_axes=(None, 1, 0), out_axes=2)(
+                t, Y, pb
+            )
+
+        if hasattr(per_member_jac, "jvp_probes"):
+            b_jac.jvp_probes = per_member_jac.jvp_probes
 
     b_mass = None
     mass_mul_fn = None
@@ -175,9 +183,16 @@ def make_lockstep_problem(problem: OdeProblem, nbatch: int) -> OdeProblem:
     sens_atol_b = (
         None if problem.sens_atol is None else jnp.asarray(problem.sens_atol)[:, None]
     )
-    spec = (
-        problem.linear_solver if banded else _lockstep_dense_spec(nbatch, n)
-    )
+    if banded:
+        # band kernels accept batch-LAST (nbands, n, B) arrays natively
+        spec = problem.linear_solver
+    elif blockdiag:
+        from .ops.blockdiag import make_blockdiag_solver_lockstep
+
+        nb_, K_, perm = problem.linear_solver.meta[:3]
+        spec = make_blockdiag_solver_lockstep(perm, nb_, K_, n, nbatch)
+    else:
+        spec = _lockstep_dense_spec(nbatch, n)
     return dataclasses.replace(
         problem,
         eqn=new_eqn,

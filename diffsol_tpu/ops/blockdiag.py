@@ -164,5 +164,95 @@ def make_blockdiag_solver(perm, nb: int, K: int, n: int) -> LinearSolverSpec:
         factor=factor,
         solve=solve,
         placeholder_factors=placeholder,
-        meta=(nb, K),
+        meta=(nb, K, np.asarray(perm)),
+    )
+
+
+def make_blockdiag_jac_lockstep(jac1, nb: int, K: int):
+    """Lift a single-member blockdiag Jacobian (nb, nb, K) to the lockstep
+    fused-batch layout (nb, nb, K*B): the block axis and the member axis
+    are ONE batch-last axis, so a B-member ensemble of K-block problems
+    factors as K*B independent tiny LUs on the 128-wide lanes -- the
+    configuration where the TPU wins (reference per-batch CUDA LU over the
+    nbatch context, cuda/lu.rs:69-96, with the robertson_ode duplicated-
+    groups layout)."""
+
+    def jac(t, Y, pb):
+        j = jax.vmap(jac1, in_axes=(None, 1, 0), out_axes=3)(t, Y, pb)
+        return j.reshape(j.shape[0], j.shape[1], -1)  # (nb, nb, K*B)
+
+    if hasattr(jac1, "jvp_probes"):
+        jac.jvp_probes = jac1.jvp_probes
+    return jac
+
+
+def make_blockdiag_solver_lockstep(perm, nb: int, K: int, n: int,
+                                   B: int) -> LinearSolverSpec:
+    """Batch-last blockdiag LU over the FUSED (K*B,) block-member axis.
+
+    Operands: Jacobian (nb, nb, K*B) from :func:`make_blockdiag_jac_lockstep`,
+    RHS (n, B) lockstep state, mass either None, DiagMass with (n, B)
+    diagonal, or a dense (n, n, B) stack."""
+    perm_np = np.asarray(perm)
+    valid = perm_np >= 0
+    perm_c = np.where(valid, perm_np, 0)
+    gather_idx = jnp.asarray(perm_c.reshape(K, nb).T)  # (nb, K)
+    vmask = jnp.asarray(valid.reshape(K, nb).T)  # (nb, K)
+    scatter_idx = jnp.asarray(perm_c[valid])
+    take_pos = jnp.asarray(np.flatnonzero(valid))
+
+    def assemble(mass, jac, c):
+        from .linsol import DiagMass
+
+        a = -c * jac  # (nb, nb, K*B)
+        if mass is None:
+            a = a + jnp.eye(nb, dtype=jac.dtype)[:, :, None]
+        elif isinstance(mass, DiagMass):
+            # d (n, B) -> block diag (nb, K, B) -> fused (nb, K*B)
+            db = mass.d[gather_idx] * vmask[:, :, None]
+            db = db.reshape(nb, K * B)
+            a = a + jnp.eye(nb, dtype=jac.dtype)[:, :, None] * db[:, None, :]
+        else:
+            # mass (n, n, B): gather block entries per member
+            ii = gather_idx[:, None, :]  # (nb, 1, K)
+            jj = gather_idx[None, :, :]  # (1, nb, K)
+            mb = mass[ii, jj]  # (nb, nb, K, B)
+            pad = ~(vmask[:, None, :] & vmask[None, :, :])  # (nb, nb, K)
+            pad_f = jnp.broadcast_to(
+                pad[:, :, :, None], (nb, nb, K, B)
+            ).reshape(nb, nb, K * B)
+            mb = jnp.where(pad[..., None], 0.0, mb).reshape(nb, nb, K * B)
+            a = jnp.where(pad_f, 0.0, a) + mb
+        diag_pad = (
+            (~vmask)[:, None, :, None] * jnp.eye(nb, dtype=jac.dtype)[:, :, None, None]
+        )
+        return a + jnp.broadcast_to(diag_pad, (nb, nb, K, B)).reshape(
+            nb, nb, K * B
+        )
+
+    def factor(a):
+        return smalllu.lu_factor_batch_last(a)
+
+    def solve(factors, b):
+        if b.ndim == 3:  # augmented rows (naug, n, B)
+            return jax.vmap(lambda v: solve(factors, v))(b)
+        bb = b[gather_idx] * vmask[:, :, None]  # (nb, K, B)
+        x = smalllu.lu_solve_batch_last(factors, bb.reshape(nb, K * B))
+        x = x.reshape(nb, K, B)
+        flat = jnp.swapaxes(x, 0, 1).reshape(K * nb, B)[take_pos]  # (nv, B)
+        return jnp.zeros_like(b).at[scatter_idx].set(flat)
+
+    def placeholder(_n, dtype):
+        eye = jnp.broadcast_to(
+            jnp.eye(nb, dtype=dtype)[:, :, None], (nb, nb, K * B)
+        )
+        return smalllu.lu_factor_batch_last(eye)
+
+    return LinearSolverSpec(
+        name=f"blockdiag_lockstep({nb},{K},{B})",
+        assemble=assemble,
+        factor=factor,
+        solve=solve,
+        placeholder_factors=placeholder,
+        meta=(nb, K, np.asarray(perm), B),
     )

@@ -209,3 +209,108 @@ def test_lockstep_bounded_quadrature_grad():
     np.testing.assert_allclose(
         np.asarray(g_b), np.asarray(g_d), rtol=2e-4, atol=1e-10
     )
+
+
+# ---------------------------------------------------------------------------
+# reset-event corrections in the lockstep backward pass (round-4 fix: the
+# forward pass records events, the backward pass must apply the batched
+# boundary corrections -- previously it integrated straight through the
+# discontinuities and returned wrong gradients with no error)
+# ---------------------------------------------------------------------------
+
+
+def _time_reset_problem(rtol=1e-8, atol=1e-10):
+    """Decay with a TIME-triggered reset: root at t = 2 (independent of y
+    and params), reset y -> p[1].  The shared event time makes lockstep
+    semantics exactly equal independent semantics for heterogeneous
+    members, so per-member gradients must agree to solver tolerance."""
+    from diffsol_tpu.problem import OdeBuilder
+
+    return (
+        OdeBuilder()
+        .rhs(lambda t, y, p: -p[0] * y)
+        .init(lambda t, p: jnp.full((2,), 1.0))
+        .root(lambda t, y, p: jnp.array([t - 2.0]))
+        .reset(lambda t, y, p: jnp.full_like(y, p[1]))
+        .p([0.1, 0.7])
+        .rtol(rtol)
+        .atol(atol)
+        .build()
+    )
+
+
+def test_lockstep_reset_grad_matches_independent():
+    """Lockstep ensemble gradients THROUGH a reset event match the
+    (FD-validated) single-instance adjoint per member -- incl. the
+    reset-target parameter p[1], whose gradient was silently zero before
+    the event corrections were threaded into the lockstep backward pass."""
+    problem = _time_reset_problem()
+    t_eval = jnp.asarray([1.0, 3.0, 4.0])
+    B = 4
+    pb = _member_params(problem.params, B, spread=0.15)
+
+    ys_of = make_differentiable_solve_ensemble(
+        problem, t_eval, B, max_steps=4096
+    )
+    grad_b = jax.grad(lambda p: jnp.sum(ys_of(p) ** 2))(pb)
+
+    one = make_differentiable_solve(problem, t_eval, max_steps=4096)
+    for b in range(B):
+        g1 = jax.grad(lambda p: jnp.sum(one(p) ** 2))(pb[b])
+        np.testing.assert_allclose(
+            np.asarray(grad_b[b]), np.asarray(g1), rtol=1e-4, atol=1e-10
+        )
+    # the reset-target gradient must be nonzero (two eval points after the
+    # event see p[1] directly)
+    assert np.all(np.abs(np.asarray(grad_b[:, 1])) > 1e-3)
+
+
+def test_lockstep_reset_grad_state_root():
+    """STATE-dependent root (y[0] = 0.6) + reset, identical member rows:
+    every member's lockstep gradient equals the single-instance adjoint
+    gradient (itself validated vs central finite differences in
+    test_adjoint.py) -- exercises the alpha event-time terms batched."""
+    from diffsol_tpu.models.exponential_decay import problem_with_reset
+
+    prr = problem_with_reset()
+    t_eval = jnp.asarray([2.0, 6.0, 10.0])
+    B = 3
+    pb = jnp.broadcast_to(prr.params, (B,) + prr.params.shape)
+
+    ys_of = make_differentiable_solve_ensemble(
+        prr, t_eval, B, max_steps=4096
+    )
+    grad_b = jax.grad(lambda p: jnp.sum(ys_of(p) ** 2))(pb)
+
+    one = make_differentiable_solve(prr, t_eval, max_steps=4096)
+    g1 = jax.grad(lambda p: jnp.sum(one(p) ** 2))(prr.params)
+    for b in range(B):
+        np.testing.assert_allclose(
+            np.asarray(grad_b[b]), np.asarray(g1), rtol=1e-5, atol=1e-12
+        )
+
+
+def test_lockstep_reset_grad_bounded_memory():
+    """Bounded-memory lockstep adjoint through a reset event: the segment
+    re-solve re-finds the event (max_events threaded, previously 0) and the
+    correction fires inside its segment -- gradients match the dense-table
+    lockstep pass."""
+    problem = _time_reset_problem()
+    t_eval = jnp.asarray([1.0, 3.0, 4.0])
+    B = 3
+    pb = _member_params(problem.params, B, spread=0.15)
+
+    dense = make_differentiable_solve_ensemble(
+        problem, t_eval, B, max_steps=4096
+    )
+    bounded = make_differentiable_solve_ensemble(
+        problem, t_eval, B, max_steps=4096, checkpoint_interval=16
+    )
+    np.testing.assert_allclose(
+        np.asarray(bounded(pb)), np.asarray(dense(pb)), rtol=1e-10
+    )
+    g_d = jax.grad(lambda p: jnp.sum(dense(p) ** 2))(pb)
+    g_b = jax.grad(lambda p: jnp.sum(bounded(p) ** 2))(pb)
+    np.testing.assert_allclose(
+        np.asarray(g_b), np.asarray(g_d), rtol=2e-4, atol=1e-10
+    )

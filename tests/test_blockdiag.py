@@ -124,3 +124,37 @@ def test_blockdiag_uneven_components_padded():
     np.testing.assert_allclose(
         np.asarray(sol_b.ys), np.asarray(sol_d.ys), rtol=1e-6, atol=1e-10
     )
+
+
+def test_blockdiag_lockstep_ensemble():
+    """Blockdiag composes with lockstep ensembles: the block axis K and the
+    member axis B fuse into ONE (nb, nb, K*B) batch-last LU stack -- the
+    configuration where the TPU tier wins (reference robertson_ode
+    duplicated-groups layout under the nbatch context, cuda/lu.rs:69-96).
+    Member-wise results match independent single-instance solves."""
+    from diffsol_tpu.drivers import solve_dense
+    from diffsol_tpu.ensemble import solve_dense_ensemble
+    from diffsol_tpu.solvers.bdf import BdfSolver
+
+    problem = robertson.problem_ode_groups(5)
+    assert problem.linear_solver.name == "blockdiag(3,5)"
+    B = 4
+    base = np.asarray(problem.params, dtype=np.float64)
+    f = 1.0 + 0.05 * np.linspace(-1.0, 1.0, B)[:, None]
+    pb = jnp.asarray(base[None, :] * f)
+    t_eval = jnp.asarray([1.0, 100.0, 1e4])
+
+    sol = solve_dense_ensemble(
+        BdfSolver, problem, t_eval, pb, mode="lockstep", max_steps=20_000
+    )
+    assert sol.ys.shape == (3, B, 15)
+
+    solver = BdfSolver(problem)
+    for b in range(B):
+        one = solve_dense(
+            solver, t_eval, params=pb[b], max_steps=20_000
+        )
+        np.testing.assert_allclose(
+            np.asarray(sol.ys[:, b, :]), np.asarray(one.ys),
+            rtol=2e-3, atol=1e-10,
+        )
