@@ -498,12 +498,22 @@ class OdeBuilder:
             import numpy as np
 
             p_arr0 = jnp.asarray(self._p, dtype=jnp.result_type(float))
-            m_probe = np.asarray(mass_f(jnp.asarray(self._t0), p_arr0))
-            if (
-                m_probe.ndim == 2
-                and np.count_nonzero(
-                    m_probe - np.diag(np.diag(m_probe))
+            # probe at several time points AND perturbed params: a time- or
+            # parameter-dependent mass whose off-diagonals merely vanish at
+            # (t0, p) must not be silently treated as diagonal
+            t0f = float(np.asarray(self._t0))
+            probes = [
+                (t0f, p_arr0),
+                (t0f + 1.0, p_arr0),
+                (t0f + 0.5, p_arr0 * 1.25 + 0.125),
+            ]
+            def _diag_only(m):
+                return m.ndim == 2 and np.count_nonzero(
+                    m - np.diag(np.diag(m))
                 ) == 0
+            if all(
+                _diag_only(np.asarray(mass_f(jnp.asarray(tp), pp)))
+                for tp, pp in probes
             ):
                 _mf = mass_f
 

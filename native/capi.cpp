@@ -17,6 +17,7 @@
 #include <cstdlib>
 #include <cstring>
 #include <map>
+#include <mutex>
 #include <string>
 #include <vector>
 
@@ -585,6 +586,11 @@ struct DiffsolHostArray {
     int64_t dims[4];
 };
 
+/* Unlike the solve entry points (whose Python calls serialize on the GIL),
+ * these registry globals are plain C++ state: concurrent
+ * diffsol_ode_solve_dense_array / diffsol_host_array_* calls from multiple
+ * threads would race on the map without their own lock. */
+static std::mutex g_arrays_mu;
 static std::map<int64_t, DiffsolHostArray> g_arrays;
 static int64_t g_next_array = 1;
 
@@ -605,17 +611,20 @@ extern "C" int64_t diffsol_ode_solve_dense_array(int64_t ode,
     arr.dims[1] = nst;
     arr.data = (double *)malloc(ys.size() * sizeof(double));
     memcpy(arr.data, ys.data(), ys.size() * sizeof(double));
+    std::lock_guard<std::mutex> lock(g_arrays_mu);
     int64_t h = g_next_array++;
     g_arrays[h] = arr;
     return h;
 }
 
 extern "C" int64_t diffsol_host_array_ndim(int64_t arr) {
+    std::lock_guard<std::mutex> lock(g_arrays_mu);
     auto it = g_arrays.find(arr);
     return it == g_arrays.end() ? -1 : it->second.ndim;
 }
 
 extern "C" int64_t diffsol_host_array_dim(int64_t arr, int64_t i) {
+    std::lock_guard<std::mutex> lock(g_arrays_mu);
     auto it = g_arrays.find(arr);
     if (it == g_arrays.end() || i < 0 || i >= it->second.ndim) return -1;
     return it->second.dims[i];
@@ -623,6 +632,7 @@ extern "C" int64_t diffsol_host_array_dim(int64_t arr, int64_t i) {
 
 extern "C" int64_t diffsol_host_array_stride(int64_t arr, int64_t i) {
     /* row-major contiguous: stride[i] = prod(dims[i+1:]) elements */
+    std::lock_guard<std::mutex> lock(g_arrays_mu);
     auto it = g_arrays.find(arr);
     if (it == g_arrays.end() || i < 0 || i >= it->second.ndim) return -1;
     int64_t s = 1;
@@ -631,15 +641,18 @@ extern "C" int64_t diffsol_host_array_stride(int64_t arr, int64_t i) {
 }
 
 extern "C" int diffsol_host_array_dtype(int64_t arr) {
+    std::lock_guard<std::mutex> lock(g_arrays_mu);
     return g_arrays.count(arr) ? 1 /* f64 */ : -1;
 }
 
 extern "C" double *diffsol_host_array_ptr(int64_t arr) {
+    std::lock_guard<std::mutex> lock(g_arrays_mu);
     auto it = g_arrays.find(arr);
     return it == g_arrays.end() ? nullptr : it->second.data;
 }
 
 extern "C" void diffsol_host_array_free(int64_t arr) {
+    std::lock_guard<std::mutex> lock(g_arrays_mu);
     auto it = g_arrays.find(arr);
     if (it != g_arrays.end()) {
         free(it->second.data);
