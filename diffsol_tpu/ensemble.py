@@ -101,16 +101,11 @@ def make_lockstep_problem(problem: OdeProblem, nbatch: int) -> OdeProblem:
     typed failure (errors.ROOT_BATCH_INCONSISTENT; the reference panics) --
     use the independent (vmap) mode for event-heterogeneous ensembles."""
     eqn = problem.eqn
-    if problem.linear_solver.name.startswith("krylov"):
-        raise ValueError(
-            "the matrix-free krylov tier is single-instance; lift the "
-            "problem with a dense/banded/blockdiag linear solver for "
-            "lockstep ensembles (or use independent vmap mode)"
-        )
     n = eqn.nstates
     nout = eqn.nout
     banded = problem.linear_solver.name.startswith("banded")
     blockdiag = problem.linear_solver.name.startswith("blockdiag")
+    krylov = problem.linear_solver.name.startswith("krylov")
 
     def over_members(f):
         # member function (t, (n,), (np,)) -> vectorized (t, (n,B), (B,np))
@@ -124,12 +119,23 @@ def make_lockstep_problem(problem: OdeProblem, nbatch: int) -> OdeProblem:
     def b_init(t, pb):
         return jax.vmap(eqn.init, in_axes=(None, 0), out_axes=1)(t, pb)  # (n, B)
 
-    if eqn.rhs_jac is not None:
+    if krylov:
+        # matrix-free tier: the Jacobian "representation" stays the frozen
+        # linearization point, now batch-last ((n,B) state, (B,np) params)
+        per_member_jac = None
+
+        def b_jac(t, Y, pb):
+            return (t, Y, pb)
+
+        b_jac.jvp_probes = 0
+    elif eqn.rhs_jac is not None:
         per_member_jac = eqn.rhs_jac
     else:
         per_member_jac = lambda t, y, p: jax.jacfwd(eqn.rhs, argnums=1)(t, y, p)
 
-    if blockdiag:
+    if krylov:
+        pass
+    elif blockdiag:
         # fuse the block axis and the member axis: (nb, nb, K*B) batch-last
         from .ops.blockdiag import make_blockdiag_jac_lockstep
 
@@ -191,6 +197,24 @@ def make_lockstep_problem(problem: OdeProblem, nbatch: int) -> OdeProblem:
 
         nb_, K_, perm = problem.linear_solver.meta[:3]
         spec = make_blockdiag_solver_lockstep(perm, nb_, K_, n, nbatch)
+    elif krylov:
+        from .ops.krylov import make_krylov_solver_lockstep
+
+        gmres_tol, restart, maxiter, precond = problem.linear_solver.meta[:4]
+        member_jac_fn = (
+            problem.linear_solver.meta[4]
+            if len(problem.linear_solver.meta) > 4
+            else None
+        )
+        spec = make_krylov_solver_lockstep(
+            b_rhs,
+            nbatch,
+            gmres_tol=gmres_tol,
+            restart=restart,
+            maxiter=maxiter,
+            precond="none" if precond == "none" else "lu32",
+            member_jac_fn=member_jac_fn,
+        )
     else:
         spec = _lockstep_dense_spec(nbatch, n)
     return dataclasses.replace(

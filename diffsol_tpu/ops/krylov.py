@@ -112,6 +112,7 @@ def make_krylov_solver(
     restart: int = 30,
     maxiter: int = 10,
     precond: str = "lu32",
+    jac_fn=None,
 ) -> LinearSolverSpec:
     """Matrix-free GMRES tier over ``rhs(t, y, p)``.
 
@@ -130,6 +131,15 @@ def make_krylov_solver(
       for diffusion-dominated operators; wider structure aliases into the
       probes and can weaken it badly.
     * ``"none"``: unpreconditioned.
+
+    ``jac_fn`` (optional): a ``(t, y, p) -> (n, n)`` dense-Jacobian
+    extractor used by the ``lu32`` preconditioner instead of the default
+    n-column ``jax.jacfwd`` -- the builder passes the colored-probe
+    extractor (ops/coloring.py) when sparsity was detected, cutting the
+    preconditioner assembly from n JVP columns to ncolors probes (the
+    program-size lever that lets ~1000-state DAE programs fit the TPU
+    backend; reference role: KLU's symbolic analysis reuse,
+    suitesparse/klu.rs:60-120).
     """
     if precond not in ("lu32", "tridiag", "none"):
         raise ValueError(f"unknown preconditioner {precond!r}")
@@ -155,9 +165,12 @@ def make_krylov_solver(
         if precond == "none":
             pre = None
         elif precond == "lu32":
-            jac32 = jax.jacfwd(lambda yy: rhs(t, yy, p))(y).astype(
-                jnp.float32
-            )
+            if jac_fn is not None:
+                jac32 = jac_fn(t, y, p).astype(jnp.float32)
+            else:
+                jac32 = jax.jacfwd(lambda yy: rhs(t, yy, p))(y).astype(
+                    jnp.float32
+                )
             n = y.shape[-1]
             if mass is None:
                 m32 = jnp.eye(n, dtype=jnp.float32)
@@ -208,7 +221,120 @@ def make_krylov_solver(
         factor=factor,
         solve=solve,
         placeholder_factors=placeholder,
-        meta=(gmres_tol, restart, maxiter, precond),
+        # jac_fn rides along so make_lockstep_problem can rebuild the
+        # colored-probe preconditioner batch-last when lifting the tier
+        meta=(gmres_tol, restart, maxiter, precond, jac_fn),
+    )
+
+
+def make_krylov_solver_lockstep(
+    rhs_b,
+    nbatch: int,
+    *,
+    gmres_tol: float = 1e-6,
+    restart: int = 30,
+    maxiter: int = 10,
+    precond: str = "lu32",
+    member_jac_fn=None,
+) -> LinearSolverSpec:
+    """Lockstep (n, B) lift of the matrix-free krylov tier (reference role:
+    per-batch factorization under the nbatch context,
+    crates/diffsol-la/src/linear_solver/cuda/lu.rs:69-96).
+
+    ``rhs_b`` is the BATCHED rhs ``(t, (n,B), (B,np)) -> (n,B)``.  One
+    GMRES iteration runs over the whole (n*B) block system: the member
+    blocks are independent, so the joint Krylov space converges like the
+    worst member -- exactly the lockstep contract (the error-norm max
+    already couples members' step sizes).  The lu32 preconditioner
+    factorizes PER MEMBER: ``member_jac_fn`` (a per-member dense extractor,
+    e.g. colored probes) is vmapped batch-last and fed to a batched f32
+    ``lu_factor`` on (B, n, n).
+    """
+    if precond not in ("lu32", "none"):
+        raise ValueError(
+            f"lockstep krylov supports lu32/none preconditioning, got "
+            f"{precond!r}"
+        )
+    import jax.scipy.linalg as jsl
+
+    def assemble(mass, jac, c):
+        t, Y, Pb = jac  # frozen point, batch-last state
+        return (mass, t, Y, Pb, jnp.asarray(c))
+
+    def _mass_mul(mass, v):
+        if mass is None:
+            return v
+        if isinstance(mass, DiagMass):
+            return v * mass.d  # (n, B) diagonal values
+        # dense lockstep mass (n, n, B)
+        return jnp.einsum("ijb,jb->ib", mass, v)
+
+    def _op(mass, t, Y, Pb, c, v):
+        jv = jax.jvp(lambda yy: rhs_b(t, yy, Pb), (Y,), (v,))[1]
+        return _mass_mul(mass, v) - c * jv
+
+    def factor(a):
+        mass, t, Y, Pb, c = a
+        if precond == "none":
+            return (mass, t, Y, Pb, c, None)
+        n = Y.shape[0]
+        if member_jac_fn is not None:
+            jac_bl = jax.vmap(
+                member_jac_fn, in_axes=(None, 1, 0), out_axes=2
+            )(t, Y, Pb)  # (n, n, B)
+        else:
+            # n column probes of the batched operator (columns broadcast
+            # over the member lanes); block-diagonal structure makes each
+            # probe exactly one member-Jacobian column
+            basis = jnp.eye(n, dtype=Y.dtype)
+
+            def col(e):
+                v = jnp.broadcast_to(e[:, None], Y.shape)
+                return jax.jvp(lambda yy: rhs_b(t, yy, Pb), (Y,), (v,))[1]
+
+            jac_bl = jnp.moveaxis(jax.vmap(col)(basis), 0, 1)  # (n, n, B)
+        jac32 = jnp.moveaxis(jac_bl, 2, 0).astype(jnp.float32)  # (B, n, n)
+        if mass is None:
+            m32 = jnp.broadcast_to(
+                jnp.eye(n, dtype=jnp.float32), jac32.shape
+            )
+        elif isinstance(mass, DiagMass):
+            dvals = jnp.moveaxis(mass.d, 1, 0).astype(jnp.float32)  # (B, n)
+            m32 = dvals[:, :, None] * jnp.eye(n, dtype=jnp.float32)
+        else:
+            m32 = jnp.moveaxis(mass, 2, 0).astype(jnp.float32)
+        pre = jsl.lu_factor(m32 - c.astype(jnp.float32) * jac32)
+        return (mass, t, Y, Pb, c, pre)
+
+    def solve(factors, b):
+        mass, t, Y, Pb, c, pre = factors
+        if b.ndim == 3:  # augmented rows (naug, n, B)
+            return jax.vmap(lambda v: solve(factors, v))(b)
+        op = functools.partial(_op, mass, t, Y, Pb, c)
+        if pre is None:
+            M = None
+        else:
+            def M(v):
+                vb = jnp.moveaxis(v, 1, 0).astype(jnp.float32)  # (B, n)
+                xb = jsl.lu_solve(pre, vb[..., None])[..., 0]
+                return jnp.moveaxis(xb, 0, 1).astype(b.dtype)
+
+        x, _info = jax.scipy.sparse.linalg.gmres(
+            op, b, tol=gmres_tol, atol=0.0, restart=restart,
+            maxiter=maxiter, M=M, solve_method="batched",
+        )
+        return x
+
+    def placeholder(n, dtype):
+        raise NotImplementedError("krylov tier has no placeholder factors")
+
+    return LinearSolverSpec(
+        name=f"krylov_lockstep({precond})",
+        assemble=assemble,
+        factor=factor,
+        solve=solve,
+        placeholder_factors=placeholder,
+        meta=(gmres_tol, restart, maxiter, precond, nbatch),
     )
 
 
@@ -231,10 +357,26 @@ def make_matfree_residual_solver(residual, gmres_tol: float = 1e-8,
     solver is matrix-free).  ``factorize(x)`` freezes the linearization
     point and builds the f32-LU preconditioner of the exact dF/dx;
     ``solve(factors, v)`` runs preconditioned GMRES on the f64 JVP
-    operator (mixed-precision iterative refinement)."""
+    operator (mixed-precision iterative refinement).
+
+    2-D lockstep states (n, nb): the member blocks are independent, so n
+    column probes (seeds broadcast over the lanes) recover the per-member
+    Jacobians exactly; the preconditioner becomes a batched (nb, n, n) f32
+    LU and GMRES runs over the joint (n*nb) block system."""
     import jax.scipy.linalg as jsl
 
     def factorize(x):
+        if x.ndim == 2:
+            n = x.shape[0]
+            basis = jnp.eye(n, dtype=x.dtype)
+
+            def col(e):
+                v = jnp.broadcast_to(e[:, None], x.shape)
+                return jax.jvp(residual, (x,), (v,))[1]  # (n, nb)
+
+            cols = jax.vmap(col)(basis)  # (col, row, nb)
+            jac32 = jnp.transpose(cols, (2, 1, 0)).astype(jnp.float32)
+            return (x, jsl.lu_factor(jac32))  # (nb, n, n)
         jac32 = jax.jacfwd(residual)(x).astype(jnp.float32)
         return (x, jsl.lu_factor(jac32))
 
@@ -244,13 +386,20 @@ def make_matfree_residual_solver(residual, gmres_tol: float = 1e-8,
         def op(w):
             return jax.jvp(residual, (x0,), (w,))[1]
 
+        if v.ndim == 2:
+            def M(w):
+                wb = jnp.moveaxis(w, 1, 0).astype(jnp.float32)  # (nb, n)
+                xb = jsl.lu_solve(pre, wb[..., None])[..., 0]
+                return jnp.moveaxis(xb, 0, 1).astype(v.dtype)
+        else:
+            def M(w):
+                return jsl.lu_solve(pre, w.astype(jnp.float32)).astype(
+                    v.dtype
+                )
+
         sol, _info = jax.scipy.sparse.linalg.gmres(
             op, v, tol=gmres_tol, atol=0.0, restart=restart,
-            maxiter=maxiter,
-            M=lambda w: jsl.lu_solve(pre, w.astype(jnp.float32)).astype(
-                v.dtype
-            ),
-            solve_method="batched",
+            maxiter=maxiter, M=M, solve_method="batched",
         )
         return sol
 

@@ -91,7 +91,10 @@ def test_krylov_handles_nondiagonal_coupling():
 
 def test_auto_route_large_unstructured_to_krylov():
     """use_coloring on a large pattern that is neither banded nor block
-    structured routes to the matrix-free tier."""
+    structured routes to the matrix-free tier ON TPU (where a dense f64
+    LU cannot compile); on the CPU suite backend the router keeps the
+    dense tier (LAPACK LU beats GMRES at this size) -- the krylov route
+    itself is exercised by requesting it explicitly."""
     n = 300
     rng = np.random.default_rng(2)
     C = jnp.asarray(rng.uniform(-0.01, 0.01, (n, n)))  # dense coupling
@@ -106,7 +109,25 @@ def test_auto_route_large_unstructured_to_krylov():
         .use_coloring()
         .build()
     )
-    assert problem.linear_solver.name.startswith("krylov")
+    import jax
+
+    expected = "krylov" if jax.default_backend() == "tpu" else "dense"
+    assert problem.linear_solver.name.startswith(expected), (
+        problem.linear_solver.name
+    )
+    if expected == "dense":
+        # the TPU-side route: same problem, krylov requested explicitly
+        problem = (
+            dt.OdeBuilder()
+            .rhs(lambda t, y, p: -p[0] * y + C @ y)
+            .init(lambda t, p: jnp.ones((n,)))
+            .p([1.0])
+            .rtol(1e-6)
+            .atol(1e-8)
+            .linear_solver("krylov")
+            .build()
+        )
+        assert problem.linear_solver.name.startswith("krylov")
     sol = dt.solve_dense(
         dt.BdfSolver(problem), jnp.asarray([0.5, 1.0]), max_steps=2000
     )
@@ -180,4 +201,83 @@ def test_krylov_forward_sensitivities():
     jac = jax.jacfwd(ys_plain)(ref_problem.params)  # (neval, n, np)
     np.testing.assert_allclose(
         np.asarray(sens[0]), np.asarray(jac[:, :, 0]), rtol=2e-3, atol=1e-7
+    )
+
+
+def test_krylov_lockstep_ensemble_matches_independent():
+    """Lockstep (n, B) lift of the krylov tier (reference role: per-batch
+    factorization under the nbatch context, cuda/lu.rs:69-96): a stiff
+    MOL diffusion ensemble with spread diffusivities solves through
+    batched GMRES + per-member f32-LU preconditioning and matches
+    per-member single-instance solves."""
+    from diffsol_tpu.ensemble import make_lockstep_problem
+    from diffsol_tpu.models import heat1d
+
+    ref_problem, _ = heat1d.make(mgrid=31)  # n = 32
+    kry = (
+        dt.OdeBuilder()
+        .rhs(ref_problem.eqn.rhs)
+        .init(ref_problem.eqn.init)
+        .p(np.asarray(ref_problem.params))
+        .rtol(1e-6)
+        .atol(1e-8)
+        .linear_solver("krylov")
+        .build()
+    )
+    nb = 4
+    lp = make_lockstep_problem(kry, nb)
+    assert lp.linear_solver.name == "krylov_lockstep(lu32)"
+    diffusivities = np.linspace(0.8, 1.2, nb)
+    params_b = jnp.asarray(diffusivities)[:, None]
+    t_eval = jnp.asarray([0.05, 0.1])
+    sol = dt.solve_dense(
+        dt.BdfSolver(lp), t_eval, params=params_b, max_steps=2000
+    )
+    assert int(sol.stop_reason) >= 0
+    ys = np.asarray(sol.ys)  # (neval, n, B)
+    for i, d in enumerate(diffusivities):
+        sol_1 = dt.solve_dense(
+            dt.BdfSolver(kry), t_eval, params=jnp.asarray([d]),
+            max_steps=2000,
+        )
+        np.testing.assert_allclose(
+            ys[:, :, i], np.asarray(sol_1.ys), rtol=1e-4, atol=1e-7
+        )
+
+
+def test_krylov_lockstep_dae_consistent_ic():
+    """Krylov lockstep over a singular-diagonal-mass DAE: the batched
+    matrix-free consistent-IC solve (per-member probe preconditioner)
+    engages and the trajectory matches the banded-tier lockstep solve."""
+    from diffsol_tpu.ensemble import make_lockstep_problem
+    from diffsol_tpu.models import heat2d
+
+    ref = heat2d.make(mgrid=8)  # n = 64, banded tier, diag mass
+    kry = (
+        dt.OdeBuilder()
+        .rhs(ref.eqn.rhs)
+        .init(ref.eqn.init)
+        .mass(ref.eqn.mass)
+        .p(np.asarray(ref.params))
+        .rtol(1e-5)
+        .atol(1e-5)
+        .linear_solver("krylov")
+        .build()
+    )
+    nb = 3
+    lp_k = make_lockstep_problem(kry, nb)
+    lp_b = make_lockstep_problem(ref, nb)
+    params_b = jnp.broadcast_to(kry.params, (nb,) + kry.params.shape)
+    t_eval = jnp.asarray([0.01, 0.1])
+    sol_k = dt.solve_dense(
+        dt.BdfSolver(lp_k), t_eval, params=params_b, max_steps=2000
+    )
+    assert int(sol_k.stop_reason) >= 0
+    sol_b = dt.solve_dense(
+        dt.BdfSolver(lp_b), t_eval,
+        params=jnp.broadcast_to(ref.params, (nb,) + ref.params.shape),
+        max_steps=2000,
+    )
+    np.testing.assert_allclose(
+        np.asarray(sol_k.ys), np.asarray(sol_b.ys), rtol=1e-3, atol=1e-6
     )
