@@ -115,13 +115,34 @@ def detect_sparsity(rhs, t0, y0, params, n: int):
     """
     rng = np.random.default_rng(0)
     y0_np = np.asarray(y0)
+    scale = np.maximum(np.abs(y0_np), 1.0)
+    # Probe set: y0 itself (always physical), a small RELATIVE
+    # perturbation (catches entries that merely vanish at y0 without
+    # leaving the model's physical region -- clamp/branch terms like the
+    # pybamm DFN's max(min(c, cmax), eps) go NaN/flat far from y0), and
+    # the generic absolute probe.  A probe whose Jacobian has non-finite
+    # entries is DISCARDED: one NaN row would light the whole pattern
+    # (NaN != 0) and silently destroy the compression.
+    candidates = [
+        y0_np,
+        y0_np * (1.0 + rng.uniform(-1e-3, 1e-3, size=y0_np.shape))
+        + 1e-6 * scale * rng.uniform(-1.0, 1.0, size=y0_np.shape),
+        y0_np + rng.uniform(0.5, 1.5, size=y0_np.shape),
+    ]
     pattern = np.zeros((n, n), dtype=bool)
-    for _ in range(2):
-        y_probe = jnp.asarray(
-            y0_np + rng.uniform(0.5, 1.5, size=y0_np.shape), y0.dtype
-        )
+    any_finite = False
+    for y_probe_np in candidates:
+        y_probe = jnp.asarray(y_probe_np, y0.dtype)
         jac = np.asarray(jax.jacfwd(rhs, argnums=1)(t0, y_probe, params))
+        if not np.all(np.isfinite(jac)):
+            continue
         pattern |= jac != 0.0
+        any_finite = True
+    if not any_finite:
+        # every probe produced non-finite entries: no structural
+        # information -- conservative dense pattern (coloring then
+        # degenerates to n colors, callers' ncolors guards reject it)
+        pattern[:] = True
     rows, cols = np.nonzero(pattern)
     return rows, cols
 

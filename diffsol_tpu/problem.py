@@ -17,6 +17,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Any, Callable, Optional
 
+import jax
 import jax.numpy as jnp
 
 from ._pytree import pytree_dataclass
@@ -356,6 +357,25 @@ class OdeBuilder:
                 f"model declares {len(model.default_params)} inputs (in_i) "
                 f"but .p(...) supplied {self._p.shape[-1]}"
             )
+        # The reference's DiffSL bridge always extracts sparsity and holds a
+        # JacobianColoring per operator (diffsl.rs:38-330).  Mirror that for
+        # large models: above the dense-LU-on-TPU limit the auto-router
+        # (blockdiag -> banded -> krylov) is the only deployable tier, so
+        # opt in automatically unless the user chose a solver explicitly.
+        if (
+            not self._use_coloring
+            and self._rhs_jac is None
+            and self._linear_solver is DENSE
+        ):
+            try:
+                p_probe = jnp.asarray(
+                    self._p, dtype=jnp.result_type(float)
+                )
+                y0 = self._init(jnp.asarray(self._t0), p_probe)
+                if int(y0.shape[-1]) >= 256:
+                    self._use_coloring = True
+            except Exception:
+                pass
         problem = self.build()
         object.__setattr__(problem, "diffsl_model", model)
         return problem
@@ -383,6 +403,31 @@ class OdeBuilder:
         """
         self._dtype = jnp.dtype(d)
         return self
+
+    def _colored_jac_or_none(self, rhs_f, init_f):
+        """Colored-probe dense-Jacobian extractor for the krylov lu32
+        preconditioner, or None when detection fails or coloring does not
+        pay (ncolors ~ n).  Host-side, build-time only."""
+        import numpy as np
+
+        from .ops.coloring import (
+            detect_sparsity,
+            greedy_color,
+            make_colored_jac,
+        )
+
+        try:
+            p_arr = jnp.asarray(self._p, dtype=jnp.result_type(float))
+            t0_arr = jnp.asarray(self._t0)
+            y0 = init_f(t0_arr, p_arr)
+            n = int(y0.shape[-1])
+            rows, cols = detect_sparsity(rhs_f, t0_arr, y0, p_arr, n)
+            colors, ncolors = greedy_color(rows, cols, n, n)
+            if ncolors >= max(n // 2, 8):
+                return None
+            return make_colored_jac(rhs_f, rows, cols, colors, ncolors, n)
+        except Exception:
+            return None
 
     # build --------------------------------------------------------------
     def build(self) -> OdeProblem:
@@ -416,7 +461,9 @@ class OdeBuilder:
         if linear_solver == "krylov":
             from .ops.krylov import make_krylov_jac, make_krylov_solver
 
-            linear_solver = make_krylov_solver(rhs_f)
+            linear_solver = make_krylov_solver(
+                rhs_f, jac_fn=self._colored_jac_or_none(rhs_f, init_f)
+            )
             rhs_jac_f = make_krylov_jac()
         if linear_solver.name.startswith("banded") and rhs_jac_f is None:
             from .ops.banded import make_banded_jac
@@ -477,13 +524,20 @@ class OdeBuilder:
             elif n >= 8 and ml + mu + 1 <= max(n // 2, 1):
                 rhs_jac_f = make_banded_jac(rhs_f, ml, mu)
                 linear_solver = make_banded_solver(ml, mu)
-            elif n >= 256:
-                # large unstructured pattern: matrix-free Newton-Krylov
-                # (a dense n>48 f64 LU cannot compile on TPU; colored
-                # probes would still feed an O(n^3) factorization)
+            elif n >= 256 and jax.default_backend() == "tpu":
+                # large unstructured pattern ON TPU: matrix-free
+                # Newton-Krylov (a dense n>48 f64 LU cannot compile on
+                # TPU; colored probes would still feed an O(n^3)
+                # factorization).  The lu32 PRECONDITIONER assembly does
+                # use the colored probes: ncolors JVPs instead of n
+                # jacfwd columns.  On CPU the dense colored fallback
+                # below is both legal (LAPACK f64 LU) and much faster
+                # than GMRES at this size, so the route is backend-aware.
                 from .ops.krylov import make_krylov_jac, make_krylov_solver
 
-                linear_solver = make_krylov_solver(rhs_f)
+                colors, ncolors = greedy_color(rows, cols, n, n)
+                cj = make_colored_jac(rhs_f, rows, cols, colors, ncolors, n)
+                linear_solver = make_krylov_solver(rhs_f, jac_fn=cj)
                 rhs_jac_f = make_krylov_jac()
             else:
                 colors, ncolors = greedy_color(rows, cols, n, n)
