@@ -87,7 +87,7 @@ _TOKEN_RE = re.compile(
   | (?P<num>(\d+\.(?!\.)\d*|\.\d+|\d+)([eE][+-]?\d+)?)
   | (?P<name>[A-Za-z][A-Za-z0-9_]*)
   | (?P<dotdot>\.\.)
-  | (?P<op>[{}(),:=+\-*/^\[\]])
+  | (?P<op>[{}(),;:=+\-*/^\[\]])
     """,
     re.VERBOSE,
 )
@@ -105,6 +105,11 @@ def _tokenize(src: str):
             continue
         kind = m.lastgroup
         val = m.group()
+        if val == ";":
+            # the reference grammar accepts ';' as a tensor-element
+            # separator interchangeably with ',' (e.g. the lorenz example's
+            # F_i { ...; ...; }); normalize at the lexer
+            val = ","
         toks.append((kind, val))
     toks.append(("eof", ""))
     return toks
@@ -523,6 +528,18 @@ class _Eval:
                     )
             return arr, node.idx
         if isinstance(node, Call):
+            # Function arguments are NON-top positions: no contraction
+            # happens inside an expression.  The reference compiler
+            # translates each tensor element to ONE loop nest that
+            # evaluates the whole scalar expression at a multi-index and
+            # accumulates into the (possibly contracted) target -- so
+            # F_i { exp(A_ij * u_j) } is sum_j exp(A_ij u_j), and a
+            # repeated index inside an argument is ELEMENTWISE, not an
+            # early contraction (the reference's own pybamm DFN depends
+            # on this: `constant20_ij * (constant6_j * exp(-c *
+            # max(constant3_j * porosity..._j, 10)))`, pybamm_dfn.diffsl:
+            # 5333, is elementwise in j inside the exp and contracts j
+            # once at the element top).
             vals = [self.eval(a, top=False) for a in node.args]
             arrs, letters = self._align(vals)
             if node.fn in _FUNCS and len(arrs) == 1:

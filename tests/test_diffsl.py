@@ -681,3 +681,61 @@ def test_model_index_builtin_N():
         y = jnp.asarray([0.1, float(m)])  # trailing state = model index
         f = fns["rhs"](jnp.asarray(0.0), y, p)
         np.testing.assert_allclose(float(f[0]), rate * 0.1, rtol=1e-12)
+
+
+def test_contraction_inside_function_argument():
+    """Einstein scope of function arguments (round-3 advisor finding,
+    resolved against the reference compiler's loop semantics): each
+    tensor element is ONE loop nest that evaluates the whole scalar
+    expression at a multi-index and accumulates into the contracted
+    target.  So no contraction ever happens INSIDE an expression:
+    F_i { exp(A_ij * u_j) } is sum_j exp(A_ij u_j) -- a repeated index
+    inside a function argument is elementwise (the reference's own
+    pybamm DFN depends on this, pybamm_dfn.diffsl:5333)."""
+    src = """
+        A_ij {
+            (0, 0): 1.0, (0, 1): 2.0,
+            (1, 0): 0.5, (1, 1): 0.25,
+        }
+        u_i { x = 0.3, y = 0.7 }
+        F_i { -u_i }
+        out_i { exp(A_ij * u_j) }
+    """
+    fns = compile_diffsl(src).make_callables()
+    y = jnp.asarray([0.3, 0.7])
+    out = np.asarray(fns["out"](jnp.asarray(0.0), y, jnp.zeros((0,))))
+    A = np.array([[1.0, 2.0], [0.5, 0.25]])
+    np.testing.assert_allclose(
+        out, np.exp(A * np.asarray(y)[None, :]).sum(axis=1), rtol=1e-12
+    )
+
+    # a singly-occurring index inside the argument stays free for the
+    # enclosing product: A_ij * exp(u_j) contracts the matvec at the top
+    src2 = """
+        A_ij {
+            (0, 0): 1.0, (0, 1): 2.0,
+            (1, 0): 0.5, (1, 1): 0.25,
+        }
+        u_i { x = 0.3, y = 0.7 }
+        F_i { -u_i }
+        out_i { A_ij * exp(u_j) }
+    """
+    fns2 = compile_diffsl(src2).make_callables()
+    out2 = np.asarray(fns2["out"](jnp.asarray(0.0), y, jnp.zeros((0,))))
+    np.testing.assert_allclose(out2, A @ np.exp(np.asarray(y)), rtol=1e-12)
+
+
+def test_semicolon_element_separator():
+    """The reference grammar accepts ';' between tensor elements (the
+    lorenz example's F_i { ...; ...; }); both separators parse alike."""
+    src = """
+        u_i { x = 1.0; y = 2.0; }
+        F_i { -x; -2.0 * y; }
+    """
+    fns = compile_diffsl(src).make_callables()
+    y0 = np.asarray(fns["init"](jnp.asarray(0.0), jnp.zeros((0,))))
+    np.testing.assert_allclose(y0, [1.0, 2.0])
+    f = np.asarray(
+        fns["rhs"](jnp.asarray(0.0), jnp.asarray([1.0, 2.0]), jnp.zeros((0,)))
+    )
+    np.testing.assert_allclose(f, [-1.0, -4.0])
