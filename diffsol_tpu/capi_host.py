@@ -540,7 +540,7 @@ def solve_dense_out(handle, t_eval, max_steps=10_000):
 # matrix tiers: the TPU build's containers are jnp arrays; the role of the
 # reference's NalgebraDense/FaerDense/FaerSparse enum is played by the
 # linear-solver tier layout (matrix_type_c.rs)
-_MATRIX_TYPES = ("dense", "banded")
+_MATRIX_TYPES = ("dense", "banded", "blockdiag", "matrix_free")
 # the JIT "backend" is XLA itself (jit.rs LlvmModule/CraneliftModule)
 _JIT_BACKENDS = ("xla",)
 
@@ -567,3 +567,145 @@ def type_name(kind, value):
 
 def type_is_valid(kind, value):
     return int(0 <= int(value) < len(_TYPE_TABLES[kind]))
+
+
+# ---- matrix-type introspection (reference ode_c.rs:624
+# diffsol_ode_get_matrix_type) ----------------------------------------------
+
+
+def get_matrix_type(handle):
+    """The tier-layout enum index of the BUILT problem's linear solver
+    (reference maps the OdeWrapper's matrix backend to MatrixType;
+    here the analogous runtime fact is which solver tier the auto-router
+    or the user selected)."""
+    p = _get(handle).problem()
+    name = p.linear_solver.name
+    if name.startswith("banded") or name.startswith("pallas_banded"):
+        return _MATRIX_TYPES.index("banded")
+    if name.startswith("blockdiag"):
+        return _MATRIX_TYPES.index("blockdiag")
+    if name.startswith("krylov"):
+        return _MATRIX_TYPES.index("matrix_free")
+    return _MATRIX_TYPES.index("dense")
+
+
+# ---- external model loading (reference solve.rs:324 new_external /
+# new_external_dynamic: dlopen a precompiled DiffSL cdylib.  The
+# embedded-CPython analog of a "dynamic model artifact" is a Python module
+# file defining the model callables.) ---------------------------------------
+
+
+class _ExternalHandle(_OdeHandle):
+    def __init__(self, mod):
+        super().__init__(code=None, model=None)
+        self.external = mod
+        if hasattr(mod, "params"):
+            self.params = [float(v) for v in mod.params]
+
+    def problem(self):
+        if self._problem is None:
+            import dataclasses
+
+            from .problem import InitialConditionOptions, OdeSolverOptions
+
+            mod = self.external
+            b = (
+                OdeBuilder()
+                .rtol(self.rtol)
+                .atol(self.atol)
+                .t0(self.t0)
+                .h0(self.h0)
+                .integrate_out(self.integrate_out)
+                .rhs(mod.rhs)
+                .init(mod.init)
+            )
+            for name in ("mass", "root", "out", "reset"):
+                if hasattr(mod, name):
+                    b = getattr(b, name)(getattr(mod, name))
+            for name in ("sens_rtol", "sens_atol", "out_rtol", "out_atol",
+                         "param_rtol", "param_atol"):
+                v = getattr(self, name)
+                if v is not None:
+                    b = getattr(b, name)(v)
+            if self.options:
+                b = b.options(
+                    dataclasses.replace(OdeSolverOptions(), **self.options)
+                )
+            if self.ic_options:
+                b = b.ic_options(
+                    dataclasses.replace(
+                        InitialConditionOptions(), **self.ic_options
+                    )
+                )
+            if _LINEAR_SOLVERS[self.linear_solver] == "lu":
+                b = b.linear_solver("dense")
+            if _SCALARS[self.scalar_type] == "f32":
+                b = b.dtype(jnp.float32)
+            if self.params is not None:
+                b = b.p(self.params)
+            if getattr(mod, "use_coloring", False):
+                b = b.use_coloring()
+            self._problem = b.build()
+        return self._problem
+
+
+def new_external_dynamic(path):
+    """Load a model from an external Python module file (the dynamic-model
+    analog: the reference dlopens a DiffSL cdylib, solve.rs:324; an
+    embedded-CPython host loads a .py defining rhs(t,y,p), init(t,p) and
+    optional mass/root/reset/out/params/use_coloring)."""
+    import importlib.util
+    import os
+
+    base = os.path.splitext(os.path.basename(path))[0]
+    spec = importlib.util.spec_from_file_location(f"_diffsol_ext_{base}", path)
+    if spec is None or spec.loader is None:
+        raise ValueError(f"cannot load external model at {path!r}")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    for req in ("rhs", "init"):
+        if not hasattr(mod, req):
+            raise ValueError(
+                f"external model {path!r} does not define {req}(...)"
+            )
+    h = _ExternalHandle(mod)
+    with _lock:
+        hid = next(_next_id)
+        _registry[hid] = h
+    return hid
+
+
+# ---- solution-wrapper solves (reference solution_wrapper_c.rs: solve
+# results owned by a handle; ys/ts/sens materialize as host arrays) ---------
+
+
+def solve_solution(handle, t_eval, max_steps=10_000, with_sens=0):
+    """Dense-output solve returning (ts, ys_flat[neval*n], nstates,
+    sens_flat_list[np][neval*n], stop) for the solution-wrapper surface."""
+    h = _get(handle)
+    te = [float(t) for t in t_eval]
+    sens_list = []
+    if int(with_sens):
+        from .sens import solve_dense_fwd_sens
+
+        ys, sens = solve_dense_fwd_sens(h.solver(), jnp.asarray(te))
+        sens_np = np.asarray(sens)  # (np, neval, n)
+        sens_list = [
+            [float(v) for v in sens_np[i].reshape(-1)]
+            for i in range(sens_np.shape[0])
+        ]
+        stop = 0
+        ys_np = np.asarray(ys)
+    else:
+        sol = _solve_dense(
+            h.solver(), jnp.asarray(te), max_steps=int(max_steps)
+        )
+        ys_np = np.asarray(sol.ys)
+        stop = int(sol.stop_reason)
+    return (
+        te,
+        [float(v) for v in ys_np.reshape(-1)],
+        int(ys_np.shape[-1]),
+        sens_list,
+        stop,
+    )

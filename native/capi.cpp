@@ -24,14 +24,25 @@
 #include "diffsol_tpu.h"
 
 static thread_local std::string g_err;
+static thread_local std::string g_err_file;
+static thread_local unsigned g_err_line = 0;
 static PyObject *g_host = nullptr;  /* diffsol_tpu.capi_host module */
 static bool g_owns_interp = false;
 static PyThreadState *g_main_tstate = nullptr;
 
-static void set_err(const char *msg) { g_err = msg ? msg : "unknown error"; }
+/* Every error site records file:line (reference error_c.rs CError{message,
+ * file, line}; surfaced by diffsol_last_error_file/line). */
+static void set_err_at(const char *msg, const char *file, unsigned line) {
+    g_err = msg ? msg : "unknown error";
+    g_err_file = file ? file : "";
+    g_err_line = line;
+}
+#define set_err(m) set_err_at((m), __FILE__, __LINE__)
 
 /* Capture the current Python exception into the thread-local error slot. */
-static void set_err_from_python() {
+static void set_err_from_python_at(const char *file, unsigned line);
+#define set_err_from_python() set_err_from_python_at(__FILE__, __LINE__)
+static void set_err_from_python_at(const char *file, unsigned line) {
     PyObject *type = nullptr, *value = nullptr, *tb = nullptr;
     PyErr_Fetch(&type, &value, &tb);
     PyErr_NormalizeException(&type, &value, &tb);
@@ -39,13 +50,13 @@ static void set_err_from_python() {
         PyObject *s = PyObject_Str(value);
         if (s) {
             const char *c = PyUnicode_AsUTF8(s);
-            set_err(c);
+            set_err_at(c, file, line);
             Py_DECREF(s);
         } else {
-            set_err("python exception (unprintable)");
+            set_err_at("python exception (unprintable)", file, line);
         }
     } else {
-        set_err("python exception");
+        set_err_at("python exception", file, line);
     }
     Py_XDECREF(type);
     Py_XDECREF(value);
@@ -56,7 +67,54 @@ extern "C" const char *diffsol_last_error_message(void) {
     return g_err.c_str();
 }
 
-extern "C" void diffsol_clear_last_error(void) { g_err.clear(); }
+extern "C" void diffsol_clear_last_error(void) {
+    g_err.clear();
+    g_err_file.clear();
+    g_err_line = 0;
+}
+
+/* reference error_c.rs:54-111: diffsol_error returns NULL when no error is
+ * set (the message-pointer form), diffsol_error_code returns 1/0, and
+ * file/line report where the error was recorded. */
+extern "C" const char *diffsol_error(void) {
+    return g_err.empty() ? nullptr : g_err.c_str();
+}
+
+extern "C" int diffsol_error_code(void) { return g_err.empty() ? 0 : 1; }
+
+extern "C" const char *diffsol_last_error_file(void) {
+    return g_err.empty() ? nullptr : g_err_file.c_str();
+}
+
+extern "C" unsigned diffsol_last_error_line(void) {
+    return g_err.empty() ? 0 : g_err_line;
+}
+
+/* reference string_c.rs: caller-side buffer helpers so a C consumer can
+ * allocate/free through the library's allocator. */
+extern "C" char *diffsol_alloc_string(size_t size) {
+    if (size == 0) return nullptr;
+    return (char *)calloc(size, 1);
+}
+
+extern "C" void diffsol_free_string(char *ptr, size_t size) {
+    (void)size;
+    free(ptr);
+}
+
+extern "C" void *diffsol_alloc(size_t size, size_t align) {
+    if (size == 0) return nullptr;
+    if (align < sizeof(void *)) align = sizeof(void *);
+    /* round size up to a multiple of align (aligned_alloc requirement) */
+    size_t rounded = (size + align - 1) / align * align;
+    return aligned_alloc(align, rounded);
+}
+
+extern "C" void diffsol_free(void *ptr, size_t size, size_t align) {
+    (void)size;
+    (void)align;
+    free(ptr);
+}
 
 extern "C" int diffsol_init(void) {
     if (!Py_IsInitialized()) {
@@ -658,4 +716,307 @@ extern "C" void diffsol_host_array_free(int64_t arr) {
         free(it->second.data);
         g_arrays.erase(it);
     }
+}
+
+/* ---- host-array allocation (reference host_array_c.rs:13-23
+ * diffsol_host_array_alloc_vector / diffsol_host_array_list_free) -------- */
+
+static int64_t register_host_array(double *data /* takes ownership */,
+                                   int64_t ndim, const int64_t *dims) {
+    DiffsolHostArray arr;
+    arr.data = data;
+    arr.ndim = ndim;
+    for (int64_t i = 0; i < ndim; ++i) arr.dims[i] = dims[i];
+    std::lock_guard<std::mutex> lock(g_arrays_mu);
+    int64_t h = g_next_array++;
+    g_arrays[h] = arr;
+    return h;
+}
+
+extern "C" int64_t diffsol_host_array_alloc_vector(int64_t len, int dtype) {
+    if (len < 0 || dtype != 1 /* f64: the C data boundary width */) {
+        set_err("diffsol_host_array_alloc_vector: invalid len or dtype");
+        return 0;
+    }
+    double *data = (double *)calloc((size_t)len, sizeof(double));
+    if (!data) {
+        set_err("out of memory");
+        return 0;
+    }
+    int64_t dims[1] = {len};
+    return register_host_array(data, 1, dims);
+}
+
+extern "C" void diffsol_host_array_list_free(const int64_t *handles,
+                                             int64_t len) {
+    if (!handles) return;
+    for (int64_t i = 0; i < len; ++i) diffsol_host_array_free(handles[i]);
+}
+
+/* ---- options handles (reference ode_c.rs:343-380 get_options /
+ * get_ic_options + ode_options_c.rs / initial_condition_options_c.rs free).
+ * The reference returns a boxed options object whose field accessors write
+ * through to the solve; here the ode handle IS the options handle (the
+ * diffsol_ode_options_get/set_* and diffsol_ic_options_get/set_* families
+ * already take it directly), so get returns the same handle and free is a
+ * no-op. ------------------------------------------------------------------ */
+
+extern "C" int diffsol_ode_get_options(int64_t ode, int64_t *out_options) {
+    if (!out_options) {
+        set_err("out_options is null");
+        return -1;
+    }
+    *out_options = ode;
+    return 0;
+}
+
+extern "C" int diffsol_ode_get_ic_options(int64_t ode, int64_t *out_options) {
+    if (!out_options) {
+        set_err("out_options is null");
+        return -1;
+    }
+    *out_options = ode;
+    return 0;
+}
+
+extern "C" void diffsol_ode_options_free(int64_t options) { (void)options; }
+extern "C" void diffsol_ic_options_free(int64_t options) { (void)options; }
+
+/* ---- matrix-type introspection (reference ode_c.rs:624) ----------------- */
+
+extern "C" int diffsol_ode_get_matrix_type(int64_t ode) {
+    Gil gil;
+    PyObject *r = call_host("get_matrix_type",
+                            Py_BuildValue("(L)", (long long)ode));
+    if (!r) return -1;
+    int v = (int)PyLong_AsLong(r);
+    Py_DECREF(r);
+    if (PyErr_Occurred()) {
+        set_err_from_python();
+        return -1;
+    }
+    return v;
+}
+
+/* ---- external model loading (reference solve.rs:324 new_external(_dynamic):
+ * dlopen a precompiled DiffSL cdylib).  The embedded-CPython analog of a
+ * dynamic model artifact is a Python module file defining rhs/init (and
+ * optional mass/root/reset/out/params); the static-deps form has no
+ * equivalent in this host (models are not linked into the process) and
+ * fails loudly. ----------------------------------------------------------- */
+
+extern "C" int64_t diffsol_ode_new_external_dynamic(const char *path) {
+    Gil gil;
+    PyObject *r = call_host("new_external_dynamic",
+                            Py_BuildValue("(s)", path));
+    if (!r) return 0;
+    int64_t h = PyLong_AsLongLong(r);
+    Py_DECREF(r);
+    if (PyErr_Occurred()) {
+        set_err_from_python();
+        return 0;
+    }
+    return h;
+}
+
+extern "C" int64_t diffsol_ode_new_external(int matrix_type,
+                                            int linear_solver, int ode_solver,
+                                            const void *rhs_state_deps,
+                                            size_t rhs_state_deps_len,
+                                            const void *rhs_input_deps,
+                                            size_t rhs_input_deps_len,
+                                            const void *mass_state_deps,
+                                            size_t mass_state_deps_len) {
+    (void)matrix_type; (void)linear_solver; (void)ode_solver;
+    (void)rhs_state_deps; (void)rhs_state_deps_len;
+    (void)rhs_input_deps; (void)rhs_input_deps_len;
+    (void)mass_state_deps; (void)mass_state_deps_len;
+    set_err(
+        "diffsol_ode_new_external (statically linked model symbols) has no "
+        "equivalent in the embedded-CPython host: use "
+        "diffsol_ode_new_external_dynamic(path_to_model.py) or "
+        "diffsol_ode_new_jit(diffsl_text)");
+    return 0;
+}
+
+/* ---- solution wrappers (reference solution_wrapper_c.rs: a solve result
+ * owned by a handle; ts/ys/sens materialize as host arrays on demand) ----- */
+
+struct DiffsolSolution {
+    std::vector<double> ts;
+    std::vector<double> ys;   /* neval x nstates row-major */
+    std::vector<std::vector<double>> sens; /* per param, neval x nstates */
+    int64_t nstates;
+};
+
+static std::mutex g_solutions_mu;
+static std::map<int64_t, DiffsolSolution> g_solutions;
+static int64_t g_next_solution = 1;
+
+static int64_t vec_from_seq(PyObject *seq, std::vector<double> &out) {
+    PyObject *fast = PySequence_Fast(seq, "expected a sequence");
+    if (!fast) {
+        set_err_from_python();
+        return -1;
+    }
+    int64_t n = PySequence_Fast_GET_SIZE(fast);
+    out.resize((size_t)n);
+    for (int64_t i = 0; i < n; ++i) {
+        out[(size_t)i] = PyFloat_AsDouble(PySequence_Fast_GET_ITEM(fast, i));
+        if (PyErr_Occurred()) {
+            Py_DECREF(fast);
+            set_err_from_python();
+            return -1;
+        }
+    }
+    Py_DECREF(fast);
+    return n;
+}
+
+extern "C" int64_t diffsol_ode_solve_solution(int64_t ode,
+                                              const double *t_eval,
+                                              int64_t neval,
+                                              int64_t max_steps,
+                                              int with_sens,
+                                              int *stop_reason) {
+    Gil gil;
+    PyObject *l = list_from_doubles(t_eval, neval);
+    PyObject *r = call_host(
+        "solve_solution",
+        Py_BuildValue("(LNLi)", (long long)ode, l, (long long)max_steps,
+                      with_sens));
+    if (!r) return 0;
+    PyObject *ts = PyTuple_GetItem(r, 0);
+    PyObject *ys = PyTuple_GetItem(r, 1);
+    PyObject *nst = PyTuple_GetItem(r, 2);
+    PyObject *sens = PyTuple_GetItem(r, 3);
+    PyObject *stop = PyTuple_GetItem(r, 4);
+    if (!ts || !ys || !nst || !sens || !stop) {
+        Py_DECREF(r);
+        PyErr_Clear();
+        set_err("solve_solution returned malformed tuple");
+        return 0;
+    }
+    DiffsolSolution sol;
+    sol.nstates = PyLong_AsLongLong(nst);
+    if (vec_from_seq(ts, sol.ts) < 0 || vec_from_seq(ys, sol.ys) < 0) {
+        Py_DECREF(r);
+        return 0;
+    }
+    PyObject *sfast = PySequence_Fast(sens, "expected sens list");
+    if (!sfast) {
+        Py_DECREF(r);
+        set_err_from_python();
+        return 0;
+    }
+    int64_t nsens = PySequence_Fast_GET_SIZE(sfast);
+    sol.sens.resize((size_t)nsens);
+    for (int64_t i = 0; i < nsens; ++i) {
+        if (vec_from_seq(PySequence_Fast_GET_ITEM(sfast, i),
+                         sol.sens[(size_t)i]) < 0) {
+            Py_DECREF(sfast);
+            Py_DECREF(r);
+            return 0;
+        }
+    }
+    Py_DECREF(sfast);
+    if (stop_reason) *stop_reason = (int)PyLong_AsLong(stop);
+    Py_DECREF(r);
+    std::lock_guard<std::mutex> lock(g_solutions_mu);
+    int64_t h = g_next_solution++;
+    g_solutions[h] = std::move(sol);
+    return h;
+}
+
+static int solution_array_out(int64_t solution, int which /* 0=ts, 1=ys */,
+                              int64_t *out_array) {
+    if (!out_array) {
+        set_err("out_array is null");
+        return -1;
+    }
+    std::vector<double> copy;
+    int64_t ndim = 1, dims[2] = {0, 0};
+    {
+        std::lock_guard<std::mutex> lock(g_solutions_mu);
+        auto it = g_solutions.find(solution);
+        if (it == g_solutions.end()) {
+            set_err("invalid solution wrapper handle");
+            return -1;
+        }
+        const std::vector<double> &src =
+            which == 0 ? it->second.ts : it->second.ys;
+        copy = src;
+        if (which == 1) {
+            ndim = 2;
+            dims[1] = it->second.nstates;
+            dims[0] = it->second.nstates
+                          ? (int64_t)src.size() / it->second.nstates
+                          : 0;
+        } else {
+            dims[0] = (int64_t)src.size();
+        }
+    }
+    double *data = (double *)malloc(copy.size() * sizeof(double));
+    if (!data) {
+        set_err("out of memory");
+        return -1;
+    }
+    memcpy(data, copy.data(), copy.size() * sizeof(double));
+    *out_array = register_host_array(data, ndim, dims);
+    return 0;
+}
+
+extern "C" int diffsol_solution_wrapper_get_ts(int64_t solution,
+                                               int64_t *out_array) {
+    return solution_array_out(solution, 0, out_array);
+}
+
+extern "C" int diffsol_solution_wrapper_get_ys(int64_t solution,
+                                               int64_t *out_array) {
+    return solution_array_out(solution, 1, out_array);
+}
+
+extern "C" int diffsol_solution_wrapper_get_sens(int64_t solution,
+                                                 int64_t *out_handles,
+                                                 int64_t cap,
+                                                 int64_t *out_len) {
+    if (!out_handles || !out_len) {
+        set_err("invalid arguments to diffsol_solution_wrapper_get_sens");
+        return -1;
+    }
+    std::vector<std::vector<double>> sens;
+    int64_t nstates;
+    {
+        std::lock_guard<std::mutex> lock(g_solutions_mu);
+        auto it = g_solutions.find(solution);
+        if (it == g_solutions.end()) {
+            set_err("invalid solution wrapper handle");
+            return -1;
+        }
+        sens = it->second.sens;
+        nstates = it->second.nstates;
+    }
+    if ((int64_t)sens.size() > cap) {
+        set_err("out_handles buffer too small");
+        return -1;
+    }
+    for (size_t i = 0; i < sens.size(); ++i) {
+        double *data = (double *)malloc(sens[i].size() * sizeof(double));
+        if (!data) {
+            diffsol_host_array_list_free(out_handles, (int64_t)i);
+            set_err("out of memory");
+            return -1;
+        }
+        memcpy(data, sens[i].data(), sens[i].size() * sizeof(double));
+        int64_t dims[2] = {
+            nstates ? (int64_t)sens[i].size() / nstates : 0, nstates};
+        out_handles[i] = register_host_array(data, 2, dims);
+    }
+    *out_len = (int64_t)sens.size();
+    return 0;
+}
+
+extern "C" void diffsol_solution_wrapper_free(int64_t solution) {
+    std::lock_guard<std::mutex> lock(g_solutions_mu);
+    g_solutions.erase(solution);
 }

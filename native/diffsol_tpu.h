@@ -11,6 +11,7 @@
 #ifndef DIFFSOL_TPU_H
 #define DIFFSOL_TPU_H
 
+#include <stddef.h>
 #include <stdint.h>
 
 #ifdef __cplusplus
@@ -24,10 +25,35 @@ void diffsol_shutdown(void);
 /* ---- errors (reference error_c.rs:54-119) ---- */
 const char *diffsol_last_error_message(void);
 void diffsol_clear_last_error(void);
+/* NULL / 0 when no error is set; file/line locate the recording site. */
+const char *diffsol_error(void);
+int diffsol_error_code(void);
+const char *diffsol_last_error_file(void);
+unsigned diffsol_last_error_line(void);
+
+/* ---- allocation helpers (reference string_c.rs) ---- */
+char *diffsol_alloc_string(size_t size);
+void diffsol_free_string(char *ptr, size_t size);
+void *diffsol_alloc(size_t size, size_t align);
+void diffsol_free(void *ptr, size_t size, size_t align);
 
 /* ---- ode handle lifecycle (reference ode_c.rs:284-341) ---- */
 /* Build from DiffSL text; returns handle > 0, or 0 on error. */
 int64_t diffsol_ode_new_jit(const char *diffsl_code);
+/* Load a model from an external Python module file defining rhs(t,y,p),
+ * init(t,p) and optional mass/root/reset/out/params/use_coloring (the
+ * dynamic-model analog of the reference's DiffSL cdylib dlopen,
+ * solve.rs:324). */
+int64_t diffsol_ode_new_external_dynamic(const char *path);
+/* Statically-linked model symbols have no equivalent in the
+ * embedded-CPython host: always fails with an explanatory error. */
+int64_t diffsol_ode_new_external(int matrix_type, int linear_solver,
+                                 int ode_solver, const void *rhs_state_deps,
+                                 size_t rhs_state_deps_len,
+                                 const void *rhs_input_deps,
+                                 size_t rhs_input_deps_len,
+                                 const void *mass_state_deps,
+                                 size_t mass_state_deps_len);
 void diffsol_ode_free(int64_t ode);
 
 /* ---- settings (reference ode_c.rs:733-1100) ---- */
@@ -159,6 +185,36 @@ int64_t diffsol_host_array_stride(int64_t arr, int64_t i);
 int diffsol_host_array_dtype(int64_t arr);
 double *diffsol_host_array_ptr(int64_t arr);
 void diffsol_host_array_free(int64_t arr);
+/* Allocate a zeroed 1-D host array (dtype 1 = f64); free a list of
+ * handles (reference host_array_c.rs:13, boxed_host_array_list). */
+int64_t diffsol_host_array_alloc_vector(int64_t len, int dtype);
+void diffsol_host_array_list_free(const int64_t *handles, int64_t len);
+
+/* ---- options handles (reference ode_c.rs:343-380; the returned options
+ * handle aliases the ode handle -- field accessors write through to the
+ * live solve -- and the frees are no-ops) ---- */
+int diffsol_ode_get_options(int64_t ode, int64_t *out_options);
+int diffsol_ode_get_ic_options(int64_t ode, int64_t *out_options);
+void diffsol_ode_options_free(int64_t options);
+void diffsol_ic_options_free(int64_t options);
+
+/* ---- matrix-type introspection (reference ode_c.rs:624); returns the
+ * index into diffsol_matrix_type_name of the BUILT problem's solver-tier
+ * layout: 0 dense, 1 banded, 2 blockdiag, 3 matrix_free ---- */
+int diffsol_ode_get_matrix_type(int64_t ode);
+
+/* ---- solution wrappers (reference solution_wrapper_c.rs: a solve result
+ * owned by a handle; ts/ys/sens materialize as host arrays) ---- */
+/* Returns solution handle > 0, or 0 on error.  with_sens != 0 also
+ * records forward sensitivities (one host array per parameter). */
+int64_t diffsol_ode_solve_solution(int64_t ode, const double *t_eval,
+                                   int64_t neval, int64_t max_steps,
+                                   int with_sens, int *stop_reason);
+int diffsol_solution_wrapper_get_ts(int64_t solution, int64_t *out_array);
+int diffsol_solution_wrapper_get_ys(int64_t solution, int64_t *out_array);
+int diffsol_solution_wrapper_get_sens(int64_t solution, int64_t *out_handles,
+                                      int64_t cap, int64_t *out_len);
+void diffsol_solution_wrapper_free(int64_t solution);
 
 #ifdef __cplusplus
 }

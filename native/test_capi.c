@@ -246,7 +246,10 @@ int main(void) {
     CHECK(diffsol_scalar_type_name(1, namebuf, 32) == 0 &&
               strcmp(namebuf, "f64") == 0,
           "scalar 1 is f64");
-    CHECK(diffsol_matrix_type_count() == 2, "matrix type count");
+    CHECK(diffsol_matrix_type_count() == 4, "matrix type count");
+    CHECK(diffsol_matrix_type_name(3, namebuf, 32) == 0 &&
+              strcmp(namebuf, "matrix_free") == 0,
+          "matrix 3 is matrix_free");
     CHECK(diffsol_jit_backend_type_count() == 1, "jit backend count");
     CHECK(diffsol_jit_backend_type_name(0, namebuf, 32) == 0 &&
               strcmp(namebuf, "xla") == 0,
@@ -290,6 +293,141 @@ int main(void) {
                   "time-reset trajectory point");
     }
     diffsol_ode_free(tr);
+
+    /* ---- round-4 parity surface: alloc helpers, error file/line,
+     * options handles, matrix type, external models, solution wrappers
+     * (reference string_c.rs, error_c.rs:94-111, ode_c.rs:343-380,624,
+     * solve.rs:324, solution_wrapper_c.rs, host_array_c.rs:13) ---- */
+    {
+        char *s = diffsol_alloc_string(16);
+        CHECK(s != NULL && s[0] == 0, "alloc_string zeroed");
+        strcpy(s, "hello");
+        diffsol_free_string(s, 16);
+        void *b = diffsol_alloc(100, 32);
+        CHECK(b != NULL && ((uintptr_t)b % 32) == 0, "alloc aligned");
+        diffsol_free(b, 100, 32);
+        CHECK(diffsol_alloc(0, 8) == NULL, "alloc(0) is NULL");
+
+        CHECK(diffsol_error() == NULL && diffsol_error_code() == 0,
+              "no error pending");
+        CHECK(diffsol_ode_new_jit("not a model {") == 0, "bad model");
+        CHECK(diffsol_error() != NULL && diffsol_error_code() == 1,
+              "error + code set");
+        CHECK(diffsol_last_error_file() != NULL &&
+                  strstr(diffsol_last_error_file(), "capi.cpp") != NULL,
+              "error file recorded");
+        CHECK(diffsol_last_error_line() > 0, "error line recorded");
+        diffsol_clear_last_error();
+        CHECK(diffsol_last_error_line() == 0, "error line cleared");
+
+        /* a fresh handle: the earlier logistic handles were freed above */
+        int64_t ode4 = diffsol_ode_new_jit(LOGISTIC);
+        CHECK(ode4 > 0, "round-4 logistic handle");
+        int64_t opts = 0, ic_opts = 0;
+        CHECK(diffsol_ode_get_options(ode4, &opts) == 0 && opts == ode4,
+              "options handle aliases ode");
+        CHECK(diffsol_ode_get_ic_options(ode4, &ic_opts) == 0 &&
+                  ic_opts == ode4,
+              "ic options handle aliases ode");
+        double mv = 0.0;
+        CHECK(diffsol_ode_options_get_min_timestep(opts, &mv) == 0,
+              "options read through aliased handle");
+        diffsol_ode_options_free(opts);
+        diffsol_ic_options_free(ic_opts);
+
+        CHECK(diffsol_ode_get_matrix_type(ode4) == 0,
+              "logistic routes to the dense tier");
+        char mt_name[32];
+        CHECK(diffsol_matrix_type_name(diffsol_ode_get_matrix_type(ode4),
+                                       mt_name, sizeof mt_name) == 0 &&
+                  strcmp(mt_name, "dense") == 0,
+              "matrix type name");
+        diffsol_ode_free(ode4);
+
+        /* host-array alloc/list-free */
+        int64_t v1 = diffsol_host_array_alloc_vector(5, 1);
+        int64_t v2 = diffsol_host_array_alloc_vector(3, 1);
+        CHECK(v1 > 0 && v2 > 0, "host array alloc_vector");
+        CHECK(diffsol_host_array_ndim(v1) == 1 &&
+                  diffsol_host_array_dim(v1, 0) == 5,
+              "alloc_vector dims");
+        CHECK(diffsol_host_array_ptr(v1)[4] == 0.0, "alloc_vector zeroed");
+        int64_t lst[2] = {v1, v2};
+        diffsol_host_array_list_free(lst, 2);
+        CHECK(diffsol_host_array_ptr(v1) == NULL, "list_free freed");
+        CHECK(diffsol_host_array_alloc_vector(4, 7) == 0,
+              "alloc_vector rejects bad dtype");
+        diffsol_clear_last_error();
+
+        /* external dynamic model: a Python module file (the reference
+         * dlopens a compiled DiffSL cdylib; solve.rs:324) */
+        const char *ext_path = "/tmp/diffsol_capi_ext_model.py";
+        FILE *f = fopen(ext_path, "w");
+        CHECK(f != NULL, "write external model file");
+        fputs("import jax.numpy as jnp\n"
+              "params = [0.5]\n"
+              "def rhs(t, y, p):\n"
+              "    return -p[0] * y\n"
+              "def init(t, p):\n"
+              "    return jnp.ones(1)\n",
+              f);
+        fclose(f);
+        int64_t ext = diffsol_ode_new_external_dynamic(ext_path);
+        CHECK(ext > 0, "new_external_dynamic loads python model");
+        CHECK(diffsol_ode_set_rtol(ext, 1e-8) == 0, "ext rtol");
+        CHECK(diffsol_ode_set_atol(ext, 1e-10) == 0, "ext atol");
+        int64_t next_ = 0;
+        CHECK(diffsol_ode_nstates(ext, &next_) == 0 && next_ == 1,
+              "ext nstates");
+
+        /* solution wrapper with forward sensitivities:
+         * y = exp(-a t), dy/da = -t exp(-a t) */
+        double ext_eval[3] = {0.5, 1.0, 2.0};
+        int ext_stop = -99;
+        int64_t sw = diffsol_ode_solve_solution(ext, ext_eval, 3, 4000, 1,
+                                                &ext_stop);
+        CHECK(sw > 0 && ext_stop >= 0, "solve_solution");
+        int64_t ts_arr = 0, ys_arr = 0;
+        CHECK(diffsol_solution_wrapper_get_ts(sw, &ts_arr) == 0,
+              "solution get_ts");
+        CHECK(diffsol_host_array_dim(ts_arr, 0) == 3 &&
+                  fabs(diffsol_host_array_ptr(ts_arr)[2] - 2.0) < 1e-12,
+              "ts contents");
+        CHECK(diffsol_solution_wrapper_get_ys(sw, &ys_arr) == 0,
+              "solution get_ys");
+        CHECK(diffsol_host_array_ndim(ys_arr) == 2 &&
+                  diffsol_host_array_dim(ys_arr, 0) == 3 &&
+                  diffsol_host_array_dim(ys_arr, 1) == 1,
+              "ys dims");
+        for (int i = 0; i < 3; ++i)
+            CHECK(fabs(diffsol_host_array_ptr(ys_arr)[i] -
+                       exp(-0.5 * ext_eval[i])) < 1e-6,
+                  "external model trajectory");
+        int64_t sens_handles[4];
+        int64_t sens_len = 0;
+        CHECK(diffsol_solution_wrapper_get_sens(sw, sens_handles, 4,
+                                                &sens_len) == 0 &&
+                  sens_len == 1,
+              "solution get_sens");
+        for (int i = 0; i < 3; ++i)
+            CHECK(fabs(diffsol_host_array_ptr(sens_handles[0])[i] -
+                       (-ext_eval[i] * exp(-0.5 * ext_eval[i]))) < 1e-5,
+                  "external model sensitivity dy/da");
+        diffsol_host_array_list_free(sens_handles, sens_len);
+        diffsol_host_array_free(ts_arr);
+        diffsol_host_array_free(ys_arr);
+        diffsol_solution_wrapper_free(sw);
+        diffsol_ode_free(ext);
+
+        /* the statically-linked form is documented-unsupported: loud error */
+        CHECK(diffsol_ode_new_external(0, 0, 0, NULL, 0, NULL, 0, NULL, 0)
+                  == 0,
+              "new_external fails");
+        CHECK(strstr(diffsol_last_error_message(), "new_external_dynamic")
+                  != NULL,
+              "new_external error points at the dynamic form");
+        diffsol_clear_last_error();
+    }
 
     /* ---- error paths ---- */
     CHECK(diffsol_ode_new_jit("not a model {") == 0, "bad model rejected");
