@@ -288,6 +288,14 @@ def make_pallas_bdf_solve(
     Raises :class:`UnsupportedForPallas` when the problem is outside the
     kernel's scope -- callers fall back to the XLA lockstep path.
     """
+    import sys
+
+    # tracing the fused kernel to a jaxpr recurses through tens of
+    # thousands of equations (the whole adaptive solve is one program);
+    # CPython's default 1000-frame limit RecursionErrors inside
+    # _trace_kernel_to_jaxpr
+    if sys.getrecursionlimit() < 100_000:
+        sys.setrecursionlimit(100_000)
     eqn = problem.eqn
     if eqn.mass is not None:
         raise UnsupportedForPallas("mass matrix not supported in kernel tier")
@@ -311,12 +319,15 @@ def make_pallas_bdf_solve(
     rtol_f32 = np.float32(rtol)
 
     # trace rhs / init once on f32 avals; the interpreter re-evaluates them
-    # in df (values) and dual-df (Jacobian columns) arithmetic in-kernel
-    t_aval = jnp.zeros((), f32)
-    y_aval = jnp.zeros((n,), f32)
-    p_aval = jnp.zeros((nparams,), f32)
-    rhs_jaxpr = jax.make_jaxpr(eqn.rhs)(t_aval, y_aval, p_aval)
-    init_jaxpr = jax.make_jaxpr(eqn.init)(t_aval, p_aval)
+    # in df (values) and dual-df (Jacobian columns) arithmetic in-kernel.
+    # x64 OFF so no i64/f64 constants leak into the replayed jaxprs
+    # (Mosaic has no 64-bit types and loops forever lowering i64->i32).
+    with jax.enable_x64(False):
+        t_aval = jnp.zeros((), f32)
+        y_aval = jnp.zeros((n,), f32)
+        p_aval = jnp.zeros((nparams,), f32)
+        rhs_jaxpr = jax.make_jaxpr(eqn.rhs)(t_aval, y_aval, p_aval)
+        init_jaxpr = jax.make_jaxpr(eqn.init)(t_aval, p_aval)
 
     if tile is None:
         tile = min(max(256, nbatch), 4096)
@@ -782,7 +793,12 @@ def make_pallas_bdf_solve(
         ys_parts, st_parts, steps_parts = [], [], []
         for ti in range(ntiles):
             sl = packed[:, ti * tile : (ti + 1) * tile]
-            yh, yl, info = call(sl)
+            # trace the kernel with x64 OFF: the kernel is pure f32/i32 by
+            # design, but under ambient x64 python-int literals enter ops
+            # like jnp.where as i64 scalars, and Mosaic's convert_helper
+            # recurses forever lowering the resulting i64->i32 casts
+            with jax.enable_x64(False):
+                yh, yl, info = call(sl)
             ys_parts.append(yh.astype(jnp.float64) + yl.astype(jnp.float64))
             st_parts.append(info[0, 0])
             steps_parts.append(info[1, 0])

@@ -1,0 +1,55 @@
+"""Fused whole-solve Pallas BDF stepper (ops/pallas_stepper.py).
+
+Runs in interpret mode on the CPU suite backend (the Mosaic path needs a
+real TPU; the driver bench exercises that).  Scope checks + a short stiff
+robertson solve against the XLA BDF path.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import diffsol_tpu as dt
+from diffsol_tpu.models import robertson
+from diffsol_tpu.ops.dfinterp import UnsupportedForPallas
+from diffsol_tpu.ops.pallas_stepper import make_pallas_bdf_solve
+
+
+def test_pallas_stepper_rejects_out_of_scope():
+    prob_root = robertson.problem_dae()  # mass matrix -> out of scope
+    with pytest.raises(UnsupportedForPallas):
+        make_pallas_bdf_solve(prob_root, [1.0], nbatch=8)
+
+
+def test_pallas_stepper_matches_xla_bdf_interpret():
+    """Short robertson solve (to t=400, where stiffness is already fully
+    developed: steps at 4 decades) in interpret mode matches the XLA BDF
+    lockstep path member-wise to ~rtol."""
+    problem = robertson.problem_ode(rtol=1e-4, atol=(1e-8, 1e-6, 1e-6))
+    t_eval = [0.4, 4.0, 40.0, 400.0]
+    B = 8
+    solve = make_pallas_bdf_solve(
+        problem, t_eval, nbatch=B, tile=8, interpret=True
+    )
+    k1 = 0.04 * (1.0 + 0.1 * jnp.linspace(-1.0, 1.0, B))
+    params = jnp.stack(
+        [k1, jnp.full((B,), 1e4), jnp.full((B,), 3e7)], axis=1
+    )
+    ys, status, steps = solve(params)
+    assert int(jnp.min(status)) >= 0, np.asarray(status)
+    assert int(steps[0]) > 10
+
+    from diffsol_tpu.ensemble import make_lockstep_problem
+
+    lp = make_lockstep_problem(problem, B)
+    sol = dt.solve_dense(
+        dt.BdfSolver(lp), jnp.asarray(t_eval),
+        params=params.astype(lp.params.dtype), max_steps=2000,
+    )
+    assert int(sol.stop_reason) >= 0
+    ref = np.asarray(sol.ys)  # (neval, n, B)
+    got = np.asarray(ys)
+    # df32 (~2^-48) kernel vs f64 XLA path, both at rtol=1e-4: member-wise
+    # agreement to a few x rtol
+    np.testing.assert_allclose(got, ref, rtol=5e-3, atol=1e-8)
