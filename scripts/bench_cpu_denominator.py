@@ -7,6 +7,11 @@ CPU baseline (the honest "compiled CPU" denominator class the round-3
 verdict asked for: no Python-callback inflation; same numerics both sides,
 so the ratio isolates the hardware).
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+# NB: do NOT use PYTHONPATH for TPU runs -- ANY value of PYTHONPATH (even an
+# empty dir) breaks the axon plugin's worker-hostname helper subprocess and
+# JAX silently falls back to CPU.
 import json
 import sys
 import time

@@ -8,6 +8,11 @@ bench.py's single-line contract -- this is the developer's roofline tool.
 
 Usage: python scripts/bench_linalg_ops.py [--quick]
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+# NB: do NOT use PYTHONPATH for TPU runs -- ANY value of PYTHONPATH (even an
+# empty dir) breaks the axon plugin's worker-hostname helper subprocess and
+# JAX silently falls back to CPU.
 import json
 import sys
 import time

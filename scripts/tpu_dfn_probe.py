@@ -6,6 +6,11 @@ lu32 preconditioner, now replaced by colored probes.  This script runs the
 bench config (one discharge hour, rtol=1e-4/atol=1e-6) and prints wall
 times; on crash, the traceback identifies the failing program.
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+# NB: do NOT use PYTHONPATH for TPU runs -- ANY value of PYTHONPATH (even an
+# empty dir) breaks the axon plugin's worker-hostname helper subprocess and
+# JAX silently falls back to CPU.
 import sys
 import time
 
@@ -39,7 +44,7 @@ t0 = time.perf_counter()
 sol = solve_dense(BdfSolver(problem), t_eval, max_steps=2000)
 v = np.asarray(sol.gs)[:, 0]
 print(f"first solve (compile+run): {time.perf_counter()-t0:.1f}s "
-      f"stop={int(sol.stop_reason)} steps={int(sol.stats.steps)}", flush=True)
+      f"stop={int(sol.stop_reason)} steps={int(sol.state.stats.steps)}", flush=True)
 print("voltage:", v, flush=True)
 assert np.all(v < 4.1) and np.all(v > 3.1), v
 

@@ -1,5 +1,10 @@
 """Staged probe: where does the fused Pallas stepper spend its time?
 trace (lower), compile, first run -- B=1024 single tile, t4e5 evals."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+# NB: do NOT use PYTHONPATH for TPU runs -- ANY value of PYTHONPATH (even an
+# empty dir) breaks the axon plugin's worker-hostname helper subprocess and
+# JAX silently falls back to CPU.
 import time
 import sys
 

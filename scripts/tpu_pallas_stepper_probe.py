@@ -3,6 +3,11 @@
 Correctness vs robertson CVODE table + timing at B=10k (headline t4e5
 config and the reference-matched t4e10 config).
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+# NB: do NOT use PYTHONPATH for TPU runs -- ANY value of PYTHONPATH (even an
+# empty dir) breaks the axon plugin's worker-hostname helper subprocess and
+# JAX silently falls back to CPU.
 import time
 import sys
 
