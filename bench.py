@@ -185,11 +185,9 @@ def cpu_denominators():
 
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
-    env["PYTHONPATH"] = (
-        os.path.dirname(os.path.abspath(__file__))
-        + os.pathsep
-        + env.get("PYTHONPATH", "")
-    )
+    # no PYTHONPATH: it breaks the axon plugin's hostname helper (see
+    # CLAUDE.md); the script self-inserts the repo root and forces the
+    # cpu backend itself via jax.config
     try:
         out = subprocess.run(
             ["python", "scripts/bench_cpu_denominator.py"],
@@ -383,6 +381,27 @@ def main():
     assert int(sol_g.stop_reason) >= 0, int(sol_g.stop_reason)
     t_grp, _ = measure_marginal(run_grp, pgrp.params)
 
+    # blockdiag x lockstep: the tier's winning regime (round-3 verdict
+    # weak #5) -- ngroups=100 per member x B=100 members, all 10,000
+    # group-instances in ONE (3,3,K*B) batch-last blockdiag stack; the
+    # same total workload as the reference's published ngroups=10,000 row
+    from diffsol_tpu.ensemble import make_lockstep_problem as _mklock
+
+    pgrp100 = problem_ode_groups(100, rtol=1e-4, atol=(1e-8, 1e-6, 1e-6))
+    lp_grp = _mklock(pgrp100, 100)
+    pb_grp = jnp.broadcast_to(
+        pgrp100.params, (100,) + pgrp100.params.shape
+    ).astype(lp_grp.params.dtype)
+    gsolver2 = _Bdf(lp_grp)
+
+    def run_grp_lock(pb):
+        return _sd(gsolver2, te10, params=pb, max_steps=5000)
+
+    sol_gl = run_grp_lock(pb_grp)
+    _sync(sol_gl)
+    assert int(sol_gl.stop_reason) >= 0, int(sol_gl.stop_reason)
+    t_grp_lock, _ = measure_marginal(run_grp_lock, pb_grp)
+
     # banded MOL tier
     from diffsol_tpu.models import foodweb, heat2d
 
@@ -432,11 +451,15 @@ def main():
     # the reference's full pybamm DFN battery model (962-state DAE,
     # crates/diffsol/benches/pybamm_dfn.rs:14-31: one discharge hour at
     # rtol=1e-4/atol=1e-6).  Routes through the sparsity router (krylov +
-    # colored-probe lu32 preconditioner on TPU).
+    # colored-probe lu32 preconditioner on TPU).  STEP-DRIVEN: only the
+    # single-step program is jitted and the loop runs on the host -- the
+    # reference's own architecture (bdf.rs step() under a host solve loop);
+    # the whole-solve while_loop program for this model does not finish
+    # XLA-compiling on the axon backend (round-4 finding, >27 min).
     dfn = {}
     try:
         from diffsol_tpu.problem import InitialConditionOptions, OdeBuilder
-        from diffsol_tpu.drivers import solve_dense as _sdense
+        from diffsol_tpu.drivers import init_state_jit
         from diffsol_tpu.solvers.bdf import BdfSolver as _B
 
         dfn_src = open(
@@ -449,21 +472,50 @@ def main():
             .ic_options(InitialConditionOptions(armijo_constant=1e-1))
             .build_from_diffsl(dfn_src)
         )
-        dfn_te = jnp.linspace(360.0, 3600.0, 10)
+        dfn_te = np.linspace(360.0, 3600.0, 10)
         dfn_solver = _B(dfn_prob)
+        dfn_params = dfn_prob.params
+        step_jit = jax.jit(dfn_solver.step)
+        interp_jit = jax.jit(dfn_solver.interpolate)
+        out_jit = jax.jit(dfn_prob.eqn.out)
+        # compile both programs up front (first dispatch pays compile)
+        st0 = init_state_jit(dfn_solver, dfn_params)
+        float(step_jit(st0, dfn_params).t)
 
-        def run_dfn(p):
-            return _sdense(dfn_solver, dfn_te, params=p, max_steps=2000)
+        def run_dfn_once():
+            st = init_state_jit(dfn_solver, dfn_params)
+            t_cur = float(st.t)
+            nsteps = 0
+            vols = []
+            ei = 0
+            while t_cur < dfn_te[-1] and nsteps < 2000:
+                st = step_jit(st, dfn_params)
+                t_cur = float(st.t)  # host sync (pays the tunnel dispatch)
+                nsteps += 1
+                while ei < len(dfn_te) and t_cur >= dfn_te[ei]:
+                    y_i = interp_jit(st, jnp.asarray(dfn_te[ei]))
+                    vols.append(
+                        float(out_jit(jnp.asarray(dfn_te[ei]), y_i,
+                                      dfn_params)[0])
+                    )
+                    ei += 1
+            return np.asarray(vols), nsteps
 
-        sol_d = run_dfn(dfn_prob.params)
-        _sync(sol_d)
-        assert int(sol_d.stop_reason) >= 0, int(sol_d.stop_reason)
-        v_d = np.asarray(sol_d.gs)[:, 0]
+        t0 = time.perf_counter()
+        v_d, dfn_steps = run_dfn_once()
+        t_dfn = time.perf_counter() - t0
+        assert len(v_d) == len(dfn_te), (len(v_d), len(dfn_te))
         assert np.all(v_d < 4.1) and np.all(v_d > 3.1), v_d
-        t_dfn, _ = measure_marginal(run_dfn, dfn_prob.params)
+        assert v_d[-1] < v_d[0]  # discharging
         dfn["pybamm_dfn_total_s"] = round(t_dfn, 3)
         dfn["pybamm_dfn_linsol"] = dfn_prob.linear_solver.name
-        dfn["pybamm_dfn_steps"] = int(sol_d.state.stats.steps)
+        dfn["pybamm_dfn_steps"] = dfn_steps
+        dfn["pybamm_dfn_ms_per_step"] = round(t_dfn / dfn_steps * 1e3, 2)
+        # the host-driven loop pays one tunnel dispatch per step; a local
+        # (non-tunneled) TPU would not -- report the floor-corrected est.
+        dfn["pybamm_dfn_est_local_s"] = round(
+            max(t_dfn - dfn_steps * floor, 0.0), 3
+        )
     except Exception as e:  # TPU backend limits -> record, don't fail bench
         dfn["pybamm_dfn_error"] = str(e)[:160]
 
@@ -548,6 +600,16 @@ def main():
                 "foodweb_nx10_b32_steps": food_steps,
                 "robertson_ode_ngroups1000_total_s": round(t_grp, 4),
                 "vs_diffsol_ngroups1000": round(0.012448280966944164 / t_grp, 3),
+                # blockdiag x lockstep (ngroups=100 x B=100 = 10k group-
+                # instances): per-group-instance time vs the reference's
+                # published ngroups=10,000 total (13.4 us/group)
+                "robertson_ode_g100xb100_total_s": round(t_grp_lock, 4),
+                "robertson_ode_g100xb100_per_group_us": round(
+                    t_grp_lock / 10_000 * 1e6, 3
+                ),
+                "vs_diffsol_ngroups10k_blockdiag_lockstep": round(
+                    DIFFSOL_NGROUPS10K_S / t_grp_lock, 2
+                ),
                 # LSODA denominator honesty: the measured per-callback cost
                 # x nfe, subtracted -- the compiled-RHS LSODA estimate
                 "baseline_lsoda_nfe": nfe_hi,
