@@ -230,6 +230,42 @@ def make_lockstep_problem(problem: OdeProblem, nbatch: int) -> OdeProblem:
     )
 
 
+def _fused_solution(fsolve, params_batch, t_eval):
+    """Run the fused Pallas whole-solve kernel and wrap its raw
+    (ys, status, steps) into the drivers.Solution surface (shared-fate
+    lockstep semantics: the worst tile status is the batch status)."""
+    from . import errors
+    from .drivers import Solution
+    from .ops import pallas_stepper as ps
+
+    ys, status, _steps = jax.jit(fsolve)(params_batch)
+    ys = jnp.moveaxis(ys, -1, 1)  # (neval, B, n)
+    worst = jnp.min(status)
+    stop = jnp.where(
+        worst == ps._FAIL_STEP_TOO_SMALL, errors.STEP_SIZE_TOO_SMALL,
+        jnp.where(
+            worst == ps._FAIL_MAX_STEPS, errors.MAX_STEPS_REACHED,
+            jnp.where(
+                worst == ps._FAIL_NEWTON,
+                errors.TOO_MANY_NONLINEAR_SOLVER_FAILURES,
+                jnp.where(
+                    worst == ps._FAIL_ERRTEST,
+                    errors.TOO_MANY_ERROR_TEST_FAILURES,
+                    errors.TSTOP_REACHED,
+                ),
+            ),
+        ),
+    ).astype(jnp.int32)
+    te = jnp.asarray(t_eval)
+    return Solution(
+        ts=te, ys=ys, gs=None, sens=None, stop_reason=stop,
+        n_points=jnp.asarray(te.shape[0], jnp.int32),
+        root_t=jnp.asarray(jnp.nan, ys.dtype),
+        root_idx=jnp.asarray(-1, jnp.int32),
+        state=None,
+    )
+
+
 def solve_dense_ensemble(
     make_solver,
     problem: OdeProblem,
@@ -239,6 +275,7 @@ def solve_dense_ensemble(
     mesh: Optional[Mesh] = None,
     axis: str = "dp",
     max_steps: int = 100_000,
+    interpret: bool = False,
 ):
     """Solve an ensemble over ``params_batch`` (B, nparams).
 
@@ -246,9 +283,37 @@ def solve_dense_ensemble(
     With a ``mesh``, the batch axis is sharded over ``mesh[axis]``.
     Returns a :class:`diffsol_tpu.drivers.Solution` whose ``ys`` is
     (neval, B, nstates).
+
+    Modes: ``lockstep`` (reference nbatch-context parity), ``independent``
+    (vmap, per-member adaptivity), ``fused`` (the whole-solve Pallas
+    kernel tier -- small-n ODEs, BDF only; raises
+    :class:`~diffsol_tpu.ops.dfinterp.UnsupportedForPallas` out of scope),
+    and ``auto`` (``fused`` when in scope on a TPU backend, else
+    ``lockstep``).
     """
     params_batch = jnp.asarray(params_batch)
     nbatch = params_batch.shape[0]
+
+    if mode in ("fused", "auto"):
+        from .ops.dfinterp import UnsupportedForPallas
+        from .ops.pallas_stepper import make_pallas_bdf_solve
+
+        on_tpu = jax.default_backend() == "tpu"
+        try:
+            if mode == "fused" or (on_tpu and mesh is None):
+                fsolve = make_pallas_bdf_solve(
+                    problem, t_eval, nbatch=nbatch, max_steps=max_steps,
+                    interpret=interpret or not on_tpu,
+                )
+                return _fused_solution(fsolve, params_batch, t_eval)
+        except UnsupportedForPallas:
+            if mode == "fused":
+                raise
+        if mode == "fused":
+            raise UnsupportedForPallas(
+                "fused tier requires a TPU backend (or interpret=True)"
+            )
+        mode = "lockstep"
 
     if mode == "lockstep":
         lp = make_lockstep_problem(problem, nbatch)

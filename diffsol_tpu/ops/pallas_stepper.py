@@ -332,6 +332,12 @@ def make_pallas_bdf_solve(
     if tile is None:
         tile = min(max(256, nbatch), 4096)
     tile = min(tile, nbatch)
+    # lane-align: Mosaic vectors want multiples of the (8, 128) vreg tile;
+    # padding members is cheap (the pad lanes re-solve the last member).
+    # Interpret mode (tests) has no layout constraint -- keep tiles exact
+    # so tiny-B tests stay fast.
+    if not interpret:
+        tile = -(-tile // 1024) * 1024
     ntiles = -(-nbatch // tile)
     pad_b = ntiles * tile
 

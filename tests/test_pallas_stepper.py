@@ -53,3 +53,42 @@ def test_pallas_stepper_matches_xla_bdf_interpret():
     # df32 (~2^-48) kernel vs f64 XLA path, both at rtol=1e-4: member-wise
     # agreement to a few x rtol
     np.testing.assert_allclose(got, ref, rtol=5e-3, atol=1e-8)
+
+
+def test_solve_dense_ensemble_fused_mode():
+    """The high-level ensemble entry routes mode='fused' through the
+    Pallas kernel (interpret on CPU) and wraps it in the Solution
+    surface; 'auto' on a CPU backend falls back to lockstep."""
+    from diffsol_tpu.ensemble import solve_dense_ensemble
+
+    problem = robertson.problem_ode(rtol=1e-4, atol=(1e-8, 1e-6, 1e-6))
+    t_eval = [0.4, 4.0]
+    B = 4
+    k1 = 0.04 * (1.0 + 0.1 * jnp.linspace(-1.0, 1.0, B))
+    params = jnp.stack(
+        [k1, jnp.full((B,), 1e4), jnp.full((B,), 3e7)], axis=1
+    )
+    sol_f = solve_dense_ensemble(
+        dt.BdfSolver, problem, t_eval, params, mode="fused", interpret=True
+    )
+    assert int(sol_f.stop_reason) >= 0
+    assert sol_f.ys.shape == (2, B, 3)
+    sol_l = solve_dense_ensemble(
+        dt.BdfSolver, problem, t_eval,
+        params.astype(jnp.float64), mode="auto",
+    )  # cpu backend: auto -> lockstep
+    assert sol_l.ys.shape == (2, B, 3)
+    np.testing.assert_allclose(
+        np.asarray(sol_f.ys), np.asarray(sol_l.ys), rtol=5e-3, atol=1e-8
+    )
+
+
+def test_solve_dense_ensemble_fused_rejects_out_of_scope():
+    from diffsol_tpu.ensemble import solve_dense_ensemble
+
+    prob_dae = robertson.problem_dae()  # mass matrix -> out of scope
+    with pytest.raises(UnsupportedForPallas):
+        solve_dense_ensemble(
+            dt.BdfSolver, prob_dae, [1.0], jnp.zeros((4, 3)),
+            mode="fused", interpret=True,
+        )
