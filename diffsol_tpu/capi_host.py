@@ -158,6 +158,18 @@ def free(handle: int) -> None:
         _registry.pop(handle, None)
 
 
+def clear_caches() -> None:
+    """Drop jax's in-memory executable caches (a long-lived embedding
+    process that builds many models accumulates live compiled whole-solve
+    executables; the XLA CPU compiler is known to crash once the live set
+    grows unboundedly -- see tests/conftest.py).  Solver handles stay
+    valid: their programs recompile lazily (cheaply, via the persistent
+    on-disk compilation cache when configured)."""
+    import jax
+
+    jax.clear_caches()
+
+
 # ---- settings ------------------------------------------------------------
 
 

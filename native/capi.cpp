@@ -236,6 +236,19 @@ extern "C" void diffsol_ode_free(int64_t ode) {
     Py_XDECREF(r);
 }
 
+/* TPU-build extension (no ode_c.rs analog): drop jax's in-memory compiled
+ * executables.  Long-lived embedding processes that build many models
+ * should call this periodically -- the XLA CPU compiler crashes once the
+ * live executable set grows unboundedly (tests/conftest.py documents the
+ * same landmine for the test suite).  Handles stay valid; programs
+ * recompile lazily. */
+extern "C" void diffsol_clear_caches(void) {
+    if (!Py_IsInitialized() || !g_host) return;
+    Gil gil;
+    PyObject *r = call_host("clear_caches", PyTuple_New(0));
+    Py_XDECREF(r);
+}
+
 /* ---- scalar setters/getters ------------------------------------------ */
 
 #define SCALAR_SET(cname, pyname)                                          \

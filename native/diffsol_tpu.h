@@ -55,6 +55,9 @@ int64_t diffsol_ode_new_external(int matrix_type, int linear_solver,
                                  const void *mass_state_deps,
                                  size_t mass_state_deps_len);
 void diffsol_ode_free(int64_t ode);
+/* TPU-build extension: drop in-memory compiled executables (call
+ * periodically from long-lived processes; handles stay valid). */
+void diffsol_clear_caches(void);
 
 /* ---- settings (reference ode_c.rs:733-1100) ---- */
 int diffsol_ode_set_rtol(int64_t ode, double v);

@@ -70,6 +70,16 @@ int main(void) {
         CHECK(fabs(ys[i] - expect) < 1e-6, "logistic trajectory point");
     }
 
+    /* clear_caches drops compiled executables; handles stay valid and
+     * the next solve recompiles lazily with identical results */
+    diffsol_clear_caches();
+    double ys_after_clear[3];
+    CHECK(diffsol_ode_solve_dense(ode, t_eval, 3, 2000, ys_after_clear,
+                                  &stop) == 0,
+          "solve_dense after clear_caches");
+    for (int i = 0; i < 3; ++i)
+        CHECK(ys_after_clear[i] == ys[i], "clear_caches preserves results");
+
     /* adaptive solve with every internal step recorded */
     double ts_buf[512], ys_buf[512];
     int64_t npts = 0;
