@@ -552,7 +552,11 @@ def main():
                                 run_p(pp)))
                 for _ in range(3)
             )
-            pallas[f"pallas_{tag}_total_s"] = round(max((t4 - t1) / 3, 1e-9), 4)
+            # 6 decimals: sub-ms marginals are real (t4e5 b1000 resolves
+            # to ~0.1-0.5 ms; 4 decimals collapsed it to 0.0)
+            pallas[f"pallas_{tag}_total_s"] = round(
+                max((t4 - t1) / 3, 1e-6), 6
+            )
         pallas["vs_diffsol_t4e10_pallas"] = round(
             DIFFSOL_NGROUPS10K_S / pallas["pallas_t4e10_b10k_total_s"], 2
         )
