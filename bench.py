@@ -526,15 +526,22 @@ def main():
         from diffsol_tpu.ops.pallas_stepper import make_pallas_bdf_solve
 
         prob_p = robertson.problem_ode(rtol=1e-4, atol=(1e-8, 1e-6, 1e-6))
-        for tag, te_p, nb in (
-            ("t4e10_b10k", T_EVAL_4E10, 10_000),
-            ("t4e5_b1000", T_EVAL, 1000),
+        prob_e = exponential_decay.problem(rtol=1e-4, atol=1e-6)
+        for tag, te_p, nb, prb in (
+            ("t4e10_b10k", T_EVAL_4E10, 10_000, prob_p),
+            ("t4e5_b1000", T_EVAL, 1000, prob_p),
+            ("expdecay_b1000", [0.25, 0.5, 0.75, 1.0], 1000, prob_e),
         ):
-            psolve = jax.jit(make_pallas_bdf_solve(prob_p, te_p, nbatch=nb))
-            k1p = jnp.full((nb,), 0.04)
-            pp = jnp.stack(
-                [k1p, jnp.full((nb,), 1e4), jnp.full((nb,), 3e7)], axis=1
-            )
+            psolve = jax.jit(make_pallas_bdf_solve(prb, te_p, nbatch=nb))
+            if prb is prob_e:
+                pp = jnp.broadcast_to(
+                    jnp.asarray(prob_e.params), (nb, prob_e.params.shape[0])
+                )
+            else:
+                k1p = jnp.full((nb,), 0.04)
+                pp = jnp.stack(
+                    [k1p, jnp.full((nb,), 1e4), jnp.full((nb,), 3e7)], axis=1
+                )
             ys, status, _st = psolve(pp)
             ys.block_until_ready()
             assert int(jnp.min(status)) >= 0, int(jnp.min(status))

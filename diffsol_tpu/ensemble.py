@@ -300,12 +300,38 @@ def solve_dense_ensemble(
 
         on_tpu = jax.default_backend() == "tpu"
         try:
-            if mode == "fused" or (on_tpu and mesh is None):
+            if mode == "fused" or on_tpu:
+                if mesh is None:
+                    fsolve = make_pallas_bdf_solve(
+                        problem, t_eval, nbatch=nbatch, max_steps=max_steps,
+                        interpret=interpret or not on_tpu,
+                    )
+                    return _fused_solution(fsolve, params_batch, t_eval)
+                # member tiles are independent: shard the batch axis over
+                # the mesh; each device runs its own fused kernels and the
+                # hot loop touches NO collectives (ICI only pays the final
+                # all-gather of ys, inserted by XLA from the out_specs)
+                from jax.experimental.shard_map import shard_map
+
+                nshards = mesh.shape[axis]
+                if nbatch % nshards:
+                    raise ValueError(
+                        f"fused+mesh needs nbatch divisible by mesh axis "
+                        f"{axis!r} ({nbatch} % {nshards})"
+                    )
                 fsolve = make_pallas_bdf_solve(
-                    problem, t_eval, nbatch=nbatch, max_steps=max_steps,
-                    interpret=interpret or not on_tpu,
+                    problem, t_eval, nbatch=nbatch // nshards,
+                    max_steps=max_steps, interpret=interpret or not on_tpu,
                 )
-                return _fused_solution(fsolve, params_batch, t_eval)
+                sharded = shard_map(
+                    fsolve, mesh=mesh, in_specs=P(axis),
+                    out_specs=(P(None, None, axis), P(axis), P(axis)),
+                    check_rep=False,
+                )
+                params_batch = jax.device_put(
+                    params_batch, NamedSharding(mesh, P(axis))
+                )
+                return _fused_solution(sharded, params_batch, t_eval)
         except UnsupportedForPallas:
             if mode == "fused":
                 raise

@@ -35,14 +35,19 @@ gridded pallas_call (probed round 4), so tiles are separate ungridded
 invocations inside one jit program -- launch count is per SOLVE, not per
 step.
 
-Method notes vs solvers/bdf.py (same NDF tables, same controller): the
-kernel refreshes the Jacobian and refactors every attempt instead of
-running the reference's stale-Jacobian update policy -- inside the fused
-kernel a fresh 3x3 factorization costs a handful of VPU ops, the policy's
-entire reason to exist (skipping expensive LU setups) is gone, and fresh
-J strictly improves Newton contraction.  Step sequences therefore differ
-slightly from the XLA path; trajectory accuracy is tested against it and
-against the reference's CVODE solution table.
+Method notes vs solvers/bdf.py (same NDF tables, same controller): with
+``jac_reuse=True`` (default) the kernel runs the reference's
+stale-Jacobian update policy (bdf.rs:467-505 + jacobian_update.rs, the
+same thresholds as solvers/bdf.py): refresh J on the first attempt, after
+a Newton failure, or periodically; refactor the LU additionally when c
+drifts past the threshold -- the J eval + LU are ~half the kernel's
+per-step vector work and most accepted equal steps skip both.  The Newton
+eta memory carries across attempts exactly as in ops/newton.py
+(20^1.25 reset on refresh, 100^1.25 on step-size change).
+``jac_reuse=False`` refreshes J + LU every attempt (fresh-J contraction,
+~1.4x more vector work).  Step sequences differ slightly from the XLA
+path either way; trajectory accuracy is tested against it and against
+the reference's CVODE solution table.
 """
 
 from __future__ import annotations
@@ -279,6 +284,7 @@ def make_pallas_bdf_solve(
     max_error_test_fails: int = 40,
     min_timestep: float = 1e-32,
     interpret: bool = False,
+    jac_reuse: bool = True,
 ):
     """Build ``solve(params_b (B, np) f64) -> (ys (neval, n, B) f64,
     status (ntiles,) i32, steps (ntiles,) i32)`` running the whole adaptive
@@ -456,6 +462,18 @@ def make_pallas_bdf_solve(
             jnp.asarray(0, i32),            # h_changed (this step)
             D0,
         )
+        if jac_reuse:
+            zdf = df32.zeros_like(zrow)
+            J0 = tuple(tuple(zdf for _ in range(n)) for _ in range(n))
+            lu0 = tuple(tuple(zdf for _ in range(n)) for _ in range(n))
+            perm0 = tuple(jnp.zeros_like(zrow.hi, i32) for _ in range(n))
+            carry0 = carry0 + (
+                J0, lu0, perm0,
+                jnp.asarray(0.0, f32),      # c_last (LU's c; 0 = none)
+                jnp.asarray(0, i32),        # ssj: attempts since refactor
+                jnp.asarray(0, i32),        # ssrj: attempts since J refresh
+                jnp.asarray(np.float32(20.0**1.25)),  # eta memory
+            )
 
         def cond(c):
             k, _steps, status, next_eval = c[0], c[1], c[2], c[3]
@@ -463,7 +481,9 @@ def make_pallas_bdf_solve(
 
         def body(c):
             (k, steps, status, next_eval, t, h, order, n_equal, prev_err,
-             conv_fail, newton_fails, err_fails, h_changed, D) = c
+             conv_fail, newton_fails, err_fails, h_changed, D) = c[:14]
+            if jac_reuse:
+                (J_c, lu_c, perm_c, c_last, ssj, ssrj, eta_mem) = c[14:]
 
             alpha_k = _df_table(alpha64, order)
             cval = df32.mul(h, alpha_k)
@@ -477,19 +497,72 @@ def make_pallas_bdf_solve(
             psi_raw = _masked_row_sum(D, order, n, lo=1, weights=gamma_w)
             psi = [df32.mul(pr, alpha_k) for pr in psi_raw]
 
-            # fresh Jacobian + LU of (I - c J) at the prediction
-            J = jac_cols(t_pred, y_pred)
-            Amat = [
-                [
-                    df32.sub(
-                        df32.const(1.0 if r == cc else 0.0, like=lanes),
-                        df32.mul(cval, J[r][cc]),
-                    )
-                    for cc in range(n)
+            def build_amat(Jm):
+                return [
+                    [
+                        df32.sub(
+                            df32.const(1.0 if r == cc else 0.0, like=lanes),
+                            df32.mul(cval, Jm[r][cc]),
+                        )
+                        for cc in range(n)
+                    ]
+                    for r in range(n)
                 ]
-                for r in range(n)
-            ]
-            lu, perm = _lu_factor_df(Amat, n)
+
+            if not jac_reuse:
+                # fresh Jacobian + LU of (I - c J) at every attempt
+                J = jac_cols(t_pred, y_pred)
+                lu, perm = _lu_factor_df(build_amat(J), n)
+                eta0 = jnp.asarray(np.float32(20.0**1.25))
+            else:
+                # stale-Jacobian update policy (reference bdf.rs:467-505 +
+                # jacobian_update.rs, same thresholds as solvers/bdf.py):
+                # refresh J on the first-ever attempt, after a Newton
+                # failure, or periodically; refactor the LU additionally
+                # when c drifted past the threshold.  The J eval + LU are
+                # ~half the kernel's per-step vector work, and most
+                # accepted equal steps skip BOTH.
+                c32 = cval.hi
+                rel = jnp.abs(c32 / jnp.where(c_last == 0.0, c32, c_last)
+                              - 1.0)
+                first_ever = k == 0
+                refresh_j = (
+                    first_ever | (conv_fail > 0)
+                    | (ssrj >= int(opts.update_rhs_jacobian_after_steps))
+                )
+                refactor = (
+                    refresh_j
+                    | (rel > np.float32(opts.threshold_to_update_jacobian))
+                    | (ssj >= int(opts.update_jacobian_after_steps))
+                )
+
+                J = jax.lax.cond(
+                    refresh_j,
+                    lambda _: tuple(
+                        tuple(row) for row in jac_cols(t_pred, y_pred)
+                    ),
+                    lambda _: J_c,
+                    None,
+                )
+
+                def do_refactor(_):
+                    lu_n, perm_n = _lu_factor_df(build_amat(J), n)
+                    return (tuple(tuple(r) for r in lu_n), tuple(perm_n))
+
+                lu, perm = jax.lax.cond(
+                    refactor, do_refactor, lambda _: (lu_c, perm_c), None
+                )
+                c_last_n = jnp.where(refactor, c32, c_last)
+                ssj_n = jnp.where(refactor, 0, ssj + 1).astype(i32)
+                ssrj_n = jnp.where(refresh_j, 0, ssrj + 1).astype(i32)
+                # eta memory: 20^1.25 on refresh/refactor, 100^1.25 on a
+                # step-size change without one (ops/newton.py resets)
+                eta0 = jnp.where(
+                    refactor,
+                    np.float32(20.0**1.25),
+                    jnp.where(h_changed == 1, np.float32(100.0**1.25),
+                              eta_mem),
+                )
 
             # ---- Newton on F(x) = (x - y_pred + psi) - c f(x) ------------
             def nres(x_rows):
@@ -508,13 +581,12 @@ def make_pallas_bdf_solve(
                 return (nc[3] == 0) & (nc[2] < max_newton_iter)
 
             def n_body(nc):
-                x, first_nrm, niter, nstat = nc
+                x, first_nrm, niter, nstat, _eta_run = nc
                 delta = _lu_solve_df(lu, perm, nres(list(x)), n)
                 x = tuple(df32.sub(x[r], delta[r]) for r in range(n))
                 nrm = wrms32(delta, y_pred)
                 niter = niter + 1
                 is_first = niter == 1
-                eta_first = np.float32(20.0**1.25)  # fresh J every attempt
                 kk = jnp.maximum(niter - 1, 1).astype(f32)
                 rate = _pow_f32(
                     jnp.maximum(nrm / jnp.maximum(first_nrm, np.float32(0.0)),
@@ -530,7 +602,7 @@ def make_pallas_bdf_solve(
                 )
                 eta_new = jnp.where(
                     is_first,
-                    jnp.maximum(eta_first, 1e4 * eps32) ** np.float32(0.8),
+                    jnp.maximum(eta0, 1e4 * eps32) ** np.float32(0.8),
                     rate / (1.0 - rate),
                 )
                 diverged = (~is_first) & (diverged_rate | (proj > nl_tol))
@@ -539,12 +611,12 @@ def make_pallas_bdf_solve(
                     diverged, 2, jnp.where(converged, 1, 0)
                 ).astype(i32)
                 first_nrm = jnp.where(is_first, nrm, first_nrm)
-                return (x, first_nrm, niter, nstat)
+                return (x, first_nrm, niter, nstat, eta_new)
 
-            x_fin, _fn, niter, nstat = jax.lax.while_loop(
+            x_fin, _fn, niter, nstat, eta_fin = jax.lax.while_loop(
                 n_cond, n_body,
                 (tuple(y_pred), jnp.asarray(0.0, f32), jnp.asarray(0, i32),
-                 jnp.asarray(0, i32)),
+                 jnp.asarray(0, i32), eta0),
             )
             solve_ok = nstat == 1
             d_rows = [df32.sub(x_fin[r], y_pred[r]) for r in range(n)]
@@ -752,11 +824,14 @@ def make_pallas_bdf_solve(
                 _FAIL_MAX_STEPS, status_n,
             ).astype(i32)
 
-            return (
+            out = (
                 k + 1, steps + accepted.astype(i32), status_n, next_eval_new,
                 tn, hn, order_n, n_equal_ret, prev_err_n,
                 conv_fail_n, newton_fails, err_fails_n, h_changed_n, Dn,
             )
+            if jac_reuse:
+                out = out + (J, lu, perm, c_last_n, ssj_n, ssrj_n, eta_fin)
+            return out
 
         out = jax.lax.while_loop(cond, body, carry0)
         k_fin, steps_fin, status_fin = out[0], out[1], out[2]

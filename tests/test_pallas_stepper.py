@@ -92,3 +92,33 @@ def test_solve_dense_ensemble_fused_rejects_out_of_scope():
             dt.BdfSolver, prob_dae, [1.0], jnp.zeros((4, 3)),
             mode="fused", interpret=True,
         )
+
+
+def test_solve_dense_ensemble_fused_sharded():
+    """Fused tier over a device mesh: tiles are independent member
+    blocks, so the batch axis shards with shard_map and the hot loop has
+    no collectives; member trajectories match the unsharded fused solve
+    to solver tolerance (per-tile step sequences differ)."""
+    from jax.sharding import Mesh
+    from diffsol_tpu.ensemble import solve_dense_ensemble
+
+    problem = robertson.problem_ode(rtol=1e-4, atol=(1e-8, 1e-6, 1e-6))
+    t_eval = [0.4, 4.0]
+    B = 4
+    k1 = 0.04 * (1.0 + 0.1 * jnp.linspace(-1.0, 1.0, B))
+    params = jnp.stack(
+        [k1, jnp.full((B,), 1e4), jnp.full((B,), 3e7)], axis=1
+    )
+    mesh = Mesh(np.asarray(jax.devices()[:2]), ("dp",))
+    sol_m = solve_dense_ensemble(
+        dt.BdfSolver, problem, t_eval, params, mode="fused", mesh=mesh,
+        interpret=True,
+    )
+    assert int(sol_m.stop_reason) >= 0
+    assert sol_m.ys.shape == (2, B, 3)
+    sol_1 = solve_dense_ensemble(
+        dt.BdfSolver, problem, t_eval, params, mode="fused", interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(sol_m.ys), np.asarray(sol_1.ys), rtol=5e-3, atol=1e-8
+    )
