@@ -602,7 +602,8 @@ def make_pallas_bdf_solve(
                 )
                 eta_new = jnp.where(
                     is_first,
-                    jnp.maximum(eta0, 1e4 * eps32) ** np.float32(0.8),
+                    _pow_f32(jnp.maximum(eta0, 1e4 * eps32),
+                             np.float32(0.8)),
                     rate / (1.0 - rate),
                 )
                 diverged = (~is_first) & (diverged_rate | (proj > nl_tol))
