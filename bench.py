@@ -526,10 +526,12 @@ def main():
         from diffsol_tpu.ops.pallas_stepper import make_pallas_bdf_solve
 
         prob_p = robertson.problem_ode(rtol=1e-4, atol=(1e-8, 1e-6, 1e-6))
+        prob_d = robertson.problem_dae(rtol=1e-4, atol=(1e-8, 1e-6, 1e-6))
         prob_e = exponential_decay.problem(rtol=1e-4, atol=1e-6)
         for tag, te_p, nb, prb in (
             ("t4e10_b10k", T_EVAL_4E10, 10_000, prob_p),
             ("t4e5_b1000", T_EVAL, 1000, prob_p),
+            ("dae_t4e10_b10k", T_EVAL_4E10, 10_000, prob_d),
             ("expdecay_b1000", [0.25, 0.5, 0.75, 1.0], 1000, prob_e),
         ):
             psolve = jax.jit(make_pallas_bdf_solve(prb, te_p, nbatch=nb))
@@ -559,11 +561,12 @@ def main():
                                 run_p(pp)))
                 for _ in range(3)
             )
-            # 6 decimals: sub-ms marginals are real (t4e5 b1000 resolves
-            # to ~0.1-0.5 ms; 4 decimals collapsed it to 0.0)
-            pallas[f"pallas_{tag}_total_s"] = round(
-                max((t4 - t1) / 3, 1e-6), 6
-            )
+            # 6 decimals: sub-ms marginals are real; values at/below the
+            # tunnel's ~1 ms pipelining noise are flagged, not invented
+            val = (t4 - t1) / 3
+            pallas[f"pallas_{tag}_total_s"] = round(max(val, 0.0), 6)
+            if val < 1e-3:
+                pallas[f"pallas_{tag}_note"] = "below ~1ms measurement noise"
         pallas["vs_diffsol_t4e10_pallas"] = round(
             DIFFSOL_NGROUPS10K_S / pallas["pallas_t4e10_b10k_total_s"], 2
         )

@@ -286,7 +286,7 @@ def solve_dense_ensemble(
 
     Modes: ``lockstep`` (reference nbatch-context parity), ``independent``
     (vmap, per-member adaptivity), ``fused`` (the whole-solve Pallas
-    kernel tier -- small-n ODEs, BDF only; raises
+    kernel tier -- small-n ODEs and diag-mass DAEs, BDF only; raises
     :class:`~diffsol_tpu.ops.dfinterp.UnsupportedForPallas` out of scope),
     and ``auto`` (``fused`` when in scope on a TPU backend, else
     ``lockstep``).

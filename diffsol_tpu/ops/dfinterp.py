@@ -236,6 +236,15 @@ def make_interpreter(alg, lanes_like):
                 )
             elif prim in ("convert_element_type", "copy", "stop_gradient"):
                 out = ins[0]
+            elif prim in ("pjit", "jit", "closed_call", "custom_jvp_call",
+                          "custom_vjp_call"):
+                # inline nested calls (jnp helpers like jnp.diag trace to a
+                # pjit-wrapped subjaxpr) by recursing into the inner jaxpr
+                inner = params.get("jaxpr") or params.get("call_jaxpr")
+                outs = run(inner, ins)
+                for var, val in zip(eqn.outvars, outs):
+                    env[var] = val
+                continue
             elif prim == "pow":
                 raise UnsupportedForPallas(
                     "non-integer pow in rhs; the df32 kernel tier supports "

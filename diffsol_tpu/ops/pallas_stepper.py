@@ -21,9 +21,11 @@ interpreter under a forward-mode dual-number algebra, at full df accuracy
 the XLA path already does (ops/newton.py, ops/controller.py).
 
 Scope (checked at build time; callers fall back to the XLA lockstep path):
-identity mass, no root/reset, no quadrature output, no sensitivities,
-n <= 8 states, polynomial/rational rhs.  This is precisely the reference's
-robertson_ode / exponential-decay benchmark class (reference
+identity or DIAGONAL mass (semi-explicit DAEs with consistent initial
+conditions -- probed at build; the robertson DAE class), no root/reset,
+no quadrature output, no sensitivities, n <= 8 states,
+polynomial/rational rhs.  This covers the reference's
+robertson / robertson_ode / exponential-decay benchmark class (reference
 crates/diffsol/src/ode_solver/bdf.rs:1277-1465 hot loop; the CUDA analog
 batches the same loop over the nbatch context).
 
@@ -303,8 +305,11 @@ def make_pallas_bdf_solve(
     if sys.getrecursionlimit() < 100_000:
         sys.setrecursionlimit(100_000)
     eqn = problem.eqn
-    if eqn.mass is not None:
-        raise UnsupportedForPallas("mass matrix not supported in kernel tier")
+    has_mass = eqn.mass is not None
+    if has_mass and eqn.mass_diag_fn is None:
+        raise UnsupportedForPallas(
+            "non-diagonal mass not supported in kernel tier"
+        )
     if eqn.root is not None or eqn.reset is not None:
         raise UnsupportedForPallas("root/reset events not supported in kernel tier")
     if problem.integrate_out:
@@ -334,6 +339,43 @@ def make_pallas_bdf_solve(
         p_aval = jnp.zeros((nparams,), f32)
         rhs_jaxpr = jax.make_jaxpr(eqn.rhs)(t_aval, y_aval, p_aval)
         init_jaxpr = jax.make_jaxpr(eqn.init)(t_aval, p_aval)
+        mass_jaxpr = (
+            jax.make_jaxpr(eqn.mass_diag_fn)(t_aval, p_aval)
+            if has_mass else None
+        )
+
+    mass_const_diag = None
+    if has_mass:
+        # the kernel starts stepping directly from init (no consistent-IC
+        # Newton): require the initial conditions to already satisfy the
+        # algebraic constraints (true for the reference's diag-mass test
+        # models: robertson DAE [1,0,0], heat2d Dirichlet data, ...)
+        t0j = jnp.asarray(t0_64)
+        p0j = jnp.asarray(problem.params)
+        md0 = np.asarray(jax.device_get(eqn.mass_diag_fn(t0j, p0j)))
+        y0c = jnp.asarray(jax.device_get(eqn.init(t0j, p0j)))
+        f0c = np.asarray(jax.device_get(eqn.rhs(t0j, y0c, p0j)))
+        alg = md0 == 0.0
+        scale = 1.0 + float(np.max(np.abs(f0c), initial=0.0))
+        if np.any(np.abs(f0c[alg]) > 1e-6 * scale):
+            raise UnsupportedForPallas(
+                "kernel tier needs consistent DAE initial conditions "
+                f"(|g(y0)| up to {np.max(np.abs(f0c[alg])):.2e})"
+            )
+        # constant-diag fast path (the common case): a t/p-independent
+        # diagonal embeds as trace-time constants -- no jaxpr replay, no
+        # lane selects, and the algebraic-row mask is STATIC
+        md_t = np.asarray(jax.device_get(
+            eqn.mass_diag_fn(t0j + 1.0, p0j)
+        ))
+        md_p = np.asarray(jax.device_get(
+            eqn.mass_diag_fn(t0j, p0j * (1.0 + 1e-3) + 1e-3)
+        ))
+        if (
+            np.all(np.isfinite(md_t)) and np.all(np.isfinite(md_p))
+            and np.allclose(md_t, md0) and np.allclose(md_p, md0)
+        ):
+            mass_const_diag = md0
 
     if tile is None:
         tile = min(max(256, nbatch), 4096)
@@ -399,6 +441,18 @@ def make_pallas_bdf_solve(
             # J[r][c]
             return [[cols[c][r] for c in range(n)] for r in range(n)]
 
+        def mass_rows(t_sc: DF):
+            """Diagonal mass values m(t, p) as n DF rows (scalar DF
+            constants on the constant-diag fast path)."""
+            if mass_const_diag is not None:
+                return [_df_const(float(v)) for v in mass_const_diag]
+            tb = DF(jnp.broadcast_to(t_sc.hi, lanes.shape),
+                    jnp.broadcast_to(t_sc.lo, lanes.shape))
+            out = run_df(
+                mass_jaxpr, [SArr((), [tb]), SArr((nparams,), p_rows)]
+            )[0]
+            return list(out.flat)
+
         # ---- initial state -------------------------------------------------
         t0_df = _df_const(t0_64)
         t0b = DF(jnp.broadcast_to(t0_df.hi, lanes.shape),
@@ -407,6 +461,36 @@ def make_pallas_bdf_solve(
             run_df(init_jaxpr, [SArr((), [t0b]), SArr((nparams,), p_rows)])[0].flat
         )
         dy0 = rhs_rows(t0_df, y0)
+        if has_mass:
+            # dy0 = f/m on differential rows, 0 on algebraic rows (the
+            # build-time probe guarantees consistent y0; the first step's
+            # Newton enforces the constraints thereafter)
+            if mass_const_diag is not None:  # static mask, no lane selects
+                dy0 = [
+                    df32.zeros_like(dy0[r])
+                    if float(mass_const_diag[r]) == 0.0
+                    else (
+                        dy0[r] if float(mass_const_diag[r]) == 1.0
+                        else df32.div(
+                            dy0[r], _df_const(float(mass_const_diag[r]))
+                        )
+                    )
+                    for r in range(n)
+                ]
+            else:
+                m0 = mass_rows(t0_df)
+                dy0 = [
+                    df32.where(
+                        m0[r].hi != 0.0,
+                        df32.div(
+                            dy0[r],
+                            df32.where(m0[r].hi != 0.0, m0[r],
+                                       df32.const(1.0, like=lanes)),
+                        ),
+                        df32.zeros_like(dy0[r]),
+                    )
+                    for r in range(n)
+                ]
 
         # initial step size (solvers/state.py initial_step_size, f32
         # heuristic; the probe rhs eval runs in df)
@@ -497,11 +581,20 @@ def make_pallas_bdf_solve(
             psi_raw = _masked_row_sum(D, order, n, lo=1, weights=gamma_w)
             psi = [df32.mul(pr, alpha_k) for pr in psi_raw]
 
+            md_pred = mass_rows(t_pred) if has_mass else None
+
             def build_amat(Jm):
+                # M - c J (diag M; identity without mass)
+                def diag(r):
+                    if has_mass:
+                        return md_pred[r]
+                    return df32.const(1.0, like=lanes)
+
                 return [
                     [
                         df32.sub(
-                            df32.const(1.0 if r == cc else 0.0, like=lanes),
+                            diag(r) if r == cc
+                            else df32.const(0.0, like=lanes),
                             df32.mul(cval, Jm[r][cc]),
                         )
                         for cc in range(n)
@@ -564,16 +657,21 @@ def make_pallas_bdf_solve(
                               eta_mem),
                 )
 
-            # ---- Newton on F(x) = (x - y_pred + psi) - c f(x) ------------
+            # ---- Newton on F(x) = M (x - y_pred + psi) - c f(x) ----------
+            # (solvers/bdf.py _residual; M = diag fast path or identity)
             def nres(x_rows):
                 fx = rhs_rows(t_pred, x_rows)
-                return [
-                    df32.sub(
-                        df32.add(df32.sub(x_rows[r], y_pred[r]), psi[r]),
-                        df32.mul(cval, fx[r]),
+                out_rows = []
+                for r in range(n):
+                    tmp = df32.add(
+                        df32.sub(x_rows[r], y_pred[r]), psi[r]
                     )
-                    for r in range(n)
-                ]
+                    if has_mass:
+                        tmp = df32.mul(md_pred[r], tmp)
+                    out_rows.append(
+                        df32.sub(tmp, df32.mul(cval, fx[r]))
+                    )
+                return out_rows
 
             eps32 = np.float32(np.finfo(np.float32).eps)
 
