@@ -48,9 +48,16 @@ def rhs_dae(t, y, p):
 
 
 def rhs_ode(t, y, p):
-    r0 = -p[0] * y[0] + p[1] * y[1] * y[2]
-    r1 = p[0] * y[0] - p[1] * y[1] * y[2] - p[2] * y[1] * y[1]
-    return jnp.array([r0, r1, -r0 - r1])
+    # the reference's exact row forms (robertson_ode.rs:56-60); row 2 as
+    # k3*y1^2 (not -r0-r1) also shortens the serial dependency chain in
+    # the fused df32 kernel, whose per-step floor is latency-bound
+    return jnp.array(
+        [
+            -p[0] * y[0] + p[1] * y[1] * y[2],
+            p[0] * y[0] - p[1] * y[1] * y[2] - p[2] * y[1] * y[1],
+            p[2] * y[1] * y[1],
+        ]
+    )
 
 
 def mass(t, p):
