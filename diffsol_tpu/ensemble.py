@@ -230,6 +230,47 @@ def make_lockstep_problem(problem: OdeProblem, nbatch: int) -> OdeProblem:
     )
 
 
+# fused-solve cache: repeat calls with the same (problem, t_eval, B, ...)
+# reuse the built+jitted kernel instead of re-tracing (the stored problem
+# reference also keeps id() stable for the key's lifetime)
+_fused_cache: dict = {}
+
+
+def _fused_solve_cached(problem, t_eval, nbatch, max_steps, interpret,
+                        mesh, axis):
+    from .ops.pallas_stepper import make_pallas_bdf_solve
+
+    te_key = tuple(float(v) for v in jnp.asarray(t_eval).reshape(-1))
+    mesh_key = (
+        None if mesh is None
+        else (id(mesh), tuple(mesh.shape.items()), axis)
+    )
+    key = (id(problem), te_key, nbatch, max_steps, interpret, mesh_key)
+    hit = _fused_cache.get(key)
+    if hit is not None and hit[0] is problem:
+        return hit[1]
+    if mesh is None:
+        fn = jax.jit(make_pallas_bdf_solve(
+            problem, t_eval, nbatch=nbatch, max_steps=max_steps,
+            interpret=interpret,
+        ))
+    else:
+        from jax.experimental.shard_map import shard_map
+
+        nshards = mesh.shape[axis]
+        local = make_pallas_bdf_solve(
+            problem, t_eval, nbatch=nbatch // nshards,
+            max_steps=max_steps, interpret=interpret,
+        )
+        fn = jax.jit(shard_map(
+            local, mesh=mesh, in_specs=P(axis),
+            out_specs=(P(None, None, axis), P(axis), P(axis)),
+            check_rep=False,
+        ))
+    _fused_cache[key] = (problem, fn)
+    return fn
+
+
 def _fused_solution(fsolve, params_batch, t_eval):
     """Run the fused Pallas whole-solve kernel and wrap its raw
     (ys, status, steps) into the drivers.Solution surface (shared-fate
@@ -238,7 +279,7 @@ def _fused_solution(fsolve, params_batch, t_eval):
     from .drivers import Solution
     from .ops import pallas_stepper as ps
 
-    ys, status, _steps = jax.jit(fsolve)(params_batch)
+    ys, status, _steps = fsolve(params_batch)
     ys = jnp.moveaxis(ys, -1, 1)  # (neval, B, n)
     worst = jnp.min(status)
     stop = jnp.where(
@@ -296,42 +337,29 @@ def solve_dense_ensemble(
 
     if mode in ("fused", "auto"):
         from .ops.dfinterp import UnsupportedForPallas
-        from .ops.pallas_stepper import make_pallas_bdf_solve
 
         on_tpu = jax.default_backend() == "tpu"
         try:
             if mode == "fused" or on_tpu:
-                if mesh is None:
-                    fsolve = make_pallas_bdf_solve(
-                        problem, t_eval, nbatch=nbatch, max_steps=max_steps,
-                        interpret=interpret or not on_tpu,
-                    )
-                    return _fused_solution(fsolve, params_batch, t_eval)
-                # member tiles are independent: shard the batch axis over
-                # the mesh; each device runs its own fused kernels and the
-                # hot loop touches NO collectives (ICI only pays the final
-                # all-gather of ys, inserted by XLA from the out_specs)
-                from jax.experimental.shard_map import shard_map
-
-                nshards = mesh.shape[axis]
-                if nbatch % nshards:
+                # member tiles are independent: with a mesh, the batch
+                # axis shards via shard_map; each device runs its own
+                # fused kernels and the hot loop touches NO collectives
+                # (ICI only pays the final all-gather of ys, inserted by
+                # XLA from the out_specs)
+                if mesh is not None and nbatch % mesh.shape[axis]:
                     raise ValueError(
                         f"fused+mesh needs nbatch divisible by mesh axis "
-                        f"{axis!r} ({nbatch} % {nshards})"
+                        f"{axis!r} ({nbatch} % {mesh.shape[axis]})"
                     )
-                fsolve = make_pallas_bdf_solve(
-                    problem, t_eval, nbatch=nbatch // nshards,
-                    max_steps=max_steps, interpret=interpret or not on_tpu,
+                fsolve = _fused_solve_cached(
+                    problem, t_eval, nbatch, max_steps,
+                    interpret or not on_tpu, mesh, axis,
                 )
-                sharded = shard_map(
-                    fsolve, mesh=mesh, in_specs=P(axis),
-                    out_specs=(P(None, None, axis), P(axis), P(axis)),
-                    check_rep=False,
-                )
-                params_batch = jax.device_put(
-                    params_batch, NamedSharding(mesh, P(axis))
-                )
-                return _fused_solution(sharded, params_batch, t_eval)
+                if mesh is not None:
+                    params_batch = jax.device_put(
+                        params_batch, NamedSharding(mesh, P(axis))
+                    )
+                return _fused_solution(fsolve, params_batch, t_eval)
         except UnsupportedForPallas:
             if mode == "fused":
                 raise

@@ -28,16 +28,19 @@ def main():
     )
     t_eval = jnp.asarray([0.4, 4.0, 400.0, 4.0e4, 4.0e5])
 
+    # mode="auto": on a TPU backend this problem is in the fused Pallas
+    # kernel tier's scope (whole adaptive solve = one kernel per member
+    # tile); elsewhere it runs the XLA lockstep path
     t0 = time.perf_counter()
     sol = dt.solve_dense_ensemble(
-        dt.BdfSolver, problem, t_eval, params, mode="lockstep", max_steps=5000
+        dt.BdfSolver, problem, t_eval, params, mode="auto", max_steps=5000
     )
     jax.block_until_ready(sol.ys)
     compile_and_run = time.perf_counter() - t0
 
     t0 = time.perf_counter()
     sol = dt.solve_dense_ensemble(
-        dt.BdfSolver, problem, t_eval, params, mode="lockstep", max_steps=5000
+        dt.BdfSolver, problem, t_eval, params, mode="auto", max_steps=5000
     )
     jax.block_until_ready(sol.ys)
     run = time.perf_counter() - t0
