@@ -255,18 +255,25 @@ def _fused_solve_cached(problem, t_eval, nbatch, max_steps, interpret,
             interpret=interpret,
         ))
     else:
-        from jax.experimental.shard_map import shard_map
+        try:
+            from jax import shard_map
+        except ImportError:  # older jax
+            from jax.experimental.shard_map import shard_map
 
         nshards = mesh.shape[axis]
         local = make_pallas_bdf_solve(
             problem, t_eval, nbatch=nbatch // nshards,
             max_steps=max_steps, interpret=interpret,
         )
-        fn = jax.jit(shard_map(
-            local, mesh=mesh, in_specs=P(axis),
+        sm_kwargs = dict(
+            mesh=mesh, in_specs=P(axis),
             out_specs=(P(None, None, axis), P(axis), P(axis)),
-            check_rep=False,
-        ))
+        )
+        try:
+            sharded = shard_map(local, check_vma=False, **sm_kwargs)
+        except TypeError:  # older jax spelling
+            sharded = shard_map(local, check_rep=False, **sm_kwargs)
+        fn = jax.jit(sharded)
     _fused_cache[key] = (problem, fn)
     return fn
 
