@@ -570,6 +570,14 @@ def main():
         pallas["vs_diffsol_t4e10_pallas"] = round(
             DIFFSOL_NGROUPS10K_S / pallas["pallas_t4e10_b10k_total_s"], 2
         )
+        if pallas.get("pallas_dae_t4e10_b10k_total_s"):
+            # the robertson DAE form in the same matched config (the
+            # reference's published number is for the ODE form; reported
+            # for completeness, same time band)
+            pallas["vs_diffsol_t4e10_pallas_dae"] = round(
+                DIFFSOL_NGROUPS10K_S
+                / pallas["pallas_dae_t4e10_b10k_total_s"], 2
+            )
     except Exception as e:  # UnsupportedForPallas / backend limits
         pallas["pallas_error"] = str(e)[:120]
 
