@@ -236,10 +236,32 @@ def make_lockstep_problem(problem: OdeProblem, nbatch: int) -> OdeProblem:
 _fused_cache: dict = {}
 
 
+def _make_fused_solve(problem, t_eval, nbatch, max_steps, interpret):
+    """Route to a fused whole-solve kernel: the small-n unrolled stepper
+    first (n <= 8), then the banded medium-n stepper (MOL class)."""
+    from .ops.dfinterp import UnsupportedForPallas
+    from .ops.pallas_stepper import make_pallas_bdf_solve
+    from .ops.pallas_stepper_band import make_pallas_band_bdf_solve
+
+    try:
+        return make_pallas_bdf_solve(
+            problem, t_eval, nbatch=nbatch, max_steps=max_steps,
+            interpret=interpret,
+        )
+    except UnsupportedForPallas as e_small:
+        try:
+            return make_pallas_band_bdf_solve(
+                problem, t_eval, nbatch=nbatch, max_steps=max_steps,
+                interpret=interpret,
+            )
+        except UnsupportedForPallas as e_band:
+            raise UnsupportedForPallas(
+                f"small-n tier: {e_small}; banded tier: {e_band}"
+            ) from None
+
+
 def _fused_solve_cached(problem, t_eval, nbatch, max_steps, interpret,
                         mesh, axis):
-    from .ops.pallas_stepper import make_pallas_bdf_solve
-
     te_key = tuple(float(v) for v in jnp.asarray(t_eval).reshape(-1))
     mesh_key = (
         None if mesh is None
@@ -250,9 +272,8 @@ def _fused_solve_cached(problem, t_eval, nbatch, max_steps, interpret,
     if hit is not None and hit[0] is problem:
         return hit[1]
     if mesh is None:
-        fn = jax.jit(make_pallas_bdf_solve(
-            problem, t_eval, nbatch=nbatch, max_steps=max_steps,
-            interpret=interpret,
+        fn = jax.jit(_make_fused_solve(
+            problem, t_eval, nbatch, max_steps, interpret,
         ))
     else:
         try:
@@ -261,9 +282,8 @@ def _fused_solve_cached(problem, t_eval, nbatch, max_steps, interpret,
             from jax.experimental.shard_map import shard_map
 
         nshards = mesh.shape[axis]
-        local = make_pallas_bdf_solve(
-            problem, t_eval, nbatch=nbatch // nshards,
-            max_steps=max_steps, interpret=interpret,
+        local = _make_fused_solve(
+            problem, t_eval, nbatch // nshards, max_steps, interpret,
         )
         sm_kwargs = dict(
             mesh=mesh, in_specs=P(axis),
