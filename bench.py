@@ -581,6 +581,53 @@ def main():
     except Exception as e:  # UnsupportedForPallas / backend limits
         pallas["pallas_error"] = str(e)[:120]
 
+    # fused whole-solve BANDED Pallas stepper (medium-n MOL tier): heat1d
+    # n=128 x B=1024 heterogeneous-diffusivity ensemble, whole adaptive
+    # solve in one kernel launch per member tile.  Matched denominator:
+    # heat1d_n128_b1_s from the CPU-XLA subprocess (same problem, single
+    # instance).  Real-chip probe provenance: scripts/tpu_band_stepper_probe.py
+    # (n=128 B=1024: 37 ms marginal whole-solve, member-0 err 3.7e-6 vs
+    # XLA f64).
+    try:
+        from diffsol_tpu.models import heat1d as _h1
+        from diffsol_tpu.ops.pallas_stepper_band import (
+            make_pallas_band_bdf_solve,
+        )
+
+        h1prob, _ = _h1.make(mgrid=127, rtol=1e-6, atol=1e-8)
+        B_band = 1024
+        h1te = [0.001, 0.01, 0.05, 0.1, 0.2]
+        bsolve = jax.jit(
+            make_pallas_band_bdf_solve(h1prob, h1te, nbatch=B_band, ml=1, mu=1)
+        )
+        pband = jnp.linspace(0.5, 2.0, B_band)[:, None]
+        ys_b, status_b, _steps_b = bsolve(pband)
+        ys_b.block_until_ready()
+        assert int(jnp.min(status_b)) >= 0, np.asarray(status_b)
+
+        def run_b(p):
+            r = bsolve(p)
+            float(jnp.sum(r[0][-1]))
+            return r
+
+        t1 = min(_timed(lambda: run_b(pband)) for _ in range(3))
+        t4 = min(
+            _timed(lambda: (bsolve(pband), bsolve(pband), bsolve(pband),
+                            run_b(pband)))
+            for _ in range(3)
+        )
+        t_band = max((t4 - t1) / 3, 0.0)
+        pallas["pallas_band_heat1d_n128_b1024_total_s"] = round(t_band, 6)
+        pallas["pallas_band_heat1d_per_inst_us"] = round(
+            t_band / B_band * 1e6, 3
+        )
+        if cpu_den.get("heat1d_n128_b1_s"):
+            pallas["heat1d_n128_band_vs_cpu_xla"] = round(
+                cpu_den["heat1d_n128_b1_s"] / (t_band / B_band), 2
+            )
+    except Exception as e:
+        pallas["pallas_band_error"] = str(e)[:120]
+
     per_hi = t_hi / NBATCH
     per_lo = t_lo / NBATCH
     print(

@@ -79,6 +79,38 @@ def main():
     run_food()
     out["foodweb_b1_s"] = best_of(run_food)
 
+    # heat1d mgrid=127 (n=128) single instance: the matched denominator for
+    # the fused BANDED Pallas tier row (pallas_band_heat1d_n128 in bench.py).
+    # NB: the banded tier must be selected AT BUILD (the builder wires the
+    # ml+mu+1 colored-probe band Jacobian); post-build
+    # problem.replace(linear_solver=...) leaves a dense rhs_jac that the
+    # band factorization misreads.
+    from diffsol_tpu.models.heat1d import make as _h1make
+    from diffsol_tpu.ops.banded import make_banded_solver
+    from diffsol_tpu.problem import OdeBuilder
+
+    _h1base, _ = _h1make(mgrid=127)
+    h1prob = (
+        OdeBuilder()
+        .rhs(_h1base.eqn.rhs)
+        .init(_h1base.eqn.init)
+        .p([1.0])
+        .rtol(1e-6)
+        .atol(1e-8)
+        .linear_solver(make_banded_solver(1, 1, kernel="xla"))
+        .build()
+    )
+    h1solver = BdfSolver(h1prob)
+    h1te = jnp.asarray([0.001, 0.01, 0.05, 0.1, 0.2])
+
+    def run_h1():
+        s = solve_dense(h1solver, h1te, max_steps=2000)
+        s.ys.block_until_ready()
+        assert int(s.stop_reason) >= 0
+
+    run_h1()
+    out["heat1d_n128_b1_s"] = best_of(run_h1)
+
     print(json.dumps(out))
 
 
