@@ -4,7 +4,8 @@ Mirrors reference test_models/heat1d.rs: u_t = D u_xx on (0,1) with u=0 at
 both ends, grid x_i = (i+1) h, h = 1/(mgrid+2), n = mgrid+1 interior
 points, initial condition the triangle wave u0(x) = 2x (x<1/2) else
 2(1-x).  Analytic solution is the classic Fourier sine series
-u(x,t) = (8/pi^2) sum_{odd n} sin(n pi x) exp(-n^2 pi^2 t) / n^2.
+u(x,t) = (8/pi^2) sum_{odd m=2k-1} (-1)^(k-1) sin(m pi x)
+exp(-m^2 pi^2 t) / m^2 (the odd harmonics alternate in sign).
 The Jacobian is the tridiagonal Laplacian -- the banded linear-solver tier's
 natural test problem.
 """
@@ -43,8 +44,11 @@ def make(mgrid: int = 20, rtol=1e-6, atol=1e-6):
         u = np.zeros((t.shape[0], n))
         for k in range(1, 100):
             m = 2 * k - 1
+            # the odd harmonics of the triangle-wave IC alternate in sign:
+            # sin(m*pi/2) = (-1)^(k-1)
             u += (
-                np.sin(m * np.pi * x)[None, :]
+                (-1.0) ** (k - 1)
+                * np.sin(m * np.pi * x)[None, :]
                 * np.exp(-(m**2) * np.pi**2 * t)[:, None]
                 / m**2
             )

@@ -19,6 +19,12 @@ import os as _os, sys as _sys
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 import jax
+
+# the axon TPU plugin ignores the JAX_PLATFORMS env var; bridge it so the
+# documented CPU run actually uses the CPU backend
+if _os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -72,8 +78,10 @@ t64 = np.asarray(t_eval, np.float64)
 u = np.zeros((len(t64), N))
 for k in range(1, 200):
     m = 2 * k - 1
+    # sin(m*pi/2) = (-1)^(k-1): the triangle wave's odd harmonics alternate
     u += (
-        np.sin(m * np.pi * x)[None, :]
+        (-1.0) ** (k - 1)
+        * np.sin(m * np.pi * x)[None, :]
         * np.exp(-(m * np.pi) ** 2 * float(diffusivities[member]) * t64)[:, None]
         / m**2
     )

@@ -1,11 +1,15 @@
-"""Framework-on-CPU denominators for bench.py (run in a subprocess with
-JAX_PLATFORMS=cpu so the main bench process keeps the TPU backend).
+"""Framework-on-CPU denominators for bench.py (run in a subprocess with the
+cpu backend forced so the main bench process keeps the TPU backend).
 
 Prints ONE JSON line: single-instance wall times (best-of) for the bench
 workloads, solved by THIS framework on the host CPU -- an XLA-compiled-RHS
-CPU baseline (the honest "compiled CPU" denominator class the round-3
-verdict asked for: no Python-callback inflation; same numerics both sides,
-so the ratio isolates the hardware).
+CPU baseline (no Python-callback inflation; same numerics both sides, so
+the ratio isolates the hardware).
+
+Budget-aware (round-5 gate hardening): `DIFFSOL_CPU_DEN_BUDGET_S` bounds
+the wall clock; rows run cheapest-first, each behind a remaining-budget
+check, and the JSON line is printed in a `finally:` so partial results
+always reach the parent.
 """
 import os as _os, sys as _sys
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
@@ -13,8 +17,10 @@ _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)
 # empty dir) breaks the axon plugin's worker-hostname helper subprocess and
 # JAX silently falls back to CPU.
 import json
-import sys
 import time
+
+T0 = time.monotonic()
+BUDGET_S = float(_os.environ.get("DIFFSOL_CPU_DEN_BUDGET_S", "600"))
 
 import jax
 
@@ -22,6 +28,12 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 import jax.numpy as jnp
+
+OUT = {}
+
+
+def remaining():
+    return BUDGET_S - (time.monotonic() - T0)
 
 
 def best_of(run, n=3):
@@ -33,61 +45,83 @@ def best_of(run, n=3):
     return best
 
 
-def main():
+def row(name, est_s, fn):
+    if remaining() < est_s:
+        OUT[name + "_skipped_budget"] = True
+        return
+    try:
+        OUT[name] = fn()
+    except Exception as e:  # noqa: BLE001
+        OUT[name + "_error"] = repr(e)[:120]
+
+
+def rob():
+    # robertson single instance, headline tolerances, t to 4e5
     from diffsol_tpu.drivers import solve_dense
-    from diffsol_tpu.models import foodweb, heat2d, robertson
+    from diffsol_tpu.models import robertson
     from diffsol_tpu.solvers.bdf import BdfSolver
 
-    out = {}
-
-    # robertson single instance, headline tolerances, t to 4e5
     te = jnp.asarray([0.4, 4.0, 40.0, 400.0, 4000.0, 4.0e4, 4.0e5])
     prob = robertson.problem_ode(rtol=1e-4, atol=(1e-8, 1e-6, 1e-6))
     solver = BdfSolver(prob)
 
-    def run_rob():
+    def run():
         s = solve_dense(solver, te, max_steps=5000)
         s.ys.block_until_ready()
         assert int(s.stop_reason) >= 0
 
-    run_rob()  # compile
-    out["robertson_b1_s"] = best_of(run_rob)
+    run()  # compile
+    return best_of(run)
 
-    # heat2d mgrid=20 single instance (banded tier)
+
+def heat2d_row():
+    from diffsol_tpu.drivers import solve_dense
+    from diffsol_tpu.models import heat2d
+    from diffsol_tpu.solvers.bdf import BdfSolver
+
     hprob = heat2d.make(mgrid=20)
     hsolver = BdfSolver(hprob)
     hte = jnp.asarray([0.01, 0.03, 0.1])
 
-    def run_heat():
+    def run():
         s = solve_dense(hsolver, hte, max_steps=2000)
         s.ys.block_until_ready()
         assert int(s.stop_reason) >= 0
 
-    run_heat()
-    out["heat2d_b1_s"] = best_of(run_heat)
+    run()
+    return best_of(run)
 
-    # foodweb nx=10 single instance (the round-3 gap: no denominator at all)
+
+def foodweb_row():
+    from diffsol_tpu.drivers import solve_dense
+    from diffsol_tpu.models import foodweb
+    from diffsol_tpu.solvers.bdf import BdfSolver
+
     fprob = foodweb.make(nx=10)
     fsolver = BdfSolver(fprob)
     fte = jnp.asarray([1e-3, 1e-2, 1e-1])
 
-    def run_food():
+    def run():
         s = solve_dense(fsolver, fte, max_steps=3000)
         s.ys.block_until_ready()
         assert int(s.stop_reason) >= 0
 
-    run_food()
-    out["foodweb_b1_s"] = best_of(run_food)
+    run()
+    return best_of(run)
 
+
+def heat1d_row():
     # heat1d mgrid=127 (n=128) single instance: the matched denominator for
     # the fused BANDED Pallas tier row (pallas_band_heat1d_n128 in bench.py).
     # NB: the banded tier must be selected AT BUILD (the builder wires the
     # ml+mu+1 colored-probe band Jacobian); post-build
     # problem.replace(linear_solver=...) leaves a dense rhs_jac that the
     # band factorization misreads.
+    from diffsol_tpu.drivers import solve_dense
     from diffsol_tpu.models.heat1d import make as _h1make
     from diffsol_tpu.ops.banded import make_banded_solver
     from diffsol_tpu.problem import OdeBuilder
+    from diffsol_tpu.solvers.bdf import BdfSolver
 
     _h1base, _ = _h1make(mgrid=127)
     h1prob = (
@@ -103,16 +137,24 @@ def main():
     h1solver = BdfSolver(h1prob)
     h1te = jnp.asarray([0.001, 0.01, 0.05, 0.1, 0.2])
 
-    def run_h1():
+    def run():
         s = solve_dense(h1solver, h1te, max_steps=2000)
         s.ys.block_until_ready()
         assert int(s.stop_reason) >= 0
 
-    run_h1()
-    out["heat1d_n128_b1_s"] = best_of(run_h1)
+    run()
+    return best_of(run)
 
-    print(json.dumps(out))
+
+def main():
+    row("robertson_b1_s", 40, rob)
+    row("heat1d_n128_b1_s", 60, heat1d_row)
+    row("heat2d_b1_s", 60, heat2d_row)
+    row("foodweb_b1_s", 90, foodweb_row)
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    finally:
+        print(json.dumps(OUT), flush=True)

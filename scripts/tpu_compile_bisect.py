@@ -80,7 +80,7 @@ for n in ns:
         signal.alarm(0)
         t_comp = time.perf_counter() - t0
         sol = compiled(prob.params)
-        steps = int(sol.stats.steps)
+        steps = int(sol.state.stats.steps)
         ok = int(sol.stop_reason) >= 0
         print(
             f"n={n}: build={t_build:.1f}s compile={t_comp:.1f}s "
