@@ -18,10 +18,14 @@ Jacobian is NOT enough: with cond(M - cJ) ~ 1e7+ on stiff problems the
 Newton update loses all contraction -- docs/design.md round-3 f32-LU
 divergence measurement).
 
-Supported primitives: the arithmetic + shape-plumbing set that covers
-polynomial/rational right-hand sides (the reference's entire stiff
-benchmark family: robertson, exponential_decay, logistic, lotka-volterra,
-heat stencils).  Transcendental rhs (exp/log/sin) raises
+Supported primitives: arithmetic, comparisons + ``select_n``, the static
+shape-plumbing set, and the TRANSCENDENTAL family (exp/expm1/log/log1p/
+sqrt/rsqrt/sin/cos/tan/sinh/cosh/tanh/pow/logistic) via the df32
+argument-reduction kernels (:mod:`diffsol_tpu.ops.df32`) -- this makes the
+fused tier model-agnostic in the same sense as the reference's hot loop
+(reference crates/diffsol/src/ode_solver/bdf.rs:1277-1465 is generic over
+the equations; its DiffSL bridge feeds exp/sinh/tanh-heavy models like
+benches/pybamm_dfn.diffsl).  A primitive outside the covered set raises
 ``UnsupportedForPallas`` -- callers fall back to the XLA lockstep path.
 """
 
@@ -93,6 +97,36 @@ def _elemwise1(alg_op, a: SArr) -> SArr:
     return SArr(a.shape, [alg_op(x) for x in a.flat])
 
 
+def _elemwise3(alg_op, a: SArr, b: SArr, c: SArr) -> SArr:
+    out_shape = np.broadcast_shapes(a.shape, b.shape, c.shape)
+    flat = []
+    for idx in np.ndindex(*out_shape) if out_shape else [()]:
+        def pick(arr):
+            ia = tuple(
+                0 if arr.shape[k - (len(out_shape) - len(arr.shape))] == 1
+                else idx[k]
+                for k in range(len(out_shape) - len(arr.shape), len(out_shape))
+            )
+            return _index(arr, ia)
+        flat.append(alg_op(pick(a), pick(b), pick(c)))
+    return SArr(out_shape, flat)
+
+
+# unary transcendental / elementwise primitives dispatched by algebra
+# attribute name; an algebra without the attribute raises
+# UnsupportedForPallas (so a minimal algebra degrades gracefully)
+_UNARY_ALG = {
+    "exp": "exp", "expm1": "expm1", "log": "log", "log1p": "log1p",
+    "sqrt": "sqrt", "rsqrt": "rsqrt", "sin": "sin", "cos": "cos",
+    "tan": "tan", "sinh": "sinh", "cosh": "cosh", "tanh": "tanh",
+    "logistic": "logistic", "square": "square", "sign": "sign",
+}
+
+# comparison primitives -> algebra predicate (results are RAW bool arrays
+# carried in SArr slots; only logical ops / select_n may consume them)
+_CMP_ALG = {"lt": "lt", "le": "le", "gt": "gt", "ge": "ge"}
+
+
 def make_interpreter(alg, lanes_like):
     """Return ``run(jaxpr, consts, args) -> list[SArr]`` over algebra
     ``alg``; python/numpy literals become algebra constants broadcast to
@@ -140,6 +174,46 @@ def make_interpreter(alg, lanes_like):
                 out = _elemwise2(alg.maximum, *ins)
             elif prim == "min":
                 out = _elemwise2(alg.minimum, *ins)
+            elif prim in _UNARY_ALG:
+                fn = getattr(alg, _UNARY_ALG[prim], None)
+                if fn is None:
+                    raise UnsupportedForPallas(
+                        f"primitive {prim!r} not implemented by this "
+                        "kernel algebra"
+                    )
+                out = _elemwise1(fn, ins[0])
+            elif prim == "pow":
+                fn = getattr(alg, "pow_", None)
+                if fn is None:
+                    raise UnsupportedForPallas(
+                        "pow not implemented by this kernel algebra"
+                    )
+                out = _elemwise2(fn, *ins)
+            elif prim in _CMP_ALG:
+                out = _elemwise2(getattr(alg, _CMP_ALG[prim]), *ins)
+            elif prim == "eq":
+                out = _elemwise2(lambda x, y: alg.le(x, y) & alg.ge(x, y),
+                                 *ins)
+            elif prim == "ne":
+                out = _elemwise2(
+                    lambda x, y: ~(alg.le(x, y) & alg.ge(x, y)), *ins
+                )
+            elif prim in ("and", "or", "not", "xor"):
+                # operands are raw bool arrays from the comparisons above
+                if prim == "not":
+                    out = _elemwise1(lambda x: ~x, ins[0])
+                else:
+                    fn = {"and": lambda a, b: a & b,
+                          "or": lambda a, b: a | b,
+                          "xor": lambda a, b: a ^ b}[prim]
+                    out = _elemwise2(fn, *ins)
+            elif prim == "select_n":
+                if len(ins) != 3:
+                    raise UnsupportedForPallas("select_n with >2 cases")
+                # lax.select_n(pred, on_false, on_true)
+                out = _elemwise3(
+                    lambda p, a, b: alg.where(p, b, a), *ins
+                )
             elif prim == "integer_pow":
                 k = int(params["y"])
                 if k < 0:
@@ -245,15 +319,10 @@ def make_interpreter(alg, lanes_like):
                 for var, val in zip(eqn.outvars, outs):
                     env[var] = val
                 continue
-            elif prim == "pow":
-                raise UnsupportedForPallas(
-                    "non-integer pow in rhs; the df32 kernel tier supports "
-                    "polynomial/rational right-hand sides"
-                )
             else:
                 raise UnsupportedForPallas(
-                    f"primitive {prim!r} in rhs; the df32 kernel tier "
-                    "supports polynomial/rational right-hand sides"
+                    f"primitive {prim!r} in rhs; not covered by the df32 "
+                    "kernel interpreter"
                 )
             if len(eqn.outvars) != 1:
                 raise UnsupportedForPallas(f"multi-output primitive {prim!r}")
@@ -330,3 +399,101 @@ class DualAlgebra:
 
     def hi(self, x):
         return self.base.hi(x[0])
+
+    # comparisons act on the value part (tangents of the order predicates
+    # are zero a.e., the standard forward-mode convention)
+    def lt(self, x, y):
+        return self.base.lt(x[0], y[0])
+
+    def le(self, x, y):
+        return self.base.le(x[0], y[0])
+
+    def gt(self, x, y):
+        return self.base.gt(x[0], y[0])
+
+    def ge(self, x, y):
+        return self.base.ge(x[0], y[0])
+
+    def where(self, mask, x, y):
+        b = self.base
+        return (b.where(mask, x[0], y[0]), b.where(mask, x[1], y[1]))
+
+    def zeros_like(self, x):
+        z = self.base.zeros_like(x[0])
+        return (z, z)
+
+    def mul_f32(self, x, c):
+        b = self.base
+        return (b.mul_f32(x[0], c), b.mul_f32(x[1], c))
+
+    def _one(self, x):
+        return self.base.const(1.0, like=self.base.hi(x))
+
+    # ---- transcendental chain rules over the base algebra ----
+    def exp(self, x):
+        b = self.base
+        e = b.exp(x[0])
+        return (e, b.mul(e, x[1]))
+
+    def expm1(self, x):
+        b = self.base
+        e = b.expm1(x[0])
+        return (e, b.mul(b.add(e, self._one(x[0])), x[1]))
+
+    def log(self, x):
+        b = self.base
+        return (b.log(x[0]), b.div(x[1], x[0]))
+
+    def log1p(self, x):
+        b = self.base
+        return (b.log1p(x[0]), b.div(x[1], b.add(x[0], self._one(x[0]))))
+
+    def sqrt(self, x):
+        b = self.base
+        s = b.sqrt(x[0])
+        return (s, b.div(x[1], b.mul_f32(s, 2.0)))
+
+    def rsqrt(self, x):
+        one = (self._one(x[0]), self.base.zeros_like(x[0]))
+        return self.div(one, self.sqrt(x))
+
+    def sin(self, x):
+        b = self.base
+        return (b.sin(x[0]), b.mul(b.cos(x[0]), x[1]))
+
+    def cos(self, x):
+        b = self.base
+        return (b.cos(x[0]), b.neg(b.mul(b.sin(x[0]), x[1])))
+
+    def tan(self, x):
+        return self.div(self.sin(x), self.cos(x))
+
+    def sinh(self, x):
+        b = self.base
+        return (b.sinh(x[0]), b.mul(b.cosh(x[0]), x[1]))
+
+    def cosh(self, x):
+        b = self.base
+        return (b.cosh(x[0]), b.mul(b.sinh(x[0]), x[1]))
+
+    def tanh(self, x):
+        b = self.base
+        th = b.tanh(x[0])
+        one = self._one(x[0])
+        return (th, b.mul(b.sub(one, b.mul(th, th)), x[1]))
+
+    def pow_(self, x, y):
+        return self.exp(self.mul(y, self.log(x)))
+
+    def logistic(self, x):
+        b = self.base
+        s = b.logistic(x[0])
+        one = self._one(x[0])
+        return (s, b.mul(b.mul(s, b.sub(one, s)), x[1]))
+
+    def square(self, x):
+        return self.mul(x, x)
+
+    def sign(self, x):
+        b = self.base
+        return (b.sign(x[0]), b.zeros_like(x[0]))

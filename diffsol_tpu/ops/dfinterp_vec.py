@@ -17,11 +17,13 @@ is trailing on BOTH operands, numpy-style broadcasting of the logical
 shapes is exactly jnp broadcasting of the stored arrays.
 
 Supported primitives: elementwise arithmetic, comparisons + ``select_n``
-(jnp.where), and the static shape-plumbing set (slice / concatenate /
+(jnp.where), the static shape-plumbing set (slice / concatenate /
 broadcast / reshape / transpose / pad / iota / reduce_sum) -- the MOL
-stencil vocabulary.  Transcendentals raise
-:class:`~diffsol_tpu.ops.dfinterp.UnsupportedForPallas` exactly like the
-scalar interpreter; callers fall back to the XLA lockstep path.
+stencil vocabulary -- and the transcendental family (exp/log/sin/...)
+via the df32 argument-reduction kernels, same coverage as the scalar
+interpreter.  Anything else raises
+:class:`~diffsol_tpu.ops.dfinterp.UnsupportedForPallas`; callers fall
+back to the XLA lockstep path.
 
 Jacobians use the same dual-number layering as the scalar interpreter
 (:class:`~diffsol_tpu.ops.dfinterp.DualAlgebra` works unchanged -- all
@@ -38,7 +40,7 @@ import numpy as np
 import jax.numpy as jnp
 from jax.extend import core as jcore
 
-from .dfinterp import UnsupportedForPallas
+from .dfinterp import _CMP_ALG, _UNARY_ALG, UnsupportedForPallas
 
 
 class VArr:
@@ -206,6 +208,21 @@ def make_vec_interpreter(alg, lanes_like, lift_array=None):
                 out = ew2(alg.maximum, *ins)
             elif prim == "min":
                 out = ew2(alg.minimum, *ins)
+            elif prim in _UNARY_ALG:
+                fn = getattr(alg, _UNARY_ALG[prim], None)
+                if fn is None:
+                    raise UnsupportedForPallas(
+                        f"primitive {prim!r} not implemented by this "
+                        "kernel algebra"
+                    )
+                out = ew1(fn, ins[0])
+            elif prim == "pow":
+                fn = getattr(alg, "pow_", None)
+                if fn is None:
+                    raise UnsupportedForPallas(
+                        "pow not implemented by this kernel algebra"
+                    )
+                out = ew2(fn, *ins)
             elif prim == "lt":
                 out = cmp2(alg.lt, *ins)
             elif prim == "le":
