@@ -348,14 +348,17 @@ def log(x: DF) -> DF:
 
 
 def log1p(x: DF) -> DF:
-    small = jnp.abs(x.hi) < 1e-4
-    # series x - x^2/2 + x^3/3 - x^4/4 + x^5/5 (|next| <= 1e-24/6)
-    s = mul_f32(x, -1.0 / 6.0)
-    for c in (0.2, -0.25, 1.0 / 3.0, -0.5, 1.0):
+    """Alternating series on |x| < 1/32 (11 terms: next term rel
+    ~(1/32)^11 < 2^-55); log(1+x) outside, where |log1p| >= 0.03 keeps
+    the log refinement's ~2^-47 ABSOLUTE error below ~2.5e-13 relative."""
+    small = jnp.abs(x.hi) < (1.0 / 32.0)
+    s = mul_f32(x, -1.0 / 12.0)
+    for k in range(11, 0, -1):
+        c = (1.0 if k % 2 == 1 else -1.0) / k
         s = mul(x, add(const(c, like=x.hi), s))
     big = log(add(const(1.0, like=x.hi), x))
     # keep the log branch NaN-free where the series is selected (x ~ -1
-    # never has |x| < 1e-4, so only the series' own domain matters)
+    # never lands in the series window)
     return where(small, s, big)
 
 
