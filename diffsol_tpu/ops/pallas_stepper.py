@@ -530,44 +530,53 @@ def make_pallas_bdf_solve(
 
         nan32 = jnp.asarray(np.float32(np.nan))
 
-        carry0 = (
-            jnp.asarray(0, i32),            # k: attempts
-            jnp.asarray(0, i32),            # steps accepted
-            jnp.asarray(_OK, i32),          # status
-            jnp.asarray(0, i32),            # next_eval
-            t0_df,                          # t
-            h_df0,                          # h
-            jnp.asarray(1, i32),            # order
-            jnp.asarray(0, i32),            # n_equal
-            nan32,                          # prev_err (squared)
-            jnp.asarray(0, i32),            # conv_fail (this step)
-            jnp.asarray(0, i32),            # newton_fails total
-            jnp.asarray(0, i32),            # err_fails this step
-            jnp.asarray(0, i32),            # h_changed (this step)
-            D0,
+        carry0 = dict(
+            k=jnp.asarray(0, i32),            # attempts
+            steps=jnp.asarray(0, i32),        # accepted
+            status=jnp.asarray(_OK, i32),
+            next_eval=jnp.asarray(0, i32),
+            t=t0_df,
+            h=h_df0,
+            order=jnp.asarray(1, i32),
+            n_equal=jnp.asarray(0, i32),
+            prev_err=nan32,                   # squared
+            conv_fail=jnp.asarray(0, i32),    # this step
+            newton_fails=jnp.asarray(0, i32),  # total
+            err_fails=jnp.asarray(0, i32),    # this step
+            h_changed=jnp.asarray(0, i32),    # this step
+            D=D0,
         )
         if jac_reuse:
             zdf = df32.zeros_like(zrow)
-            J0 = tuple(tuple(zdf for _ in range(n)) for _ in range(n))
-            lu0 = tuple(tuple(zdf for _ in range(n)) for _ in range(n))
-            perm0 = tuple(jnp.zeros_like(zrow.hi, i32) for _ in range(n))
-            carry0 = carry0 + (
-                J0, lu0, perm0,
-                jnp.asarray(0.0, f32),      # c_last (LU's c; 0 = none)
-                jnp.asarray(0, i32),        # ssj: attempts since refactor
-                jnp.asarray(0, i32),        # ssrj: attempts since J refresh
-                jnp.asarray(np.float32(20.0**1.25)),  # eta memory
+            carry0.update(
+                J=tuple(tuple(zdf for _ in range(n)) for _ in range(n)),
+                lu=tuple(tuple(zdf for _ in range(n)) for _ in range(n)),
+                perm=tuple(jnp.zeros_like(zrow.hi, i32) for _ in range(n)),
+                c_last=jnp.asarray(0.0, f32),  # LU's c; 0 = none
+                ssj=jnp.asarray(0, i32),       # attempts since refactor
+                ssrj=jnp.asarray(0, i32),      # attempts since J refresh
+                eta_mem=jnp.asarray(np.float32(20.0**1.25)),
             )
 
         def cond(c):
-            k, _steps, status, next_eval = c[0], c[1], c[2], c[3]
-            return (status == _OK) & (k < max_steps) & (next_eval < neval)
+            return (
+                (c["status"] == _OK) & (c["k"] < max_steps)
+                & (c["next_eval"] < neval)
+            )
 
         def body(c):
             (k, steps, status, next_eval, t, h, order, n_equal, prev_err,
-             conv_fail, newton_fails, err_fails, h_changed, D) = c[:14]
+             conv_fail, newton_fails, err_fails, h_changed, D) = (
+                c["k"], c["steps"], c["status"], c["next_eval"], c["t"],
+                c["h"], c["order"], c["n_equal"], c["prev_err"],
+                c["conv_fail"], c["newton_fails"], c["err_fails"],
+                c["h_changed"], c["D"],
+            )
             if jac_reuse:
-                (J_c, lu_c, perm_c, c_last, ssj, ssrj, eta_mem) = c[14:]
+                (J_c, lu_c, perm_c, c_last, ssj, ssrj, eta_mem) = (
+                    c["J"], c["lu"], c["perm"], c["c_last"], c["ssj"],
+                    c["ssrj"], c["eta_mem"],
+                )
 
             alpha_k = _df_table(alpha64, order)
             cval = df32.mul(h, alpha_k)
@@ -923,18 +932,22 @@ def make_pallas_bdf_solve(
                 _FAIL_MAX_STEPS, status_n,
             ).astype(i32)
 
-            out = (
-                k + 1, steps + accepted.astype(i32), status_n, next_eval_new,
-                tn, hn, order_n, n_equal_ret, prev_err_n,
-                conv_fail_n, newton_fails, err_fails_n, h_changed_n, Dn,
+            out = dict(
+                k=k + 1, steps=steps + accepted.astype(i32),
+                status=status_n, next_eval=next_eval_new,
+                t=tn, h=hn, order=order_n, n_equal=n_equal_ret,
+                prev_err=prev_err_n, conv_fail=conv_fail_n,
+                newton_fails=newton_fails, err_fails=err_fails_n,
+                h_changed=h_changed_n, D=Dn,
             )
             if jac_reuse:
-                out = out + (J, lu, perm, c_last_n, ssj_n, ssrj_n, eta_fin)
+                out.update(J=J, lu=lu, perm=perm, c_last=c_last_n,
+                           ssj=ssj_n, ssrj=ssrj_n, eta_mem=eta_fin)
             return out
 
         out = jax.lax.while_loop(cond, body, carry0)
-        k_fin, steps_fin, status_fin = out[0], out[1], out[2]
-        next_eval_fin = out[3]
+        k_fin, steps_fin, status_fin = out["k"], out["steps"], out["status"]
+        next_eval_fin = out["next_eval"]
         status_fin = jnp.where(
             (status_fin == _OK) & (next_eval_fin < neval),
             _FAIL_MAX_STEPS, status_fin,
