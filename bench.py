@@ -825,6 +825,68 @@ def row_dfn():
     )
 
 
+def row_dfn_ensemble():
+    """The DFN at the ENSEMBLE axis (the reference tracks pybamm DFN as a
+    bench of record, crates/diffsol/benches/pybamm_dfn.rs:14-31; the
+    reference has no batched-DFN mode at all -- this row is the
+    TPU-native win axis): a B=8 lockstep ensemble through the
+    krylov-lockstep tier (joint-block batched GMRES + per-member f32-LU
+    preconditioning), step-driven like row_dfn.  Measures a fixed step
+    window (full discharge at B=8 would blow the budget) and reports
+    ms/step/member against the single-instance row."""
+    from diffsol_tpu.problem import InitialConditionOptions, OdeBuilder
+    from diffsol_tpu.drivers import init_state_jit
+    from diffsol_tpu.ensemble import make_lockstep_problem
+    from diffsol_tpu.solvers.bdf import BdfSolver as _B
+
+    B, NMEAS = 8, 40
+    src = open(
+        "/root/reference/crates/diffsol/benches/pybamm_dfn.diffsl"
+    ).read()
+    prob = (
+        OdeBuilder()
+        .rtol(1e-4)
+        .atol(1e-6)
+        .ic_options(InitialConditionOptions(armijo_constant=1e-1))
+        .linear_solver("krylov")  # the n>=256 auto-route picks it anyway
+        .build_from_diffsl(src)
+    )
+    lp = make_lockstep_problem(prob, B)
+    np_params = np.asarray(prob.params)
+    if np_params.size:
+        params_b = jnp.asarray(
+            np_params[None, :] * (1.0 + 0.05 * np.linspace(-1, 1, B))[:, None]
+        )
+    else:  # the reference DFN text has no `in` inputs
+        params_b = jnp.zeros((B, 0))
+    solver = _B(lp)
+    state = init_state_jit(solver, params_b)
+    step_jit = jax.jit(solver.step)
+    state = step_jit(state, params_b)  # pays compile
+    float(state.t)
+    # warm a few steps past startup ramp, then measure NMEAS host-synced
+    for _ in range(5):
+        state = step_jit(state, params_b)
+    float(state.t)
+    t0 = time.perf_counter()
+    for _ in range(NMEAS):
+        state = step_jit(state, params_b)
+        float(state.t)  # host sync: same step-driven regime as row_dfn
+    wall = time.perf_counter() - t0
+    assert float(state.t) > 0.0 and bool(jnp.all(jnp.isfinite(state.y)))
+    ms_step = wall / NMEAS * 1e3
+    R["pybamm_dfn_ensemble_B"] = B
+    R["pybamm_dfn_ensemble_steps_measured"] = NMEAS
+    R["pybamm_dfn_ensemble_ms_per_step"] = round(ms_step, 1)
+    R["pybamm_dfn_ensemble_ms_per_step_per_member"] = round(ms_step / B, 1)
+    if R.get("pybamm_dfn_ms_per_step"):
+        # ensemble-axis speedup: B members cost this much less than B
+        # sequential single-instance solves
+        R["pybamm_dfn_ensemble_vs_single"] = round(
+            R["pybamm_dfn_ms_per_step"] / (ms_step / B), 2
+        )
+
+
 def main():
     # --- backend assert FIRST (CLAUDE.md rule): a contended axon tunnel
     # silently falls back to CPU and every compile then runs on the 1-core
@@ -883,6 +945,7 @@ def main():
     # the DFN row costs ~23 min of axon compile cold; only run it when the
     # budget clearly covers it (cache-primed it fits easily)
     row("dfn", 1500, row_dfn)
+    row("dfn_ensemble", 900, row_dfn_ensemble)
 
 
 if __name__ == "__main__":
