@@ -26,7 +26,7 @@ from . import errors
 from ._pytree import pytree_dataclass
 
 
-@pytree_dataclass
+@pytree_dataclass(static=("tier",))
 class Solution:
     """Solve result (reference `Solution`, solution.rs:70-221).
 
@@ -34,6 +34,15 @@ class Solution:
     first ``n_points`` entries are valid.  ``stop_reason`` is an
     :mod:`diffsol_tpu.errors` code; ``state`` is the final solver state
     (restartable checkpoint, reference method.rs:56-70).
+
+    ``tier`` records which execution path produced an ensemble solve
+    (``"lockstep"``/``"independent"``/``"fused_small"``/``"fused_band"``;
+    ``None`` for single-instance drivers).  The fused tiers use
+    TILED-lockstep semantics: the error-norm max is per 8-lane tile, so
+    different tiles take different adaptive step sequences (the XLA
+    lockstep path shares ONE sequence across the whole batch) --
+    ``tile_steps`` then holds the per-tile accepted-step counts so the
+    difference is visible rather than silent.
     """
 
     ts: jax.Array
@@ -45,6 +54,8 @@ class Solution:
     root_t: jax.Array
     root_idx: jax.Array
     state: Any
+    tile_steps: Optional[jax.Array] = None
+    tier: Optional[str] = None
 
     def raise_for_status(self):
         errors.check_status(int(self.stop_reason), float(self.state.t))

@@ -238,7 +238,9 @@ _fused_cache: dict = {}
 
 def _make_fused_solve(problem, t_eval, nbatch, max_steps, interpret):
     """Route to a fused whole-solve kernel: the small-n unrolled stepper
-    first (n <= 8), then the banded medium-n stepper (MOL class)."""
+    first (n <= 8), then the banded medium-n stepper (MOL class).
+    Returns ``(solve_fn, tier_name)`` so the Solution can surface which
+    (tiled-lockstep) semantics produced it."""
     from .ops.dfinterp import UnsupportedForPallas
     from .ops.pallas_stepper import make_pallas_bdf_solve
     from .ops.pallas_stepper_band import make_pallas_band_bdf_solve
@@ -247,13 +249,13 @@ def _make_fused_solve(problem, t_eval, nbatch, max_steps, interpret):
         return make_pallas_bdf_solve(
             problem, t_eval, nbatch=nbatch, max_steps=max_steps,
             interpret=interpret,
-        )
+        ), "fused_small"
     except UnsupportedForPallas as e_small:
         try:
             return make_pallas_band_bdf_solve(
                 problem, t_eval, nbatch=nbatch, max_steps=max_steps,
                 interpret=interpret,
-            )
+            ), "fused_band"
         except UnsupportedForPallas as e_band:
             raise UnsupportedForPallas(
                 f"small-n tier: {e_small}; banded tier: {e_band}"
@@ -270,11 +272,12 @@ def _fused_solve_cached(problem, t_eval, nbatch, max_steps, interpret,
     key = (id(problem), te_key, nbatch, max_steps, interpret, mesh_key)
     hit = _fused_cache.get(key)
     if hit is not None and hit[0] is problem:
-        return hit[1]
+        return hit[1], hit[2]
     if mesh is None:
-        fn = jax.jit(_make_fused_solve(
+        local, tier = _make_fused_solve(
             problem, t_eval, nbatch, max_steps, interpret,
-        ))
+        )
+        fn = jax.jit(local)
     else:
         try:
             from jax import shard_map
@@ -282,32 +285,60 @@ def _fused_solve_cached(problem, t_eval, nbatch, max_steps, interpret,
             from jax.experimental.shard_map import shard_map
 
         nshards = mesh.shape[axis]
-        local = _make_fused_solve(
+        local, tier = _make_fused_solve(
             problem, t_eval, nbatch // nshards, max_steps, interpret,
         )
-        sm_kwargs = dict(
-            mesh=mesh, in_specs=P(axis),
-            out_specs=(P(None, None, axis), P(axis), P(axis)),
-        )
+        if problem.eqn.root is not None or problem.integrate_out:
+            # extended dict return (root/quadrature in kernel)
+            out_specs = dict(
+                ys=P(None, None, axis), status=P(axis), steps=P(axis),
+                n_points=P(axis),
+            )
+            if problem.integrate_out:
+                out_specs["gs"] = P(None, None, axis)
+            if problem.eqn.root is not None:
+                out_specs.update(
+                    n_roots=P(axis), root_idx=P(axis), root_t=P(axis)
+                )
+        else:
+            out_specs = (P(None, None, axis), P(axis), P(axis))
+        sm_kwargs = dict(mesh=mesh, in_specs=P(axis), out_specs=out_specs)
         try:
             sharded = shard_map(local, check_vma=False, **sm_kwargs)
         except TypeError:  # older jax spelling
             sharded = shard_map(local, check_rep=False, **sm_kwargs)
         fn = jax.jit(sharded)
-    _fused_cache[key] = (problem, fn)
-    return fn
+    _fused_cache[key] = (problem, fn, tier)
+    return fn, tier
 
 
-def _fused_solution(fsolve, params_batch, t_eval):
-    """Run the fused Pallas whole-solve kernel and wrap its raw
-    (ys, status, steps) into the drivers.Solution surface (shared-fate
-    lockstep semantics: the worst tile status is the batch status)."""
+def _fused_solution(fsolve, params_batch, t_eval, problem=None, tier=None):
+    """Run the fused Pallas whole-solve kernel and wrap its raw results
+    into the drivers.Solution surface (shared-fate lockstep semantics:
+    the worst tile status is the batch status).  Root/quadrature kernels
+    return a dict; the semantics mirror drivers.solve_dense exactly:
+    reset-continue ends TSTOP_REACHED with root_t unreported, a no-reset
+    root ends ROOT_FOUND at member 0's polished crossing, and a
+    tile-inconsistent (or cross-tile-inconsistent) crossing is
+    ROOT_BATCH_INCONSISTENT."""
     from . import errors
     from .drivers import Solution
     from .ops import pallas_stepper as ps
 
-    ys, status, _steps = fsolve(params_batch)
+    raw = fsolve(params_batch)
+    if isinstance(raw, dict):
+        ys, status, steps = raw["ys"], raw["status"], raw["steps"]
+        gs = raw.get("gs")
+        root_t, root_idx = raw.get("root_t"), raw.get("root_idx")
+    else:
+        ys, status, steps = raw
+        gs = root_t = root_idx = None
+    # solve_dense parity: n_points is always neval (points past a root
+    # stop are zeros in both paths)
+    n_points = jnp.asarray(len(jnp.asarray(t_eval)), jnp.int32)
     ys = jnp.moveaxis(ys, -1, 1)  # (neval, B, n)
+    if gs is not None:
+        gs = jnp.moveaxis(gs, -1, 1)  # (neval, B, nout)
     worst = jnp.min(status)
     stop = jnp.where(
         worst == ps._FAIL_STEP_TOO_SMALL, errors.STEP_SIZE_TOO_SMALL,
@@ -319,18 +350,45 @@ def _fused_solution(fsolve, params_batch, t_eval):
                 jnp.where(
                     worst == ps._FAIL_ERRTEST,
                     errors.TOO_MANY_ERROR_TEST_FAILURES,
-                    errors.TSTOP_REACHED,
+                    jnp.where(
+                        worst == ps._FAIL_ROOT_INCONS,
+                        errors.ROOT_BATCH_INCONSISTENT,
+                        jnp.where(
+                            # no-pivot LU growth blow-up surfaces the
+                            # same way the XLA band tier does: as a
+                            # (non)linear-solver failure
+                            worst == ps._FAIL_LU_GROWTH,
+                            errors.TOO_MANY_NONLINEAR_SOLVER_FAILURES,
+                            errors.TSTOP_REACHED,
+                        ),
+                    ),
                 ),
             ),
         ),
     ).astype(jnp.int32)
     te = jnp.asarray(t_eval)
+    sol_root_t = jnp.asarray(jnp.nan, ys.dtype)
+    sol_root_idx = jnp.asarray(-1, jnp.int32)
+    has_reset = problem is not None and problem.eqn.reset is not None
+    if root_t is not None and not has_reset:
+        # stop-at-root: every tile must agree a root fired (XLA lockstep
+        # requires the whole batch to cross together)
+        any_root = jnp.any(status == ps._ROOT_STOP)
+        all_root = jnp.all(status == ps._ROOT_STOP)
+        stop = jnp.where(
+            (worst >= 0) & any_root & ~all_root,
+            errors.ROOT_BATCH_INCONSISTENT,
+            jnp.where((worst >= 0) & all_root, errors.ROOT_FOUND, stop),
+        ).astype(jnp.int32)
+        sol_root_t = jnp.where(all_root, root_t[0], sol_root_t)
+        sol_root_idx = jnp.where(
+            all_root, root_idx[0], sol_root_idx
+        ).astype(jnp.int32)
     return Solution(
-        ts=te, ys=ys, gs=None, sens=None, stop_reason=stop,
-        n_points=jnp.asarray(te.shape[0], jnp.int32),
-        root_t=jnp.asarray(jnp.nan, ys.dtype),
-        root_idx=jnp.asarray(-1, jnp.int32),
-        state=None,
+        ts=te, ys=ys, gs=gs, sens=None, stop_reason=stop,
+        n_points=jnp.asarray(n_points, jnp.int32),
+        root_t=sol_root_t, root_idx=sol_root_idx,
+        state=None, tile_steps=steps, tier=tier,
     )
 
 
@@ -378,7 +436,7 @@ def solve_dense_ensemble(
                         f"fused+mesh needs nbatch divisible by mesh axis "
                         f"{axis!r} ({nbatch} % {mesh.shape[axis]})"
                     )
-                fsolve = _fused_solve_cached(
+                fsolve, tier = _fused_solve_cached(
                     problem, t_eval, nbatch, max_steps,
                     interpret or not on_tpu, mesh, axis,
                 )
@@ -386,7 +444,10 @@ def solve_dense_ensemble(
                     params_batch = jax.device_put(
                         params_batch, NamedSharding(mesh, P(axis))
                     )
-                return _fused_solution(fsolve, params_batch, t_eval)
+                return _fused_solution(
+                    fsolve, params_batch, t_eval, problem=problem,
+                    tier=tier,
+                )
         except UnsupportedForPallas:
             if mode == "fused":
                 raise
@@ -409,7 +470,7 @@ def solve_dense_ensemble(
             gs = sol.gs
             if gs is not None and problem.eqn.nout:
                 gs = jnp.moveaxis(gs, -1, 1)
-            return sol.replace(ys=ys, gs=gs)
+            return sol.replace(ys=ys, gs=gs, tier="lockstep")
 
         if mesh is not None:
             shard = NamedSharding(mesh, P(axis))
@@ -428,7 +489,9 @@ def solve_dense_ensemble(
 
         def run(pb):
             sol = jax.vmap(run_one)(pb)
-            return sol.replace(ys=jnp.moveaxis(sol.ys, 0, 1))
+            return sol.replace(
+                ys=jnp.moveaxis(sol.ys, 0, 1), tier="independent"
+            )
 
         if mesh is not None:
             shard = NamedSharding(mesh, P(axis))

@@ -22,9 +22,15 @@ the XLA path already does (ops/newton.py, ops/controller.py).
 
 Scope (checked at build time; callers fall back to the XLA lockstep path):
 identity or DIAGONAL mass (semi-explicit DAEs with consistent initial
-conditions -- probed at build; the robertson DAE class), no root/reset,
-no quadrature output, no sensitivities, n <= 8 states,
-polynomial/rational rhs.  This covers the reference's
+conditions -- probed at build; the robertson DAE class), root events
+(stop-at-root and reset-and-continue; reference bdf.rs:1566-1579 root
+check + root.rs:60-165 modified secant, both run IN-KERNEL on the
+accepted-step interpolant with the XLA tier's shared-root tile
+semantics), quadrature output (op/bdf.rs:179 integrate_out: a gD
+difference matrix advances alongside D, with the optional
+output-in-error-control test), no sensitivities, n <= 8 states,
+rhs within the df interpreter's primitive set (arith + exp/log/trig
+via ops/df32 transcendentals).  This covers the reference's
 robertson / robertson_ode / exponential-decay benchmark class (reference
 crates/diffsol/src/ode_solver/bdf.rs:1277-1465 hot loop; the CUDA analog
 batches the same loop over the nbatch context).
@@ -74,10 +80,13 @@ f32 = jnp.float32
 
 # status codes local to the kernel (host maps <0 to errors.*)
 _OK = 0
+_ROOT_STOP = 1  # root found, no reset operator: solve stops at the root
 _FAIL_STEP_TOO_SMALL = -1
 _FAIL_MAX_STEPS = -2
 _FAIL_NEWTON = -3
 _FAIL_ERRTEST = -4
+_FAIL_ROOT_INCONS = -5  # tile lanes disagree on the root crossing
+_FAIL_LU_GROWTH = -6  # no-pivot band LU element growth blew up (band tier)
 
 # static precomputed U = R(1)R(1)-style factor of the step-size transform
 # (solvers/bdf.py _compute_ru): u[i][j] = prod_{m=1..i} (m - 1 - j) / m
@@ -275,6 +284,57 @@ def _select_row(D, col, n):
     return rows
 
 
+def _interp_rows(Dm, nrows, t_anchor: DF, h: DF, order, te: DF, lane_shape):
+    """Evaluate the accepted step's interpolation polynomial at ``te``.
+
+    ``Dm`` is a difference matrix anchored at ``(t_anchor, h, order)``
+    (solvers/bdf._interp_from_diff; reference bdf.rs:767-810).  ``te``,
+    ``t_anchor`` and ``h`` are DF tile scalars; returns nrows DF lane rows.
+    """
+    yv = [Dm[0][s] for s in range(nrows)]
+    tf = _df_const(1.0)
+    for i_ in range(MAX_ORDER):
+        # tf *= (te - (t_anchor - h*i)) / (h*(1+i))
+        num = df32.sub(te, df32.sub(t_anchor, df32.mul_f32(h, float(i_))))
+        den = df32.mul_f32(h, float(1 + i_))
+        tf_new = df32.mul(tf, df32.div(num, den))
+        use = i_ < order
+        tfb = DF(jnp.broadcast_to(tf_new.hi, lane_shape),
+                 jnp.broadcast_to(tf_new.lo, lane_shape))
+        for s in range(nrows):
+            contrib = df32.where(
+                use, df32.mul(tfb, Dm[i_ + 1][s]), df32.zeros_like(yv[s])
+            )
+            yv[s] = df32.add(yv[s], contrib)
+        tf = df32.where(use, tf_new, tf)
+    return yv
+
+
+def _update_diff_rows(Dm, d_rows, order, nrows):
+    """Accepted-step difference update (solvers/bdf._update_diff):
+    D'[i] = suffix_sum + d for i <= order; D[order+1] = d;
+    D[order+2] = d - D_old[order+1]."""
+    d_old_op1 = _select_row(Dm, order + 1, nrows)
+    zero = df32.zeros_like(d_rows[0])
+    new_rows = [None] * ND
+    acc = [zero for _ in range(nrows)]
+    for i_ in range(ND - 1, -1, -1):
+        for s in range(nrows):
+            inc = df32.where(i_ <= order, Dm[i_][s], zero)
+            acc[s] = df32.add(acc[s], inc)
+        row = []
+        for s in range(nrows):
+            below = df32.add(acc[s], d_rows[s])
+            v = df32.where(i_ <= order, below, Dm[i_][s])
+            v = df32.where(i_ == order + 1, d_rows[s], v)
+            v = df32.where(
+                i_ == order + 2, df32.sub(d_rows[s], d_old_op1[s]), v
+            )
+            row.append(v)
+        new_rows[i_] = tuple(row)
+    return tuple(new_rows)
+
+
 def make_pallas_bdf_solve(
     problem,
     t_eval,
@@ -310,14 +370,27 @@ def make_pallas_bdf_solve(
         raise UnsupportedForPallas(
             "non-diagonal mass not supported in kernel tier"
         )
-    if eqn.root is not None or eqn.reset is not None:
-        raise UnsupportedForPallas("root/reset events not supported in kernel tier")
-    if problem.integrate_out:
-        raise UnsupportedForPallas("quadrature output not supported in kernel tier")
+    has_root = eqn.root is not None
+    has_reset = eqn.reset is not None
+    integrate_out = bool(problem.integrate_out)
+    if eqn.reset_n is not None:
+        raise UnsupportedForPallas(
+            "index-aware reset_n not supported in kernel tier"
+        )
+    if has_root and has_mass:
+        raise UnsupportedForPallas(
+            "events + mass matrix not supported in kernel tier (the "
+            "post-reset consistent-IC solve is XLA-tier only)"
+        )
     n = eqn.nstates
     nparams = eqn.nparams
     if n > 8:
         raise UnsupportedForPallas(f"n={n} > 8 states")
+    nroot = eqn.nroots if has_root else 0
+    # quadrature rows: g = integral of out(t,y,p) (or of y when out is
+    # None -- reference op/bdf.rs:179 integrate_out with the rhs itself)
+    nout = (eqn.nout if eqn.out is not None else n) if integrate_out else 0
+    out_in_err = problem.output_in_error_control()
 
     t_eval64 = np.asarray(jax.device_get(jnp.asarray(t_eval)), np.float64).reshape(-1)
     neval = len(t_eval64)
@@ -342,6 +415,31 @@ def make_pallas_bdf_solve(
         mass_jaxpr = (
             jax.make_jaxpr(eqn.mass_diag_fn)(t_aval, p_aval)
             if has_mass else None
+        )
+        root_jaxpr = (
+            jax.make_jaxpr(eqn.root)(t_aval, y_aval, p_aval)
+            if has_root else None
+        )
+        reset_jaxpr = (
+            jax.make_jaxpr(eqn.reset)(t_aval, y_aval, p_aval)
+            if has_reset else None
+        )
+        out_jaxpr = (
+            jax.make_jaxpr(eqn.out)(t_aval, y_aval, p_aval)
+            if (integrate_out and eqn.out is not None) else None
+        )
+    if integrate_out:
+        out_atol64 = (
+            np.asarray(
+                jax.device_get(jnp.asarray(problem.out_atol)), np.float64
+            ).reshape(-1)
+            if problem.out_atol is not None else None
+        )
+        if out_atol64 is not None and out_atol64.shape[0] == 1:
+            out_atol64 = np.repeat(out_atol64, nout)
+        out_rtol_f32 = (
+            np.float32(np.asarray(jax.device_get(problem.out_rtol)))
+            if problem.out_rtol is not None else None
         )
 
     mass_const_diag = None
@@ -401,7 +499,15 @@ def make_pallas_bdf_solve(
     max_growth = 2.1
     dead_lo, dead_hi = 0.9, 1.1  # minimum_timestep_growth/maximum_timestep_shrink
 
-    def kernel(p_ref, ys_hi_ref, ys_lo_ref, info_ref):
+    def kernel(p_ref, *out_refs):
+        _it = iter(out_refs)
+        ys_hi_ref = next(_it)
+        ys_lo_ref = next(_it)
+        gs_hi_ref = next(_it) if integrate_out else None
+        gs_lo_ref = next(_it) if integrate_out else None
+        info_ref = next(_it)
+        root_t_ref = next(_it) if has_root else None
+
         A = DFAlgebra
         lanes = p_ref[0, :] * 0.0  # (tile,) f32 zeros: lane-shape template
         run_df = make_interpreter(A, lanes)
@@ -409,6 +515,10 @@ def make_pallas_bdf_solve(
         run_dual = make_interpreter(dual, lanes)
 
         p_rows = [DF(p_ref[r, :], p_ref[nparams + r, :]) for r in range(nparams)]
+        # lane-0 mask for the root polish (the reference polishes batch 0's
+        # crossing to a SHARED root time, ops/rootfind.py check_root):
+        # host supplies the lane-index row (Mosaic-safe; no 1-D iota)
+        lane0 = p_ref[2 * nparams, :] == 0.0 if has_root else None
 
         def rhs_rows(t_sc: DF, y_rows):
             tb = DF(jnp.broadcast_to(t_sc.hi, lanes.shape),
@@ -452,6 +562,30 @@ def make_pallas_bdf_solve(
                 mass_jaxpr, [SArr((), [tb]), SArr((nparams,), p_rows)]
             )[0]
             return list(out.flat)
+
+        def _tyjaxpr_rows(jxp, t_sc: DF, y_rows):
+            """Evaluate a (t, y, p) jaxpr to its output DF rows."""
+            tb = DF(jnp.broadcast_to(t_sc.hi, lanes.shape),
+                    jnp.broadcast_to(t_sc.lo, lanes.shape))
+            out = run_df(
+                jxp,
+                [SArr((), [tb]), SArr((n,), list(y_rows)),
+                 SArr((nparams,), p_rows)],
+            )[0]
+            return list(out.flat)
+
+        def out_rows(t_sc: DF, y_rows):
+            # out(t, y, p) quadrature integrand; g = integral of y itself
+            # when no out fn (drivers semantics, op/bdf.rs:179)
+            if out_jaxpr is None:
+                return list(y_rows)
+            return _tyjaxpr_rows(out_jaxpr, t_sc, y_rows)
+
+        def root_rows(t_sc: DF, y_rows):
+            return _tyjaxpr_rows(root_jaxpr, t_sc, y_rows)
+
+        def reset_rows(t_sc: DF, y_rows):
+            return _tyjaxpr_rows(reset_jaxpr, t_sc, y_rows)
 
         # ---- initial state -------------------------------------------------
         t0_df = _df_const(t0_64)
@@ -528,6 +662,30 @@ def make_pallas_bdf_solve(
         D0[1] = tuple(df32.mul(h_df0, dy0[r]) for r in range(n))
         D0 = tuple(D0)
 
+        if integrate_out:
+            # g(t0) = 0; gD[1] = h * out(t0, y0) (solvers/bdf init_state)
+            dg0 = out_rows(t0_df, y0)
+            gD0 = [
+                tuple(df32.zeros_like(zrow) for _ in range(nout))
+                for _ in range(ND)
+            ]
+            gD0[1] = tuple(df32.mul(h_df0, dg0[r]) for r in range(nout))
+            gD0 = tuple(gD0)
+
+        if has_root:
+            rootg0 = tuple(root_rows(t0_df, y0))
+            # a root-stop solve leaves eval points past the root unwritten:
+            # zero them up front so the host sees the XLA driver's zeros
+            # (pallas output buffers are otherwise uninitialized)
+            zero_row = jnp.zeros((1, tile), f32)
+            for row in range(neval * n):
+                ys_hi_ref[pl.dslice(row, 1), :] = zero_row
+                ys_lo_ref[pl.dslice(row, 1), :] = zero_row
+            if integrate_out:
+                for row in range(neval * nout):
+                    gs_hi_ref[pl.dslice(row, 1), :] = zero_row
+                    gs_lo_ref[pl.dslice(row, 1), :] = zero_row
+
         nan32 = jnp.asarray(np.float32(np.nan))
 
         carry0 = dict(
@@ -546,6 +704,16 @@ def make_pallas_bdf_solve(
             h_changed=jnp.asarray(0, i32),    # this step
             D=D0,
         )
+        if integrate_out:
+            carry0["gD"] = gD0
+        if has_root:
+            carry0.update(
+                rootg=rootg0,
+                n_roots=jnp.asarray(0, i32),
+                root_t=DF(jnp.asarray(np.float32(np.nan)),
+                          jnp.asarray(np.float32(0.0))),
+                root_idx=jnp.asarray(-1, i32),
+            )
         if jac_reuse:
             zdf = df32.zeros_like(zrow)
             carry0.update(
@@ -577,6 +745,10 @@ def make_pallas_bdf_solve(
                     c["J"], c["lu"], c["perm"], c["c_last"], c["ssj"],
                     c["ssrj"], c["eta_mem"],
                 )
+            if integrate_out:
+                gD_c = c["gD"]
+            if has_root:
+                rootg_c = c["rootg"]
 
             alpha_k = _df_table(alpha64, order)
             cval = df32.mul(h, alpha_k)
@@ -729,6 +901,20 @@ def make_pallas_bdf_solve(
             solve_ok = nstat == 1
             d_rows = [df32.sub(x_fin[r], y_pred[r]) for r in range(n)]
 
+            # ---- quadrature delta (op/bdf.rs:45-57: d_g = c*dg - psi_g) --
+            if integrate_out:
+                dg = out_rows(t_pred, y_pred)
+                psi_g_raw = _masked_row_sum(
+                    gD_c, order, nout, lo=1, weights=gamma_w
+                )
+                g_delta = [
+                    df32.sub(
+                        df32.mul(cval, dg[r]),
+                        df32.mul(psi_g_raw[r], alpha_k),
+                    )
+                    for r in range(nout)
+                ]
+
             # ---- error test ---------------------------------------------
             sq_acc = None
             for r in range(n):
@@ -738,6 +924,23 @@ def make_pallas_bdf_solve(
                 sq_acc = sq if sq_acc is None else sq_acc + sq
             sq_d = jnp.max(sq_acc / np.float32(n))
             err = sq_d * _f32_table(ec2_32, order - 1)
+            if out_in_err:
+                # g error joins the max with the NEXT error constant
+                # (solvers/bdf.py attempt_body: * ec2[order])
+                sqg_acc = None
+                for r in range(nout):
+                    scale = (
+                        jnp.abs(gD_c[0][r].hi) * out_rtol_f32
+                        + np.float32(out_atol64[r])
+                    )
+                    q = g_delta[r].hi / scale
+                    sq = q * q
+                    sqg_acc = sq if sqg_acc is None else sqg_acc + sq
+                err = jnp.maximum(
+                    err,
+                    jnp.max(sqg_acc / np.float32(nout))
+                    * _f32_table(ec2_32, order),
+                )
             accepted = solve_ok & (err <= 1.0)
 
             m = np.float32(max_newton_iter)
@@ -753,32 +956,11 @@ def make_pallas_bdf_solve(
             do_rescale = err_fail | second
 
             # ---- accepted-step finalization ------------------------------
-            # difference update: D'[i] = suffix_sum + d for i <= order;
-            # D[order+1] = d; D[order+2] = d - D_old[order+1]
-            d_old_op1 = _select_row(D, order + 1, n)
-            new_rows = [None] * ND
-            acc = [df32.zeros_like(zrow) for _ in range(n)]
-            for i_ in range(ND - 1, -1, -1):
-                for s in range(n):
-                    inc = df32.where(
-                        i_ <= order, D[i_][s], df32.zeros_like(zrow)
-                    )
-                    acc[s] = df32.add(acc[s], inc)
-                row = []
-                for s in range(n):
-                    below = df32.add(acc[s], d_rows[s])
-                    v = df32.where(i_ <= order, below, D[i_][s])
-                    v = df32.where(i_ == order + 1, d_rows[s], v)
-                    v = df32.where(
-                        i_ == order + 2,
-                        df32.sub(d_rows[s], d_old_op1[s]),
-                        v,
-                    )
-                    row.append(v)
-                new_rows[i_] = tuple(row)
-            D_acc = tuple(new_rows)
+            D_acc = _update_diff_rows(D, d_rows, order, n)
             t_new = t_pred
             y_new = D_acc[0]
+            if integrate_out:
+                gD_acc = _update_diff_rows(gD_c, g_delta, order, nout)
 
             # ---- order selection (every order+1 equal steps) -------------
             # a step-size change during the attempts resets the equal-step
@@ -837,56 +1019,306 @@ def make_pallas_bdf_solve(
                 )
                 for i_ in range(ND)
             )
+            gD_base = (
+                tuple(
+                    tuple(
+                        df32.where(accepted, gD_acc[i_][s], gD_c[i_][s])
+                        for s in range(nout)
+                    )
+                    for i_ in range(ND)
+                )
+                if integrate_out else ()
+            )
 
-            def apply_resc(Din):
+            def apply_resc(args):
+                Din, gDin = args
                 ru = _compute_ru_df(
                     ru_order, DF(ru_factor, jnp.zeros_like(ru_factor))
                 )
-                return _apply_ru_df(ru, Din, n)
+                gDout = _apply_ru_df(ru, gDin, nout) if integrate_out else ()
+                return (_apply_ru_df(ru, Din, n), gDout)
 
-            D_out = jax.lax.cond(do_ru, apply_resc, lambda d: d, D_base)
+            D_out, gD_out = jax.lax.cond(
+                do_ru, apply_resc, lambda a: a, (D_base, gD_base)
+            )
             h_mult = jnp.where(do_ru, ru_factor, np.float32(1.0))
             h_out = df32.mul(h, DF(h_mult, jnp.zeros_like(h_mult)))
+
+            # ---- root check on the accepted interpolant ------------------
+            # (reference bdf.rs:1566-1579 + root.rs:60-165; the XLA port is
+            # ops/rootfind.check_root -- per-lane sign-change scan, tile
+            # consistency required, then a modified-secant polish of lane
+            # 0's crossing to a SHARED root time)
+            if has_root:
+                g1 = root_rows(t_new, list(y_new))
+                crossed = [
+                    rootg_c[r].hi * g1[r].hi < 0.0 for r in range(nroot)
+                ]
+                fracs = [
+                    jnp.where(
+                        crossed[r],
+                        jnp.abs(
+                            g1[r].hi
+                            / jnp.where(
+                                crossed[r],
+                                g1[r].hi - rootg_c[r].hi,
+                                np.float32(1.0),
+                            )
+                        ),
+                        np.float32(0.0),
+                    )
+                    for r in range(nroot)
+                ]
+                found_l = crossed[0]
+                zero_l = g1[0].hi == 0.0
+                imax_l = jnp.zeros_like(lanes, i32)
+                best_f = fracs[0]
+                for r in range(1, nroot):
+                    found_l = found_l | crossed[r]
+                    zero_l = zero_l | (g1[r].hi == 0.0)
+                    take = fracs[r] > best_f
+                    imax_l = jnp.where(take, r, imax_l).astype(i32)
+                    best_f = jnp.maximum(fracs[r], best_f)
+                fl = found_l.astype(f32)
+                f_any = jnp.max(fl) > 0.0
+                f_all = jnp.min(fl) > 0.0
+                zl = zero_l.astype(f32)
+                z_any = jnp.max(zl) > 0.0
+                z_all = jnp.min(zl) > 0.0
+                imf = imax_l.astype(f32)
+                im_hi = jnp.max(jnp.where(found_l, imf, -np.float32(np.inf)))
+                im_lo = jnp.min(jnp.where(found_l, imf, np.float32(np.inf)))
+                incons = accepted & (
+                    (f_any & ~f_all)
+                    | (f_all & (im_hi != im_lo))
+                    | (z_any & ~z_all & ~f_any)
+                )
+                do_cross = accepted & f_all & (im_hi == im_lo)
+                do_zero = accepted & ~f_any & z_all
+                do_root = (do_cross | do_zero) & ~incons
+
+                def lane0f(v):
+                    return jnp.sum(jnp.where(lane0, v, np.float32(0.0)))
+
+                def lane0df(v: DF) -> DF:
+                    return DF(lane0f(v.hi), lane0f(v.lo))
+
+                im0 = lane0f(imax_l.astype(f32)).astype(i32)
+                # zero-at-boundary index: argmin |g1| on lane 0
+                zi = jnp.asarray(0, i32)
+                zb = jnp.abs(lane0f(g1[0].hi))
+                for r in range(1, nroot):
+                    m_ = jnp.abs(lane0f(g1[r].hi))
+                    zi = jnp.where(m_ < zb, r, zi).astype(i32)
+                    zb = jnp.minimum(m_, zb)
+
+                def _sel_g(gl, idx):
+                    sel = gl[0]
+                    for r in range(1, nroot):
+                        sel = df32.where(idx == r, gl[r], sel)
+                    return sel
+
+                def do_polish(_):
+                    """Modified secant (root.rs:60-165) in df t arithmetic,
+                    f32-pair g values from lane 0."""
+                    g0s = tuple(lane0df(rootg_c[r]) for r in range(nroot))
+                    g1s = tuple(lane0df(g1[r]) for r in range(nroot))
+                    tol = np.float32(100.0 * 2.0**-44) * (
+                        jnp.abs(t_new.hi) + jnp.abs(t_new.hi - t.hi)
+                    )
+
+                    def s_cond(sc):
+                        gap = jnp.abs(df32.sub(sc["t1"], sc["t0"]).hi)
+                        return (
+                            (~sc["done"]) & (gap > tol) & (sc["i"] < 40)
+                        )
+
+                    def s_body(sc):
+                        g1v = _sel_g(sc["g1"], sc["im"])
+                        g0v = _sel_g(sc["g0"], sc["im"])
+                        alpha_df = DF(sc["alpha"], jnp.zeros_like(sc["alpha"]))
+                        den = df32.sub(g1v, df32.mul(alpha_df, g0v))
+                        dt_br = df32.sub(sc["t1"], sc["t0"])
+                        t_mid = df32.sub(
+                            sc["t1"], df32.mul(dt_br, df32.div(g1v, den))
+                        )
+                        # keep t_mid off the bracket boundaries
+                        fracint = jnp.abs(dt_br.hi) / tol
+                        fracsub = jnp.where(
+                            fracint > 5.0, np.float32(0.1),
+                            np.float32(0.5) / fracint,
+                        )
+                        frdf = DF(fracsub, jnp.zeros_like(fracsub))
+                        lo_gap = jnp.abs(df32.sub(t_mid, sc["t0"]).hi)
+                        t_mid = df32.where(
+                            lo_gap < 0.5 * tol,
+                            df32.add(sc["t0"], df32.mul(frdf, dt_br)),
+                            t_mid,
+                        )
+                        hi_gap = jnp.abs(df32.sub(sc["t1"], t_mid).hi)
+                        t_mid = df32.where(
+                            hi_gap < 0.5 * tol,
+                            df32.sub(sc["t1"], df32.mul(frdf, dt_br)),
+                            t_mid,
+                        )
+                        ymid = _interp_rows(
+                            D_acc, n, t_new, h, order, t_mid, lanes.shape
+                        )
+                        gmid = tuple(
+                            lane0df(v) for v in root_rows(t_mid, ymid)
+                        )
+                        cr = [
+                            sc["g0"][r].hi * gmid[r].hi < 0.0
+                            for r in range(nroot)
+                        ]
+                        fr2 = [
+                            jnp.where(
+                                cr[r],
+                                jnp.abs(
+                                    gmid[r].hi
+                                    / jnp.where(
+                                        cr[r],
+                                        gmid[r].hi - sc["g0"][r].hi,
+                                        np.float32(1.0),
+                                    )
+                                ),
+                                np.float32(0.0),
+                            )
+                            for r in range(nroot)
+                        ]
+                        lower = cr[0]
+                        rootfnd = gmid[0].hi == 0.0
+                        im2 = jnp.asarray(0, i32)
+                        b2 = fr2[0]
+                        for r in range(1, nroot):
+                            lower = lower | cr[r]
+                            rootfnd = rootfnd | (gmid[r].hi == 0.0)
+                            tk = fr2[r] > b2
+                            im2 = jnp.where(tk, r, im2).astype(i32)
+                            b2 = jnp.maximum(fr2[r], b2)
+                        t1n = df32.where(lower, t_mid, sc["t1"])
+                        imn = jnp.where(lower, im2, sc["im"]).astype(i32)
+                        g1n = tuple(
+                            df32.where(lower, gmid[r], sc["g1"][r])
+                            for r in range(nroot)
+                        )
+                        exact = (~lower) & rootfnd
+                        keep_lo = lower | exact
+                        t0n = df32.where(keep_lo, sc["t0"], t_mid)
+                        g0n = tuple(
+                            df32.where(keep_lo, sc["g0"][r], gmid[r])
+                            for r in range(nroot)
+                        )
+                        res_tn = df32.where(exact, t_mid, sc["res_t"])
+                        res_in = jnp.where(exact, sc["im"], sc["res_i"])
+                        sc0n = jnp.where(sc["i"] % 2 == 0, lower, sc["sc0"])
+                        sc1n = jnp.where(sc["i"] % 2 == 1, lower, sc["sc1"])
+                        alpha_n = jnp.where(
+                            sc["i"] >= 2,
+                            jnp.where(
+                                sc0n != sc1n, np.float32(1.0),
+                                jnp.where(
+                                    sc0n, 0.5 * sc["alpha"],
+                                    2.0 * sc["alpha"],
+                                ),
+                            ),
+                            sc["alpha"],
+                        )
+                        return dict(
+                            t0=t0n, t1=t1n, g0=g0n, g1=g1n, im=imn,
+                            alpha=alpha_n, sc0=sc0n, sc1=sc1n,
+                            res_t=res_tn, res_i=res_in.astype(i32),
+                            i=sc["i"] + 1, done=sc["done"] | exact,
+                        )
+
+                    s0 = dict(
+                        t0=t, t1=t_new, g0=g0s, g1=g1s, im=im0,
+                        alpha=jnp.asarray(1.0, f32),
+                        sc0=jnp.asarray(False), sc1=jnp.asarray(True),
+                        res_t=t_new, res_i=im0,
+                        i=jnp.asarray(0, i32), done=jnp.asarray(False),
+                    )
+                    sf = jax.lax.while_loop(s_cond, s_body, s0)
+                    t_r = df32.where(sf["done"], sf["res_t"], sf["t1"])
+                    idx_r = jnp.where(sf["done"], sf["res_i"], sf["im"])
+                    return t_r, idx_r.astype(i32)
+
+                def pin_and_reset(_):
+                    t_r, idx_r = jax.lax.cond(
+                        do_cross, do_polish, lambda __: (t_new, zi), None
+                    )
+                    # state_mut_back (drivers._pin_to) + apply_reset +
+                    # reinit-at-order-1 (drivers._apply_reset,
+                    # bdf.reinit_after_reset; reference state.rs:246-320)
+                    y_root = _interp_rows(
+                        D_acc, n, t_new, h, order, t_r, lanes.shape
+                    )
+                    y_plus = (
+                        reset_rows(t_r, y_root) if has_reset else y_root
+                    )
+                    dy_plus = rhs_rows(t_r, y_plus)
+                    rootg_plus = root_rows(t_r, y_plus)
+                    if integrate_out:
+                        g_root = _interp_rows(
+                            gD_acc, nout, t_new, h, order, t_r, lanes.shape
+                        )
+                        dg_plus = out_rows(t_r, y_plus)
+                    else:
+                        g_root = []
+                        dg_plus = []
+                    return (
+                        t_r, idx_r, tuple(y_plus), tuple(dy_plus),
+                        tuple(g_root), tuple(dg_plus), tuple(rootg_plus),
+                    )
+
+                def no_root(_):
+                    zs = tuple(df32.zeros_like(zrow) for _ in range(n))
+                    zg = tuple(
+                        df32.zeros_like(zrow) for _ in range(nout)
+                    ) if integrate_out else ()
+                    return (
+                        t_new, jnp.asarray(-1, i32), tuple(y_new), zs,
+                        zg, zg, tuple(g1),
+                    )
+
+                (t_r, ridx, y_plus, dy_plus, g_root, dg_plus,
+                 rootg_plus) = jax.lax.cond(do_root, pin_and_reset, no_root,
+                                            None)
+            else:
+                do_root = jnp.asarray(False)
+                incons = jnp.asarray(False)
+                t_r = t_new
 
             # ---- dense-output interpolation writes -----------------------
             # nested while over the (dynamic, usually 0 or 1) eval points
             # crossed by this accepted step: ONE interpolation evaluation
             # per written point + a dynamic-start store, instead of
             # unrolling neval copies of the polynomial into the step body
+            # eval points crossed by this accepted step; on a root event the
+            # step effectively ends at t_root (drivers t_upper semantics)
+            t_wr = df32.where(do_root, t_r, t_new) if has_root else t_new
+
             def w_cond(ne):
                 te = _df_table(t_eval64, ne)
-                return accepted & (ne < neval) & df32.le(te, t_new)
+                return accepted & (ne < neval) & df32.le(te, t_wr)
 
             def w_body(ne):
                 te = _df_table(t_eval64, ne)
                 # interpolation polynomial of the ACCEPTED step: D_acc at
                 # (t_new, h, order) (solvers/bdf._interp_from_diff)
-                yv = [D_acc[0][s] for s in range(n)]
-                tf = _df_const(1.0)
-                for i_ in range(MAX_ORDER):
-                    # tf *= (te - (t_new - h*i)) / (h*(1+i))
-                    num = df32.sub(
-                        te, df32.sub(t_new, df32.mul_f32(h, float(i_)))
-                    )
-                    den = df32.mul_f32(h, float(1 + i_))
-                    tf_new = df32.mul(tf, df32.div(num, den))
-                    use = i_ < order
-                    for s in range(n):
-                        contrib = df32.where(
-                            use,
-                            df32.mul(
-                                DF(jnp.broadcast_to(tf_new.hi, lanes.shape),
-                                   jnp.broadcast_to(tf_new.lo, lanes.shape)),
-                                D_acc[i_ + 1][s],
-                            ),
-                            df32.zeros_like(zrow),
-                        )
-                        yv[s] = df32.add(yv[s], contrib)
-                    tf = df32.where(use, tf_new, tf)
+                yv = _interp_rows(D_acc, n, t_new, h, order, te, lanes.shape)
                 for s in range(n):
                     row = ne * n + s
                     ys_hi_ref[pl.dslice(row, 1), :] = yv[s].hi[None, :]
                     ys_lo_ref[pl.dslice(row, 1), :] = yv[s].lo[None, :]
+                if integrate_out:
+                    gv = _interp_rows(
+                        gD_acc, nout, t_new, h, order, te, lanes.shape
+                    )
+                    for s in range(nout):
+                        row = ne * nout + s
+                        gs_hi_ref[pl.dslice(row, 1), :] = gv[s].hi[None, :]
+                        gs_lo_ref[pl.dslice(row, 1), :] = gv[s].lo[None, :]
                 return ne + 1
 
             next_eval_new = jax.lax.while_loop(w_cond, w_body, next_eval)
@@ -896,6 +1328,29 @@ def make_pallas_bdf_solve(
             tn = df32.where(accepted, t_new, t)
             hn = h_out
             order_n = jnp.where(accepted, order_acc, order).astype(i32)
+            if has_root:
+                # root event: pin back to t_root, reinit the difference
+                # matrix at order 1 from the post-reset state
+                # (bdf.rs:1291-1319 state-modified reinit; solvers/bdf.py
+                # maskless reinit block)
+                D_reinit = tuple(
+                    tuple(
+                        y_plus[s] if i_ == 0
+                        else (df32.mul(hn, dy_plus[s]) if i_ == 1
+                              else df32.zeros_like(zrow))
+                        for s in range(n)
+                    )
+                    for i_ in range(ND)
+                )
+                Dn = tuple(
+                    tuple(
+                        df32.where(do_root, D_reinit[i_][s], Dn[i_][s])
+                        for s in range(n)
+                    )
+                    for i_ in range(ND)
+                )
+                tn = df32.where(do_root, t_r, tn)
+                order_n = jnp.where(do_root, 1, order_n).astype(i32)
             # the equal-step counter only advances on ACCEPTED steps; a
             # rejection that rescaled h flags h_changed so the eventual
             # accept restarts the count at 1 (solvers/bdf.py:842-844)
@@ -906,6 +1361,9 @@ def make_pallas_bdf_solve(
             # a rejected attempt invalidates the PI controller's previous
             # error memory (solvers/bdf.py attempt_body prev_err -> nan)
             prev_err_n = jnp.where(accepted, err, nan32)
+            if has_root:
+                n_equal_ret = jnp.where(do_root, 0, n_equal_ret).astype(i32)
+                prev_err_n = jnp.where(do_root, nan32, prev_err_n)
             conv_fail_n = jnp.where(
                 accepted, 0, jnp.where(solve_ok, conv_fail, 1)
             ).astype(i32)
@@ -931,6 +1389,17 @@ def make_pallas_bdf_solve(
                 & (status_n == _OK),
                 _FAIL_MAX_STEPS, status_n,
             ).astype(i32)
+            if has_root:
+                # lane-inconsistent crossing is a hard error (the XLA
+                # lockstep contract, ops/rootfind.check_root); a root
+                # without a reset operator stops the solve (drivers.py
+                # solve_dense root protocol)
+                status_n = jnp.where(incons, _FAIL_ROOT_INCONS, status_n)
+                if not has_reset:
+                    status_n = jnp.where(
+                        do_root & (status_n == _OK), _ROOT_STOP, status_n
+                    )
+                status_n = status_n.astype(i32)
 
             out = dict(
                 k=k + 1, steps=steps + accepted.astype(i32),
@@ -940,6 +1409,40 @@ def make_pallas_bdf_solve(
                 newton_fails=newton_fails, err_fails=err_fails_n,
                 h_changed=h_changed_n, D=Dn,
             )
+            if integrate_out:
+                gDn = gD_out
+                if has_root:
+                    # quadrature reinit at the root (solvers/bdf.py
+                    # gD_re: gD[0]=g(t_root), gD[1]=h*dg(t_root, y+))
+                    gD_reinit = tuple(
+                        tuple(
+                            g_root[s] if i_ == 0
+                            else (df32.mul(hn, dg_plus[s]) if i_ == 1
+                                  else df32.zeros_like(zrow))
+                            for s in range(nout)
+                        )
+                        for i_ in range(ND)
+                    )
+                    gDn = tuple(
+                        tuple(
+                            df32.where(do_root, gD_reinit[i_][s], gDn[i_][s])
+                            for s in range(nout)
+                        )
+                        for i_ in range(ND)
+                    )
+                out["gD"] = gDn
+            if has_root:
+                out.update(
+                    rootg=tuple(
+                        df32.where(accepted, rootg_plus[r], rootg_c[r])
+                        for r in range(nroot)
+                    ),
+                    n_roots=c["n_roots"] + do_root.astype(i32),
+                    root_t=df32.where(do_root, t_r, c["root_t"]),
+                    root_idx=jnp.where(
+                        do_root, ridx, c["root_idx"]
+                    ).astype(i32),
+                )
             if jac_reuse:
                 out.update(J=J, lu=lu, perm=perm, c_last=c_last_n,
                            ssj=ssj_n, ssrj=ssrj_n, eta_mem=eta_fin)
@@ -955,26 +1458,42 @@ def make_pallas_bdf_solve(
         info_ref[0, :] = jnp.full((tile,), status_fin, i32)
         info_ref[1, :] = jnp.full((tile,), steps_fin, i32)
         info_ref[2, :] = jnp.full((tile,), k_fin, i32)
+        info_ref[3, :] = jnp.full((tile,), next_eval_fin, i32)
+        if has_root:
+            info_ref[4, :] = jnp.full((tile,), out["n_roots"], i32)
+            info_ref[5, :] = jnp.full((tile,), out["root_idx"], i32)
+            root_t_ref[0, :] = jnp.full((tile,), out["root_t"].hi, f32)
+            root_t_ref[1, :] = jnp.full((tile,), out["root_t"].lo, f32)
+        else:
+            info_ref[4, :] = jnp.zeros((tile,), i32)
+            info_ref[5, :] = jnp.full((tile,), -1, i32)
 
+    out_shape = [
+        jax.ShapeDtypeStruct((neval * n, tile), f32),
+        jax.ShapeDtypeStruct((neval * n, tile), f32),
+    ]
+    if integrate_out:
+        out_shape += [jax.ShapeDtypeStruct((neval * nout, tile), f32)] * 2
+    out_shape.append(jax.ShapeDtypeStruct((6, tile), i32))
+    if has_root:
+        out_shape.append(jax.ShapeDtypeStruct((2, tile), f32))
     call = pl.pallas_call(
         kernel,
-        out_shape=(
-            jax.ShapeDtypeStruct((neval * n, tile), f32),
-            jax.ShapeDtypeStruct((neval * n, tile), f32),
-            jax.ShapeDtypeStruct((3, tile), i32),
-        ),
+        out_shape=tuple(out_shape),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=(
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_specs=tuple(
+            pl.BlockSpec(memory_space=pltpu.VMEM) for _ in out_shape
         ),
         interpret=interpret,
     )
 
+    extended = has_root or integrate_out
+
     def solve(params_b):
         """params_b (B, nparams) f64 -> (ys (neval, n, B) f64,
-        status (ntiles,), steps (ntiles,))."""
+        status (ntiles,), steps (ntiles,)); with root/quadrature in
+        scope, a dict adding gs (neval, nout, B), n_points, n_roots,
+        root_t, root_idx (per tile)."""
         params_b = jnp.asarray(params_b, jnp.float64)
         if pad_b != nbatch:
             pad = jnp.broadcast_to(params_b[-1:], (pad_b - nbatch, nparams))
@@ -983,7 +1502,13 @@ def make_pallas_bdf_solve(
         hi = pt.astype(f32)
         lo = (pt - hi.astype(jnp.float64)).astype(f32)
         packed = jnp.concatenate([hi, lo], axis=0)  # (2 np, B)
+        if has_root:
+            # per-tile lane index row (lane 0 = the polished member,
+            # matching the XLA batch-0 shared-root semantics)
+            lane_row = (jnp.arange(pad_b, dtype=i32) % tile).astype(f32)
+            packed = jnp.concatenate([packed, lane_row[None, :]], axis=0)
         ys_parts, st_parts, steps_parts = [], [], []
+        gs_parts, np_parts, nr_parts, ri_parts, rt_parts = [], [], [], [], []
         for ti in range(ntiles):
             sl = packed[:, ti * tile : (ti + 1) * tile]
             # trace the kernel with x64 OFF: the kernel is pure f32/i32 by
@@ -991,16 +1516,50 @@ def make_pallas_bdf_solve(
             # like jnp.where as i64 scalars, and Mosaic's convert_helper
             # recurses forever lowering the resulting i64->i32 casts
             with jax.enable_x64(False):
-                yh, yl, info = call(sl)
+                outs = call(sl)
+            it = iter(outs)
+            yh, yl = next(it), next(it)
+            if integrate_out:
+                gh, gl = next(it), next(it)
+                gs_parts.append(
+                    gh.astype(jnp.float64) + gl.astype(jnp.float64)
+                )
+            info = next(it)
             ys_parts.append(yh.astype(jnp.float64) + yl.astype(jnp.float64))
             st_parts.append(info[0, 0])
             steps_parts.append(info[1, 0])
+            np_parts.append(info[3, 0])
+            if has_root:
+                rt = next(it)
+                nr_parts.append(info[4, 0])
+                ri_parts.append(info[5, 0])
+                rt_parts.append(
+                    rt[0, 0].astype(jnp.float64)
+                    + rt[1, 0].astype(jnp.float64)
+                )
         ys = jnp.concatenate(ys_parts, axis=1)[:, :nbatch]
         ys = ys.reshape(neval, n, nbatch)
         status = jnp.stack(st_parts)
         # loud failure: poison every member of a failed tile
         bad = jnp.repeat(status < 0, tile)[:nbatch]
         ys = jnp.where(bad[None, None, :], jnp.nan, ys)
-        return ys, status, jnp.stack(steps_parts)
+        steps = jnp.stack(steps_parts)
+        if not extended:
+            return ys, status, steps
+        res = dict(
+            ys=ys, status=status, steps=steps,
+            n_points=jnp.stack(np_parts),
+        )
+        if integrate_out:
+            gs = jnp.concatenate(gs_parts, axis=1)[:, :nbatch]
+            gs = gs.reshape(neval, nout, nbatch)
+            res["gs"] = jnp.where(bad[None, None, :], jnp.nan, gs)
+        if has_root:
+            res.update(
+                n_roots=jnp.stack(nr_parts),
+                root_idx=jnp.stack(ri_parts),
+                root_t=jnp.stack(rt_parts),
+            )
+        return res
 
     return solve

@@ -57,6 +57,7 @@ from .pallas_stepper import (
     _FAIL_MAX_STEPS,
     _FAIL_NEWTON,
     _FAIL_ERRTEST,
+    _FAIL_LU_GROWTH,
     _df_const,
     _df_table,
     _f32_table,
@@ -389,7 +390,16 @@ def make_pallas_band_bdf_solve(
 
         def assemble_and_factor(J: DF, cval: DF):
             """Write A = M - c J (column-leading band) into the fband
-            scratch refs and factor in place (no-pivot banded LU)."""
+            scratch refs and factor in place (no-pivot banded LU).
+
+            Returns the element growth factor rho = max|LU elements| /
+            max|A| (Wilkinson's pivot-growth measure).  A no-pivot LU is
+            only stable on (near-)diagonally-dominant bands; a mildly
+            non-dominant system can otherwise factor "successfully" with
+            silently degraded accuracy.  The caller fails the solve
+            loudly when rho blows up (round-4 weak #5; the XLA band tier
+            fails via the Newton ladder, tests/test_banded.py
+            no_pivot_band_fails_loudly)."""
             cb = _bcast_scalar(cval, J.hi)
             A = df32.neg(df32.mul(cb, J))
             # main diagonal: + mass diag (or identity), added through the
@@ -402,6 +412,7 @@ def make_pallas_band_bdf_solve(
                 dg = DF(jnp.broadcast_to(oh, (1, nb, 1)),
                         jnp.zeros((1, nb, 1), f32))
             A = df32.add(A, dg)
+            a0 = jnp.maximum(jnp.max(jnp.abs(A.hi)), np.float32(1e-30))
             f_hi_ref[0:n, :, :] = A.hi
             f_lo_ref[0:n, :, :] = A.lo
             if mu > 0:
@@ -413,7 +424,7 @@ def make_pallas_band_bdf_solve(
                 f_hi_ref[n:, :, :] = pad_hi
                 f_lo_ref[n:, :, :] = jnp.zeros((mu, nb, B), f32)
 
-            def fcol(k, carry):
+            def fcol(k, gmax):
                 piv = DF(f_hi_ref[k, mu, :], f_lo_ref[k, mu, :])  # (B,)
                 inv = df32.recip(piv)
                 if ml > 0:
@@ -433,11 +444,14 @@ def make_pallas_band_bdf_solve(
                             blk, df32.mul(l, DF(u.hi[None], u.lo[None])))
                         f_hi_ref[k + dj, mu + 1 - dj: mu + 1 + ml - dj, :] = upd.hi
                         f_lo_ref[k + dj, mu + 1 - dj: mu + 1 + ml - dj, :] = upd.lo
-                return carry
+                        gmax = jnp.maximum(gmax, jnp.max(jnp.abs(upd.hi)))
+                    # multiplier magnitude catches a near-zero pivot
+                    # before the Schur update inflates the elements
+                    gmax = jnp.maximum(gmax, jnp.max(jnp.abs(l.hi)) * a0)
+                return gmax
 
-            jax.lax.fori_loop(jnp.int32(0), jnp.int32(n), fcol,
-                              jnp.int32(0))
-            return 0
+            gmax = jax.lax.fori_loop(jnp.int32(0), jnp.int32(n), fcol, a0)
+            return gmax / a0
 
         def band_solve(b: DF) -> DF:
             """Solve A x = b with the factored band in the fband refs;
@@ -571,6 +585,7 @@ def make_pallas_band_bdf_solve(
             jnp.asarray(0, i32),            # ssj
             jnp.asarray(0, i32),            # ssrj
             jnp.asarray(np.float32(20.0**1.25)),  # eta memory
+            jnp.asarray(1.0, f32),          # LU element growth factor
         )
 
         def cond(c):
@@ -580,7 +595,7 @@ def make_pallas_band_bdf_solve(
         def body(c):
             (k, steps, status, next_eval, t, h, order, n_equal, prev_err,
              conv_fail, newton_fails, err_fails, h_changed, D,
-             J_c, c_last, ssj, ssrj, eta_mem) = c
+             J_c, c_last, ssj, ssrj, eta_mem, growth_c) = c
 
             alpha_k = _df_table(alpha64, order)
             cval = df32.mul(h, alpha_k)
@@ -611,12 +626,15 @@ def make_pallas_band_bdf_solve(
                 lambda _: J_c,
                 None,
             )
-            jax.lax.cond(
+            growth_n = jax.lax.cond(
                 refactor,
                 lambda _: assemble_and_factor(J, cval),
-                lambda _: 0,
+                lambda _: growth_c,
                 None,
             )
+            # element growth beyond ~1e4 means the no-pivot factorization
+            # is numerically meaningless (or NaN: ~(x <= tol) catches it)
+            lu_bad = ~(growth_n <= np.float32(1e4))
             c_last_n = jnp.where(refactor, c32, c_last)
             ssj_n = jnp.where(refactor, 0, ssj + 1).astype(i32)
             ssrj_n = jnp.where(refresh_j, 0, ssrj + 1).astype(i32)
@@ -828,12 +846,13 @@ def make_pallas_band_bdf_solve(
                 (k + 1 >= max_steps) & (next_eval_new < neval)
                 & (status_n == _OK),
                 _FAIL_MAX_STEPS, status_n).astype(i32)
+            status_n = jnp.where(lu_bad, _FAIL_LU_GROWTH, status_n).astype(i32)
 
             return (
                 k + 1, steps + accepted.astype(i32), status_n, next_eval_new,
                 tn, hn, order_n, n_equal_ret, prev_err_n,
                 conv_fail_n, newton_fails, err_fails_n, h_changed_n, D_out,
-                J, c_last_n, ssj_n, ssrj_n, eta_fin,
+                J, c_last_n, ssj_n, ssrj_n, eta_fin, growth_n,
             )
 
         if _DEBUG_STAGE == 1:  # init only

@@ -330,3 +330,27 @@ def test_independent_ensemble_with_reset_events():
         np.testing.assert_allclose(
             ys[:, b], np.asarray(one.ys), rtol=1e-6, atol=1e-7
         )
+
+
+def test_solution_tier_field():
+    """Solution.tier surfaces which ensemble semantics produced the
+    result (round-4 verdict: ``mode="auto"`` can silently switch a user
+    between lockstep and TILED-lockstep step sequences); the fused tiers
+    additionally expose per-tile accepted-step counts."""
+    problem = exponential_decay.problem(rtol=1e-6, atol=1e-8)
+    t_eval = jnp.linspace(0.0, 1.0, 5)
+    params = _params_batch(8)
+    sol_l = dt.solve_dense_ensemble(
+        dt.BdfSolver, problem, t_eval, params, mode="lockstep"
+    )
+    assert sol_l.tier == "lockstep" and sol_l.tile_steps is None
+    sol_i = dt.solve_dense_ensemble(
+        dt.BdfSolver, problem, t_eval, params, mode="independent"
+    )
+    assert sol_i.tier == "independent" and sol_i.tile_steps is None
+    sol_f = dt.solve_dense_ensemble(
+        dt.BdfSolver, problem, t_eval, params, mode="fused", interpret=True
+    )
+    assert sol_f.tier == "fused_small"
+    assert sol_f.tile_steps is not None and sol_f.tile_steps.shape == (1,)
+    assert int(sol_f.tile_steps[0]) > 0

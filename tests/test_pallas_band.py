@@ -207,3 +207,69 @@ def test_ensemble_routes_banded_through_fused():
     np.testing.assert_allclose(
         np.asarray(sol.ys), np.asarray(sol_l.ys), rtol=5e-4, atol=1e-6
     )
+
+
+def test_band_kernel_lu_growth_fails_loudly():
+    """The in-kernel no-pivot band LU monitors Wilkinson element growth
+    during factorization and fails the solve with a TYPED status when it
+    blows up (round-4 weak #5: the XLA band tier fails loudly via the
+    Newton ladder, tests/test_banded.py no_pivot_band_fails_loudly; the
+    kernel tier must never return silently degraded numbers instead)."""
+    from diffsol_tpu import errors
+    from diffsol_tpu.ensemble import solve_dense_ensemble
+    from diffsol_tpu.ops import pallas_stepper as ps
+
+    # semi-explicit DAE chain of 3-row motifs
+    #   y0' = y1;   0 = y0 - y2;   y2' = y1 - y2
+    # whose iteration matrix A = M - cJ has an EXACTLY zero diagonal on
+    # each algebraic row; after eliminating the previous column the
+    # pivot there is the Schur complement -c^2 (~1e-20 at the initial
+    # step size), so the next no-pivot multiplier is ~1/c ~ 1e10: huge
+    # Wilkinson growth at the very first factorization, even though
+    # det(A) = O(-c^2) != 0 (the matrix is nonsingular -- a PIVOTING
+    # solver handles it fine; only the no-pivot band LU blows up).
+    n = 12
+    M0 = np.asarray(np.arange(n) % 3 == 0, np.float64)
+    M1 = np.asarray(np.arange(n) % 3 == 1, np.float64)
+    M2 = np.asarray(np.arange(n) % 3 == 2, np.float64)
+    mass_diag = 1.0 - M1  # algebraic rows are the i%3==1 constraints
+
+    def rhs(t, y, p):
+        left = jnp.concatenate([jnp.zeros_like(y[:1]), y[:-1]])
+        right = jnp.concatenate([y[1:], jnp.zeros_like(y[:1])])
+        return p[0] * (
+            M0 * right + M1 * (left - right) + M2 * (left - y)
+        )
+
+    # init satisfies the constraints exactly: y[3k] = y[3k+2]
+    y_init = M0 + M2  # [1, 0, 1, 1, 0, 1, ...]
+
+    problem = (
+        dt.OdeBuilder()
+        .rhs(rhs)
+        .init(lambda t, p: jnp.asarray(y_init))
+        .mass(lambda t, p: jnp.diag(jnp.asarray(mass_diag)))
+        .p([1.0])
+        .rtol(1e-6)
+        .atol(1e-8)
+        .linear_solver(make_banded_solver(1, 1, kernel="xla"))
+        .build()
+    )
+    B = 4
+    solve = make_pallas_band_bdf_solve(
+        problem, [0.5, 1.0], nbatch=B, tile=B, max_steps=200,
+        interpret=True,
+    )
+    params = jnp.broadcast_to(jnp.asarray([[1.0]]), (B, 1))
+    ys, status, _steps = solve(params)
+    assert int(jnp.min(status)) == ps._FAIL_LU_GROWTH, np.asarray(status)
+    # loud: the poisoned tile carries NaNs, not finite-but-wrong numbers
+    assert not np.any(np.isfinite(np.asarray(ys)))
+
+    # and through the public ensemble surface it maps to the same typed
+    # error the XLA band tier raises
+    sol = solve_dense_ensemble(
+        dt.BdfSolver, problem, [0.5, 1.0], params, mode="fused",
+        max_steps=200, interpret=True,
+    )
+    assert int(sol.stop_reason) == errors.TOO_MANY_NONLINEAR_SOLVER_FAILURES

@@ -17,11 +17,19 @@ from diffsol_tpu.ops.pallas_stepper import make_pallas_bdf_solve
 
 
 def test_pallas_stepper_rejects_out_of_scope():
-    from diffsol_tpu.models import exponential_decay
-
-    prob_root = exponential_decay.problem_with_root()  # events out of scope
+    # events + mass matrix stay out of scope (the post-reset
+    # consistent-IC solve is XLA-tier only)
+    prob_root_mass = (
+        dt.OdeBuilder()
+        .rhs(lambda t, y, p: jnp.stack([-p[0] * y[0], y[0] - y[1]]))
+        .init(lambda t, p: jnp.array([1.0, 1.0]))
+        .mass(lambda t, p: jnp.diag(jnp.array([1.0, 0.0])))
+        .root(lambda t, y, p: y[0:1] - 0.5)
+        .p([1.0])
+        .build()
+    )
     with pytest.raises(UnsupportedForPallas):
-        make_pallas_bdf_solve(prob_root, [1.0], nbatch=8)
+        make_pallas_bdf_solve(prob_root_mass, [1.0], nbatch=8)
 
 
 def test_pallas_stepper_dae_diag_mass_interpret():
@@ -137,12 +145,20 @@ def test_solve_dense_ensemble_fused_mode():
 
 def test_solve_dense_ensemble_fused_rejects_out_of_scope():
     from diffsol_tpu.ensemble import solve_dense_ensemble
-    from diffsol_tpu.models import exponential_decay
 
-    prob_root = exponential_decay.problem_with_root()  # events -> out of scope
+    # events + mass matrix: out of scope for both fused tiers
+    prob_root_mass = (
+        dt.OdeBuilder()
+        .rhs(lambda t, y, p: jnp.stack([-p[0] * y[0], y[0] - y[1]]))
+        .init(lambda t, p: jnp.array([1.0, 1.0]))
+        .mass(lambda t, p: jnp.diag(jnp.array([1.0, 0.0])))
+        .root(lambda t, y, p: y[0:1] - 0.5)
+        .p([1.0])
+        .build()
+    )
     with pytest.raises(UnsupportedForPallas):
         solve_dense_ensemble(
-            dt.BdfSolver, prob_root, [1.0], jnp.zeros((4, 2)),
+            dt.BdfSolver, prob_root_mass, [1.0], jnp.zeros((4, 1)),
             mode="fused", interpret=True,
         )
 
@@ -175,3 +191,179 @@ def test_solve_dense_ensemble_fused_sharded():
     np.testing.assert_allclose(
         np.asarray(sol_m.ys), np.asarray(sol_1.ys), rtol=5e-3, atol=1e-8
     )
+
+
+def test_pallas_stepper_root_stop_interpret():
+    """Stop-at-root in-kernel (reference bdf.rs:1566-1579 root check +
+    root.rs:60-165 modified secant on the D-polynomial interpolant):
+    threshold crossing of exponential decay, fused tier vs the XLA
+    single-instance protocol -- same ROOT_FOUND stop, same polished root
+    time, same written points, zeros past the root."""
+    from diffsol_tpu import errors
+    from diffsol_tpu.drivers import solve_dense
+    from diffsol_tpu.ensemble import solve_dense_ensemble
+
+    problem = (
+        dt.OdeBuilder()
+        .rhs(lambda t, y, p: -p[0] * y)
+        .init(lambda t, p: jnp.array([1.0]))
+        .root(lambda t, y, p: y[0:1] - 0.5)
+        .p([1.0])
+        .rtol(1e-6)
+        .atol(1e-8)
+        .build()
+    )
+    B = 4
+    t_eval = [0.25, 0.5, 1.0, 3.0]
+    sol = solve_dense_ensemble(
+        dt.BdfSolver, problem, t_eval, jnp.ones((B, 1)),
+        mode="fused", interpret=True,
+    )
+    assert int(sol.stop_reason) == errors.ROOT_FOUND
+    assert int(sol.root_idx) == 0
+    sol1 = solve_dense(dt.BdfSolver(problem), jnp.asarray(t_eval),
+                       max_steps=4000)
+    assert int(sol1.stop_reason) == errors.ROOT_FOUND
+    np.testing.assert_allclose(
+        float(sol.root_t), float(sol1.root_t), rtol=1e-6
+    )
+    np.testing.assert_allclose(float(sol.root_t), np.log(2.0), rtol=1e-5)
+    ys = np.asarray(sol.ys)  # (neval, B, n)
+    y1 = np.asarray(sol1.ys)  # (neval, n)
+    for b in range(B):
+        np.testing.assert_allclose(ys[:, b, :], y1, rtol=1e-5, atol=1e-12)
+    # points past the root are zeros in both paths
+    assert np.all(ys[2:] == 0.0)
+
+
+def test_pallas_stepper_root_reset_bounce_interpret():
+    """Reset-and-continue in-kernel: bouncing ball through one bounce,
+    fused tier vs the XLA lockstep driver (root pin-back via secant,
+    reset operator applied in df arithmetic, difference matrix
+    re-initialized at order 1; reference state.rs:246-320 apply_reset +
+    bdf.rs reinit)."""
+    from diffsol_tpu.ensemble import solve_dense_ensemble
+
+    problem = (
+        dt.OdeBuilder()
+        .rhs(lambda t, y, p: jnp.stack([y[1], -p[0] * jnp.ones_like(y[1])]))
+        .init(lambda t, p: jnp.array([10.0, 0.0]))
+        .root(lambda t, y, p: y[0:1])
+        .reset(lambda t, y, p: jnp.stack([jnp.full_like(y[0], 1e-9),
+                                          -p[1] * y[1]]))
+        .p([9.81, 0.8])
+        .rtol(1e-6)
+        .atol(1e-8)
+        .build()
+    )
+    B = 4
+    t_eval = [1.0, 1.6, 2.0]  # bounce at sqrt(2*10/9.81) ~ 1.428
+    pb = jnp.broadcast_to(jnp.asarray([9.81, 0.8]), (B, 2))
+    sol = solve_dense_ensemble(
+        dt.BdfSolver, problem, t_eval, pb, mode="fused", interpret=True,
+    )
+    assert int(sol.stop_reason) >= 0
+    sol1 = dt.solve_dense(dt.BdfSolver(problem), jnp.asarray(t_eval),
+                          max_steps=4000)
+    assert int(sol1.stop_reason) >= 0
+    ys = np.asarray(sol.ys)
+    y1 = np.asarray(sol1.ys)
+    for b in range(B):
+        np.testing.assert_allclose(ys[:, b, :], y1, rtol=2e-4, atol=1e-6)
+
+
+def test_pallas_stepper_quadrature_interpret():
+    """In-kernel quadrature (reference op/bdf.rs:179 integrate_out): a gD
+    difference matrix advances alongside D and dense-output interpolates
+    g at the eval points; exponential decay has the closed form
+    g = y0 (1 - e^{-a t}) / a."""
+    from diffsol_tpu.ensemble import solve_dense_ensemble
+
+    problem = (
+        dt.OdeBuilder()
+        .rhs(lambda t, y, p: -p[0] * y)
+        .init(lambda t, p: jnp.array([p[1], 2.0 * p[1]]))
+        .p([0.1, 1.0])
+        .rtol(1e-6)
+        .atol(1e-8)
+        .integrate_out()
+        .build()
+    )
+    B = 4
+    t_eval = [1.0, 5.0, 10.0]
+    a = 0.1 * (1.0 + 0.05 * jnp.linspace(-1, 1, B))
+    pb = jnp.stack([a, jnp.ones((B,))], axis=1)
+    sol = solve_dense_ensemble(
+        dt.BdfSolver, problem, t_eval, pb, mode="fused", interpret=True,
+    )
+    assert int(sol.stop_reason) >= 0
+    gs = np.asarray(sol.gs)  # (neval, B, nout)
+    an = np.asarray(a)[None, :]
+    exact = (1.0 - np.exp(-an * np.asarray(t_eval)[:, None])) / an
+    np.testing.assert_allclose(gs[:, :, 0], exact, rtol=1e-5)
+    np.testing.assert_allclose(gs[:, :, 1], 2.0 * exact, rtol=1e-5)
+
+
+def test_pallas_stepper_quadrature_error_control_interpret():
+    """output_in_error_control: an explicit out() with out_atol/out_rtol
+    joins the error-test max with the NEXT error constant (solvers/bdf.py
+    attempt_body; reference bdf.rs error_norm with integrate_out) -- the
+    fused tier matches the XLA path member-wise."""
+    from diffsol_tpu.ensemble import make_lockstep_problem, solve_dense_ensemble
+
+    problem = (
+        dt.OdeBuilder()
+        .rhs(lambda t, y, p: -p[0] * y)
+        .init(lambda t, p: jnp.array([1.0]))
+        .out(lambda t, y, p: jnp.array([y[0] * y[0]]))
+        .p([0.5])
+        .rtol(1e-6)
+        .atol(1e-8)
+        .integrate_out()
+        .out_rtol(1e-6)
+        .out_atol(1e-8)
+        .build()
+    )
+    assert problem.output_in_error_control()
+    B = 4
+    t_eval = [1.0, 4.0]
+    pb = jnp.full((B, 1), 0.5)
+    sol = solve_dense_ensemble(
+        dt.BdfSolver, problem, t_eval, pb, mode="fused", interpret=True,
+    )
+    assert int(sol.stop_reason) >= 0
+    gs = np.asarray(sol.gs)
+    # g = int y0^2 e^{-2at} = (1 - e^{-2at}) / (2a)
+    exact = (1.0 - np.exp(-1.0 * np.asarray(t_eval))) / 1.0
+    np.testing.assert_allclose(gs[:, 0, 0], exact, rtol=1e-5)
+    sol1 = dt.solve_dense(dt.BdfSolver(problem), jnp.asarray(t_eval),
+                          max_steps=4000)
+    np.testing.assert_allclose(
+        gs[:, 0, 0], np.asarray(sol1.gs)[:, 0], rtol=1e-5
+    )
+
+
+def test_pallas_stepper_root_inconsistent_fails_loudly():
+    """Tile lanes whose roots fire at detectably different times must
+    fail ROOT_BATCH_INCONSISTENT, not silently pick one (the XLA
+    lockstep contract, ops/rootfind.check_root; reference
+    vector/cuda.rs:1166-1175 panic)."""
+    from diffsol_tpu import errors
+    from diffsol_tpu.ensemble import solve_dense_ensemble
+
+    problem = (
+        dt.OdeBuilder()
+        .rhs(lambda t, y, p: -p[0] * y)
+        .init(lambda t, p: jnp.array([1.0]))
+        .root(lambda t, y, p: y[0:1] - 0.5)
+        .p([1.0])
+        .rtol(1e-6)
+        .atol(1e-8)
+        .build()
+    )
+    pb = jnp.asarray([[0.5], [1.0], [2.0], [4.0]])  # very different rates
+    sol = solve_dense_ensemble(
+        dt.BdfSolver, problem, [1.0, 3.0], pb, mode="fused",
+        interpret=True,
+    )
+    assert int(sol.stop_reason) == errors.ROOT_BATCH_INCONSISTENT
