@@ -323,6 +323,66 @@ def make_vec_interpreter(alg, lanes_like, lift_array=None):
                 nd = len(ins[0].shape)
                 out = _take(ins[0],
                             lambda a: a.transpose(perm + (nd,)), shape)
+            elif prim == "rev":
+                dims = params["dimensions"]
+                nd_ = len(ins[0].shape)
+                idx = tuple(
+                    slice(None, None, -1) if i in dims else slice(None)
+                    for i in range(nd_)
+                )
+                out = _take(ins[0], lambda a: a[idx], ins[0].shape)
+            elif prim == "dot_general":
+                # small static contractions only (e.g. the foodweb
+                # interaction einsum "ij,xyj->xyi" with 2 species): the
+                # contraction is UNROLLED into elementwise mul/add -- the
+                # kernel tier has no MXU df32 matmul, and the stencil
+                # models that reach it contract over <= 8 terms
+                (lc, rc), (lb, rb) = params["dimension_numbers"]
+                lhs, rhs = ins[0], ins[1]
+                if lb or rb or len(lc) != 1 or len(rc) != 1:
+                    raise UnsupportedForPallas(
+                        "dot_general with batch or multi-dim contraction "
+                        "in rhs"
+                    )
+                kdim = lhs.shape[lc[0]]
+                if kdim > 8:
+                    raise UnsupportedForPallas(
+                        f"dot_general contraction size {kdim} > 8 in rhs"
+                    )
+
+                def _index_axis(a, axis, k):
+                    idx = tuple(
+                        k if i == axis else slice(None)
+                        for i in range(len(a.shape))
+                    )
+                    shp = tuple(
+                        d for i, d in enumerate(a.shape) if i != axis
+                    )
+                    return _take(a, lambda x: x[idx], shp)
+
+                lf = tuple(
+                    d for i, d in enumerate(lhs.shape) if i != lc[0]
+                )
+                rf = tuple(
+                    d for i, d in enumerate(rhs.shape) if i != rc[0]
+                )
+                acc = None
+                for k in range(kdim):
+                    lk = _index_axis(lhs, lc[0], k)
+                    rk = _index_axis(rhs, rc[0], k)
+                    ls = lf + (1,) * len(rf)
+                    rs = (1,) * len(lf) + rf
+                    lkb = _take(
+                        lk, lambda a, ls=ls: a.reshape(ls + a.shape[-1:]),
+                        ls,
+                    )
+                    rkb = _take(
+                        rk, lambda a, rs=rs: a.reshape(rs + a.shape[-1:]),
+                        rs,
+                    )
+                    term = ew2(alg.mul, lkb, rkb)
+                    acc = term if acc is None else ew2(alg.add, acc, term)
+                out = acc
             elif prim == "pad":
                 lo_, hi_, inner = zip(*params["padding_config"])
                 if any(i != 0 for i in inner):
@@ -431,8 +491,9 @@ def make_vec_interpreter(alg, lanes_like, lift_array=None):
             else:
                 raise UnsupportedForPallas(
                     f"primitive {prim!r} in rhs; the vectorized df32 kernel "
-                    "tier supports polynomial/rational stencil right-hand "
-                    "sides"
+                    "tier supports arithmetic/transcendental stencil "
+                    "right-hand sides (shape ops, reductions, rev, small "
+                    "dot_general)"
                 )
             if len(eqn.outvars) != 1:
                 raise UnsupportedForPallas(f"multi-output primitive {prim!r}")

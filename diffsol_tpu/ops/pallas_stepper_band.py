@@ -169,6 +169,7 @@ def make_pallas_band_bdf_solve(
     # ---- mass handling: identity or constant diagonal (probed) ----------
     has_mass = eqn.mass is not None
     mass_const_diag = None
+    needs_ic_solve = False
     if has_mass:
         if eqn.mass_diag_fn is None:
             raise UnsupportedForPallas(
@@ -186,16 +187,15 @@ def make_pallas_band_bdf_solve(
             raise UnsupportedForPallas(
                 "banded kernel tier supports constant-diagonal mass only"
             )
-        # consistent-IC probe (the kernel starts stepping from init)
+        # consistent-IC probe: when eqn.init is inconsistent (the foodweb
+        # class -- reference foodweb.rs runs IDA calc_ic), the host-side
+        # f64 init runs the library's Brown/Hindmarsh/Petzold consistent-IC
+        # solve per member before the kernel starts stepping
         y0c = jnp.asarray(jax.device_get(eqn.init(t0j, p0j)))
         f0c = np.asarray(jax.device_get(eqn.rhs(t0j, y0c, p0j)))
         alg_rows = md0 == 0.0
         scale = 1.0 + float(np.max(np.abs(f0c), initial=0.0))
-        if np.any(np.abs(f0c[alg_rows]) > 1e-6 * scale):
-            raise UnsupportedForPallas(
-                "kernel tier needs consistent DAE initial conditions "
-                f"(|g(y0)| up to {np.max(np.abs(f0c[alg_rows])):.2e})"
-            )
+        needs_ic_solve = bool(np.any(np.abs(f0c[alg_rows]) > 1e-6 * scale))
         mass_const_diag = md0
 
     # ---- tile sizing by VMEM budget --------------------------------------
@@ -444,10 +444,12 @@ def make_pallas_band_bdf_solve(
                             blk, df32.mul(l, DF(u.hi[None], u.lo[None])))
                         f_hi_ref[k + dj, mu + 1 - dj: mu + 1 + ml - dj, :] = upd.hi
                         f_lo_ref[k + dj, mu + 1 - dj: mu + 1 + ml - dj, :] = upd.lo
+                        # Wilkinson ELEMENT growth only: a large multiplier
+                        # on a tiny row is benign (foodweb's row scales span
+                        # ~1e8 with growth exactly 1.0); a (near-)zero pivot
+                        # surfaces here as inf/nan Schur elements, which the
+                        # caller's ~(g <= tol) catches
                         gmax = jnp.maximum(gmax, jnp.max(jnp.abs(upd.hi)))
-                    # multiplier magnitude catches a near-zero pivot
-                    # before the Schur update inflates the elements
-                    gmax = jnp.maximum(gmax, jnp.max(jnp.abs(l.hi)) * a0)
                 return gmax
 
             gmax = jax.lax.fori_loop(jnp.int32(0), jnp.int32(n), fcol, a0)
@@ -963,6 +965,23 @@ def make_pallas_band_bdf_solve(
                 mdv = jnp.asarray(mass_const_diag)
                 dy0b = jnp.where(mdv == 0.0, 0.0,
                                  f0b / jnp.where(mdv == 0.0, 1.0, mdv))
+                if needs_ic_solve:
+                    # per-member consistent-IC solve (Brown/Hindmarsh/
+                    # Petzold, solvers/consistent_ic.py; reference
+                    # state.rs:84-162 set_consistent): failed members are
+                    # poisoned to NaN so the kernel fails loudly
+                    from ..solvers.consistent_ic import make_consistent
+
+                    is_alg = jnp.asarray(mass_const_diag == 0.0)
+                    y0b, dy0b, ic_st = jax.vmap(
+                        lambda p_, y_, d_: make_consistent(
+                            problem, p_, y_, d_, is_alg
+                        )
+                    )(params_b, y0b, dy0b)
+                    y0b = jnp.where((ic_st < 0)[:, None], jnp.nan, y0b)
+                    f0b = jax.vmap(
+                        lambda y_, p_: eqn.rhs(t0j, y_, p_)
+                    )(y0b, params_b)
             else:
                 dy0b = f0b
             scale = jnp.abs(y0b) * rtol64 + jnp.asarray(atol_v64)

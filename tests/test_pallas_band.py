@@ -220,14 +220,14 @@ def test_band_kernel_lu_growth_fails_loudly():
     from diffsol_tpu.ops import pallas_stepper as ps
 
     # semi-explicit DAE chain of 3-row motifs
-    #   y0' = y1;   0 = y0 - y2;   y2' = y1 - y2
-    # whose iteration matrix A = M - cJ has an EXACTLY zero diagonal on
-    # each algebraic row; after eliminating the previous column the
-    # pivot there is the Schur complement -c^2 (~1e-20 at the initial
-    # step size), so the next no-pivot multiplier is ~1/c ~ 1e10: huge
-    # Wilkinson growth at the very first factorization, even though
-    # det(A) = O(-c^2) != 0 (the matrix is nonsingular -- a PIVOTING
-    # solver handles it fine; only the no-pivot band LU blows up).
+    #   y0' = y0;   0 = y0 - y2;   y2' = y1 - y2
+    # whose iteration matrix A = M - cJ per motif is
+    #   [[1-c, 0, 0], [-c, 0, c], [0, -c, 1+c]]
+    # det = (1-c) c^2 != 0 (nonsingular; a PIVOTING solver handles it),
+    # but elimination without pivoting hits an EXACTLY zero Schur pivot
+    # on every algebraic row (A11' = 0 - l10*U01 = 0 since U01 = 0), so
+    # the next multiplier is inf and the Schur update poisons the band
+    # with inf/nan -- the growth monitor must fail the solve loudly.
     n = 12
     M0 = np.asarray(np.arange(n) % 3 == 0, np.float64)
     M1 = np.asarray(np.arange(n) % 3 == 1, np.float64)
@@ -238,7 +238,7 @@ def test_band_kernel_lu_growth_fails_loudly():
         left = jnp.concatenate([jnp.zeros_like(y[:1]), y[:-1]])
         right = jnp.concatenate([y[1:], jnp.zeros_like(y[:1])])
         return p[0] * (
-            M0 * right + M1 * (left - right) + M2 * (left - y)
+            M0 * y + M1 * (left - right) + M2 * (left - y)
         )
 
     # init satisfies the constraints exactly: y[3k] = y[3k+2]
@@ -273,3 +273,29 @@ def test_band_kernel_lu_growth_fails_loudly():
         max_steps=200, interpret=True,
     )
     assert int(sol.stop_reason) == errors.TOO_MANY_NONLINEAR_SOLVER_FAILURES
+
+
+@pytest.mark.slow
+def test_band_kernel_foodweb_dae():
+    """The reference's foodweb DAE (foodweb.rs; reflect-pad Laplacian +
+    einsum interaction rates + INCONSISTENT raw initial conditions that
+    IDA's calc_ic corrects) runs END-TO-END through the banded fused
+    kernel: the host-side f64 init performs the per-member consistent-IC
+    solve, the vectorized df interpreter covers rev/dot_general, and the
+    trajectory matches the XLA f64 path to solver tolerance."""
+    from diffsol_tpu.models import foodweb
+
+    prob = foodweb.make(nx=4)
+    t_eval = [0.01]
+    solve = make_pallas_band_bdf_solve(
+        prob, t_eval, nbatch=2, tile=2, max_steps=300, interpret=True
+    )
+    ys, status, steps = solve(jnp.ones((2, 1)))
+    assert int(jnp.min(status)) >= 0, np.asarray(status)
+    assert int(steps[0]) > 10
+    sol = dt.solve_dense(dt.BdfSolver(prob), jnp.asarray(t_eval),
+                         max_steps=300)
+    ref = np.asarray(sol.ys)
+    got = np.asarray(ys)[:, :, 0]
+    rel = np.max(np.abs(got - ref) / (np.abs(ref) + 1e-30))
+    assert rel < 5e-4, rel
