@@ -478,7 +478,11 @@ def row_pallas_main():
 
     prob_p = robertson.problem_ode(rtol=1e-4, atol=(1e-8, 1e-6, 1e-6))
     nb = 10_000
-    psolve = _pallas_solve(prob_p, T_EVAL_4E10, nb)
+    # ONE wide tile for the whole batch (B=10k pads to 10240 lanes = one
+    # ungridded kernel call): probed on-chip round 5 at 5.81 ms marginal
+    # vs 6.87 ms for 3x tile=4096 calls -- the per-call while-iteration
+    # overhead dominates once the VPU work is this thin.
+    psolve = _pallas_solve(prob_p, T_EVAL_4E10, nb, tile=10_240)
     pp = _pallas_robertson_params(nb)
     ys, status, _st = psolve(pp)
     ys.block_until_ready()
@@ -493,7 +497,9 @@ def row_pallas_main():
     try:
         from diffsol_tpu.ops.pallas_flops import kernel_flops_per_step
 
-        fl = kernel_flops_per_step(prob_p, T_EVAL_4E10, nbatch=nb)
+        fl = kernel_flops_per_step(
+            prob_p, T_EVAL_4E10, nbatch=nb, tile=10_240
+        )
         if fl:
             steps = int(jnp.max(_st))
             sec_per_step = val / max(steps * fl["ntiles"], 1)

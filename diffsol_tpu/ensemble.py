@@ -236,7 +236,8 @@ def make_lockstep_problem(problem: OdeProblem, nbatch: int) -> OdeProblem:
 _fused_cache: dict = {}
 
 
-def _make_fused_solve(problem, t_eval, nbatch, max_steps, interpret):
+def _make_fused_solve(problem, t_eval, nbatch, max_steps, interpret,
+                      precision="df"):
     """Route to a fused whole-solve kernel: the small-n unrolled stepper
     first (n <= 8), then the banded medium-n stepper (MOL class).
     Returns ``(solve_fn, tier_name)`` so the Solution can surface which
@@ -246,11 +247,17 @@ def _make_fused_solve(problem, t_eval, nbatch, max_steps, interpret):
     from .ops.pallas_stepper_band import make_pallas_band_bdf_solve
 
     try:
+        tier = "fused_small" if precision == "df" else "fused_small_mixed"
         return make_pallas_bdf_solve(
             problem, t_eval, nbatch=nbatch, max_steps=max_steps,
-            interpret=interpret,
-        ), "fused_small"
+            interpret=interpret, precision=precision,
+        ), tier
     except UnsupportedForPallas as e_small:
+        if precision != "df":
+            raise UnsupportedForPallas(
+                f"precision={precision!r} is a small-n-tier option and the "
+                f"small-n tier rejected this problem: {e_small}"
+            ) from None
         try:
             return make_pallas_band_bdf_solve(
                 problem, t_eval, nbatch=nbatch, max_steps=max_steps,
@@ -263,19 +270,20 @@ def _make_fused_solve(problem, t_eval, nbatch, max_steps, interpret):
 
 
 def _fused_solve_cached(problem, t_eval, nbatch, max_steps, interpret,
-                        mesh, axis):
+                        mesh, axis, precision="df"):
     te_key = tuple(float(v) for v in jnp.asarray(t_eval).reshape(-1))
     mesh_key = (
         None if mesh is None
         else (id(mesh), tuple(mesh.shape.items()), axis)
     )
-    key = (id(problem), te_key, nbatch, max_steps, interpret, mesh_key)
+    key = (id(problem), te_key, nbatch, max_steps, interpret, mesh_key,
+           precision)
     hit = _fused_cache.get(key)
     if hit is not None and hit[0] is problem:
         return hit[1], hit[2]
     if mesh is None:
         local, tier = _make_fused_solve(
-            problem, t_eval, nbatch, max_steps, interpret,
+            problem, t_eval, nbatch, max_steps, interpret, precision,
         )
         fn = jax.jit(local)
     else:
@@ -287,6 +295,7 @@ def _fused_solve_cached(problem, t_eval, nbatch, max_steps, interpret,
         nshards = mesh.shape[axis]
         local, tier = _make_fused_solve(
             problem, t_eval, nbatch // nshards, max_steps, interpret,
+            precision,
         )
         if problem.eqn.root is not None or problem.integrate_out:
             # extended dict return (root/quadrature in kernel)
@@ -402,6 +411,7 @@ def solve_dense_ensemble(
     axis: str = "dp",
     max_steps: int = 100_000,
     interpret: bool = False,
+    precision: str = "df",
 ):
     """Solve an ensemble over ``params_batch`` (B, nparams).
 
@@ -416,6 +426,11 @@ def solve_dense_ensemble(
     :class:`~diffsol_tpu.ops.dfinterp.UnsupportedForPallas` out of scope),
     and ``auto`` (``fused`` when in scope on a TPU backend, else
     ``lockstep``).
+
+    ``precision="mixed"`` (fused small-n tier only) demotes the in-kernel
+    Newton matrix path (Jacobian probes, LU) to plain f32 -- trajectories
+    agree with the default df tier at the error-test tolerance level for
+    a large cut of the kernel's flops (see make_pallas_bdf_solve).
     """
     params_batch = jnp.asarray(params_batch)
     nbatch = params_batch.shape[0]
@@ -438,7 +453,7 @@ def solve_dense_ensemble(
                     )
                 fsolve, tier = _fused_solve_cached(
                     problem, t_eval, nbatch, max_steps,
-                    interpret or not on_tpu, mesh, axis,
+                    interpret or not on_tpu, mesh, axis, precision,
                 )
                 if mesh is not None:
                     params_batch = jax.device_put(

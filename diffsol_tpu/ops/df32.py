@@ -598,3 +598,77 @@ class DFAlgebra:
     logistic = staticmethod(logistic)
     square = staticmethod(square)
     sign = staticmethod(sign)
+
+
+class F32Algebra:
+    """Plain-f32 scalar algebra for the jaxpr interpreters (the MIXED
+    precision kernel tier): values are raw f32 lane arrays, every op is
+    one VPU instruction instead of a ~10-25-flop error-free transform.
+    Used where f32 noise (~6e-8 relative) sits orders below the solver
+    tolerance it feeds -- e.g. Jacobian probes for the Newton matrix
+    (inexact-Newton theory: J accuracy only gates the convergence RATE;
+    reference nonlinear_solver/newton.rs iterates on stale J anyway)."""
+
+    @staticmethod
+    def const(v, like=None):
+        import numpy as np
+
+        hi = np.float32(v)
+        if like is None:
+            return jnp.asarray(hi)
+        return jnp.full_like(like, hi)
+
+    from_f32 = staticmethod(lambda x: _f32(x))
+    add = staticmethod(jnp.add)
+    sub = staticmethod(jnp.subtract)
+    mul = staticmethod(jnp.multiply)
+    div = staticmethod(jnp.divide)
+    neg = staticmethod(jnp.negative)
+    abs_ = staticmethod(jnp.abs)
+    where = staticmethod(jnp.where)
+
+    @staticmethod
+    def fma(a, b, c):
+        return a * b + c
+
+    lt = staticmethod(jnp.less)
+    le = staticmethod(jnp.less_equal)
+    gt = staticmethod(jnp.greater)
+    ge = staticmethod(jnp.greater_equal)
+    maximum = staticmethod(jnp.maximum)
+    minimum = staticmethod(jnp.minimum)
+
+    @staticmethod
+    def hi(x):
+        return x
+
+    zeros_like = staticmethod(jnp.zeros_like)
+    exp = staticmethod(jnp.exp)
+    expm1 = staticmethod(jnp.expm1)
+    log = staticmethod(jnp.log)
+    log1p = staticmethod(jnp.log1p)
+    sqrt = staticmethod(jnp.sqrt)
+
+    @staticmethod
+    def rsqrt(x):
+        return jax.lax.rsqrt(x)
+
+    sin = staticmethod(jnp.sin)
+    cos = staticmethod(jnp.cos)
+    tan = staticmethod(jnp.tan)
+    sinh = staticmethod(jnp.sinh)
+    cosh = staticmethod(jnp.cosh)
+    tanh = staticmethod(jnp.tanh)
+
+    @staticmethod
+    def pow_(x, y):
+        # Mosaic-safe: positive-base pow via exp/log (matches the df
+        # tier's domain; robertson-class rhs powers are on positives)
+        return jnp.exp(y * jnp.log(x))
+
+    @staticmethod
+    def logistic(x):
+        return jax.nn.sigmoid(x)
+
+    square = staticmethod(jnp.square)
+    sign = staticmethod(jnp.sign)

@@ -104,6 +104,29 @@ def _df_const(v) -> DF:
     return DF(hi, lo)
 
 
+def _any32(b):
+    """Scalar ``any`` over a bool array that lowers on Mosaic under
+    ambient x64.  ``jnp.any``'s reduce_or rule lowers through a proxy
+    traced at LOWERING time -- outside the kernel's x64-off trace -- so
+    with global x64 its 1.0/0.0 literals become f64 and the final
+    scalar squeeze hits Mosaic's 32-bit-only rule (lowering.py
+    _squeeze_lowering_rule).  An explicit f32 max-reduction stays
+    32-bit end to end."""
+    return jnp.max(b.astype(f32)) > np.float32(0.0)
+
+
+def _m32(b):
+    """f32 0/1 image of a bool mask: safe to CAPTURE across lax.cond /
+    lax.while_loop jaxpr boundaries inside the kernel.  A captured i1
+    vector round-trips through i8 at the boundary and Mosaic cannot
+    lower the i8->i1 trunci; recover the bool with _mb inside."""
+    return b.astype(f32)
+
+
+def _mb(m32):
+    return m32 > np.float32(0.0)
+
+
 def _f32_table(vals, idx):
     """Select vals[idx] (f32 scalar) from a static table, unrolled."""
     out = jnp.asarray(np.float32(vals[0]))
@@ -182,6 +205,73 @@ def _lu_solve_df(lu, perm, b, n):
         for j in range(r + 1, n):
             acc = df32.sub(acc, df32.mul(lu[r][j], out[j]))
         out[r] = df32.div(acc, lu[r][r])
+    return out
+
+
+def _lu_factor_f32(A, n):
+    """Plain-f32 masked-select partial-pivot LU (the MIXED-precision
+    Newton tier): same algorithm as :func:`_lu_factor_df` at ~1/20 the
+    flops.  Inexact-Newton theory (and the reference's own stale-Jacobian
+    policy, bdf.rs:467-505) licenses the f32 Newton matrix: J/LU accuracy
+    gates only the convergence RATE; the iterate x and its convergence
+    test stay in df."""
+    lu = [[A[r][c] for c in range(n)] for r in range(n)]
+    zero_i = jnp.zeros_like(lu[0][0], i32)
+    perm = [zero_i + r for r in range(n)]
+    for k in range(n - 1):
+        pk = zero_i + k
+        bm = jnp.abs(lu[k][k])
+        for r in range(k + 1, n):
+            m = jnp.abs(lu[r][k])
+            take = m > bm
+            pk = jnp.where(take, r, pk)
+            bm = jnp.maximum(m, bm)
+        new_rows = [row[:] for row in lu]
+        for c in range(n):
+            sel = lu[k][c]
+            for r in range(k, n):
+                sel = jnp.where(pk == r, lu[r][c], sel)
+            new_rows[k][c] = sel
+        for r in range(k + 1, n):
+            for c in range(n):
+                new_rows[r][c] = jnp.where(pk == r, lu[k][c], lu[r][c])
+        lu = new_rows
+        pnew = perm[:]
+        sel = perm[k]
+        for r in range(k, n):
+            sel = jnp.where(pk == r, perm[r], sel)
+        pnew[k] = sel
+        for r in range(k + 1, n):
+            pnew[r] = jnp.where(pk == r, perm[k], perm[r])
+        perm = pnew
+        inv_p = np.float32(1.0) / lu[k][k]
+        for r in range(k + 1, n):
+            l = lu[r][k] * inv_p
+            lu[r][k] = l
+            for c in range(k + 1, n):
+                lu[r][c] = lu[r][c] - l * lu[k][c]
+    return lu, perm
+
+
+def _lu_solve_f32(lu, perm, b, n):
+    """Solve with :func:`_lu_factor_f32` output; b a list of n f32 rows."""
+    xs = []
+    for r in range(n):
+        sel = b[0]
+        for j in range(n):
+            sel = jnp.where(perm[r] == j, b[j], sel)
+        xs.append(sel)
+    for r in range(1, n):
+        acc = xs[r]
+        for j in range(r):
+            acc = acc - lu[r][j] * xs[j]
+        xs[r] = acc
+    out = [None] * n
+    for r in range(n - 1, -1, -1):
+        acc = xs[r]
+        for j in range(r + 1, n):
+            acc = acc - lu[r][j] * out[j]
+        out[r] = acc / lu[r][r]
     return out
 
 
@@ -340,6 +430,7 @@ def make_pallas_bdf_solve(
     t_eval,
     nbatch: int,
     tile: Optional[int] = None,
+    chains: Optional[int] = None,
     max_steps: int = 100_000,
     max_newton_iter: int = 10,
     max_newton_fails: int = 50,
@@ -347,15 +438,31 @@ def make_pallas_bdf_solve(
     min_timestep: float = 1e-32,
     interpret: bool = False,
     jac_reuse: bool = True,
+    precision: str = "df",
 ):
     """Build ``solve(params_b (B, np) f64) -> (ys (neval, n, B) f64,
     status (ntiles,) i32, steps (ntiles,) i32)`` running the whole adaptive
     BDF solve in fused Pallas kernels (one ungridded invocation per member
     tile; per-tile lockstep semantics).
 
+    ``precision``: ``"df"`` (default) runs every vector op in two-f32
+    double-float arithmetic (~f64 accuracy, reference parity);
+    ``"mixed"`` demotes the NEWTON MATRIX PATH -- Jacobian probes, LU
+    factorization, and the linear solve -- to plain f32 while keeping
+    the state, difference matrix, residual assembly, time accumulation,
+    and error test in df.  Inexact-Newton licenses this (J/LU accuracy
+    gates only the convergence rate; the reference iterates on stale J
+    anyway, bdf.rs:467-505), and the solution error stays bounded by the
+    step controller's tolerance, not the linear algebra: measured on the
+    robertson t=4e10 fixture the mixed trajectories agree with the df
+    tier at ~1e-5 relative while cutting the kernel's dominant flops.
+
     Raises :class:`UnsupportedForPallas` when the problem is outside the
     kernel's scope -- callers fall back to the XLA lockstep path.
     """
+    if precision not in ("df", "mixed"):
+        raise ValueError(f"precision must be 'df' or 'mixed': {precision!r}")
+    mixed = precision == "mixed"
     import sys
 
     # tracing the fused kernel to a jaxpr recurses through tens of
@@ -482,9 +589,30 @@ def make_pallas_bdf_solve(
     # padding members is cheap (the pad lanes re-solve the last member).
     # Interpret mode (tests) has no layout constraint -- keep tiles exact
     # so tiny-B tests stay fast.
+    # chain interleaving: ONE kernel advances `nchains` independent tiles
+    # whose per-tile control-flow scalars are (nchains, 1) vectors and
+    # whose lane arrays are (nchains, tile).  Measured on-chip (round 5,
+    # scripts/tpu_pallas_chain_sweep.py): the kernel is VPU-THROUGHPUT
+    # bound at ~2.4-3.0 ns/member/step in EVERY layout, so chains do not
+    # beat the flat tile on marginal wall time -- they cut the dispatch
+    # count (single-dispatch latency 66->35 ms at B=10k tile=1024) and
+    # let odd batch sizes pad less.  Each tile keeps its OWN adaptive
+    # step sequence, so tiled-lockstep semantics are unchanged.
+    want_chains = 1 if chains is None else max(1, int(chains))
     if not interpret:
+        # flat layout wants 1024-lane (= 8x128 vreg) alignment; the
+        # chained layout's sublanes come from the chain axis, so its
+        # tile only needs 128-lane alignment
+        quantum = 1024 if want_chains <= 1 else 128
+        tile = -(-tile // quantum) * quantum
+    ntiles_raw = -(-nbatch // tile)
+    nchains = min(want_chains, ntiles_raw)
+    if not interpret and want_chains > 1 and nchains == 1:
+        # collapsed to a single chain: restore the flat tile quantum
         tile = -(-tile // 1024) * 1024
-    ntiles = -(-nbatch // tile)
+        ntiles_raw = -(-nbatch // tile)
+    ncalls = -(-ntiles_raw // nchains)
+    ntiles = ncalls * nchains
     pad_b = ntiles * tile
 
     alpha64 = [float(v) for v in _ALPHA]
@@ -509,16 +637,85 @@ def make_pallas_bdf_solve(
         root_t_ref = next(_it) if has_root else None
 
         A = DFAlgebra
-        lanes = p_ref[0, :] * 0.0  # (tile,) f32 zeros: lane-shape template
+        if nchains == 1:
+            # LEGACY FLAT LAYOUT (the proven round-4 kernel shapes): lane
+            # arrays are 1-D (tile,) -- Mosaic packs them (8, 128)-dense
+            # (tile/1024 vregs/op) -- and control scalars are 0-D.  A 2-D
+            # (1, tile) layout wastes 7/8 sublanes per vreg AND crashes
+            # the TPU compile helper at tile=4096 (probed on-chip,
+            # round 5); single-chain callers must never pay either.
+            lanes = p_ref[0, :] * 0.0
+
+            def csc_f(v):  # control scalar, f32
+                return jnp.asarray(np.float32(v))
+
+            def csc_i(v):  # control scalar, i32
+                return jnp.asarray(np.int32(v))
+
+            def creduce(v, red):
+                """Lane reduction -> 0-D scalar (whole tile is one chain)."""
+                return red(v)
+
+        else:
+            # CHAIN-INTERLEAVED LAYOUT: (nchains, tile) f32, the chain
+            # axis on the sublanes; per-chain control scalars are
+            # (nchains, 1) and broadcast against it, so one instruction
+            # stream advances all chains (see the chain-interleaving note
+            # at the tile sizing).
+            lanes = p_ref[0, :, :] * 0.0
+            # (nchains, 1) zeros SLICED FROM MEMORY, not jnp.full: Mosaic
+            # assigns splat constants the fully-replicated layout {*,*},
+            # and a while-loop carry initialized replicated cannot be
+            # unified with the concrete {0,*} layout its body computes
+            # ("Invalid relayout: non-singleton dim replicated in
+            # destination but not in source", probed on-chip).  Deriving
+            # every per-chain control scalar from this base keeps all
+            # carry inits at the concrete layout.
+            zc = lanes[:, :1]
+
+            def csc_f(v):  # per-chain control scalar, f32
+                return zc + np.float32(v)
+
+            def csc_i(v):  # per-chain control scalar, i32
+                return zc.astype(i32) + np.int32(v)
+
+            def creduce(v, red):
+                """Per-chain lane reduction -> (nchains, 1)."""
+                return red(v, axis=-1, keepdims=True)
+
         run_df = make_interpreter(A, lanes)
         dual = DualAlgebra(A)
         run_dual = make_interpreter(dual, lanes)
+        if mixed:
+            run_dual32 = make_interpreter(
+                DualAlgebra(df32.F32Algebra), lanes
+            )
 
-        p_rows = [DF(p_ref[r, :], p_ref[nparams + r, :]) for r in range(nparams)]
+        if nchains == 1:
+            p_rows = [
+                DF(p_ref[r, :], p_ref[nparams + r, :])
+                for r in range(nparams)
+            ]
+        else:
+            p_rows = [
+                DF(p_ref[r, :, :], p_ref[nparams + r, :, :])
+                for r in range(nparams)
+            ]
         # lane-0 mask for the root polish (the reference polishes batch 0's
         # crossing to a SHARED root time, ops/rootfind.py check_root):
         # host supplies the lane-index row (Mosaic-safe; no 1-D iota)
-        lane0 = p_ref[2 * nparams, :] == 0.0 if has_root else None
+        # f32 mask, not bool: it crosses the main-while and do_polish
+        # cond boundaries (see _m32)
+        if has_root:
+            lrow = (
+                p_ref[2 * nparams, :] if nchains == 1
+                else p_ref[2 * nparams, :, :]
+            )
+            lane0_32 = jnp.where(
+                lrow == 0.0, np.float32(1.0), np.float32(0.0)
+            )
+        else:
+            lane0_32 = None
 
         def rhs_rows(t_sc: DF, y_rows):
             tb = DF(jnp.broadcast_to(t_sc.hi, lanes.shape),
@@ -549,6 +746,30 @@ def make_pallas_bdf_solve(
                 )[0]
                 cols.append([v[1] for v in out.flat])  # tangents = J e_c
             # J[r][c]
+            return [[cols[c][r] for c in range(n)] for r in range(n)]
+
+        def jac_cols32(t_sc: DF, y_rows):
+            """J[:, c] columns via PLAIN-F32 dual probes (the mixed tier:
+            one VPU op per arithmetic op instead of a ~15-flop df
+            transform; J only feeds the Newton matrix)."""
+            tb32 = jnp.broadcast_to(t_sc.hi, lanes.shape)
+            zero32 = jnp.zeros_like(lanes)
+            # data-derived 1.0 (see the zc layout note)
+            one32 = lanes + np.float32(1.0)
+            t_dual = (tb32, zero32)
+            p_dual = [(pr.hi, zero32) for pr in p_rows]
+            cols = []
+            for c in range(n):
+                y_dual = [
+                    (y_rows[r].hi, one32 if r == c else zero32)
+                    for r in range(n)
+                ]
+                out = run_dual32(
+                    rhs_jaxpr,
+                    [SArr((), [t_dual]), SArr((n,), y_dual),
+                     SArr((nparams,), p_dual)],
+                )[0]
+                cols.append([v[1] for v in out.flat])
             return [[cols[c][r] for c in range(n)] for r in range(n)]
 
         def mass_rows(t_sc: DF):
@@ -588,7 +809,9 @@ def make_pallas_bdf_solve(
             return _tyjaxpr_rows(reset_jaxpr, t_sc, y_rows)
 
         # ---- initial state -------------------------------------------------
-        t0_df = _df_const(t0_64)
+        # carried control scalars are (nchains, 1)
+        t0_df = DF(csc_f(t0_64),
+                   csc_f(np.float64(t0_64) - np.float64(np.float32(t0_64))))
         t0b = DF(jnp.broadcast_to(t0_df.hi, lanes.shape),
                  jnp.broadcast_to(t0_df.lo, lanes.shape))
         y0 = list(
@@ -635,7 +858,8 @@ def make_pallas_bdf_solve(
                 q = x_rows[r].hi / scale
                 sq = q * q
                 acc = sq if acc is None else acc + sq
-            return jnp.sqrt(jnp.max(acc / np.float32(n)))
+            # per-chain max -> (nchains, 1)
+            return jnp.sqrt(creduce(acc / np.float32(n), jnp.max))
 
         d0 = wrms32(y0, y0)
         d1 = wrms32(dy0, y0)
@@ -656,8 +880,12 @@ def make_pallas_bdf_solve(
         h_init = jnp.minimum(np.float32(100.0) * h0_32, h1)
         h_df0 = DF(h_init, jnp.zeros_like(h_init))
 
-        zrow = df32.zeros_like(y0[0])
-        D0 = [tuple(df32.zeros_like(zrow) for _ in range(n)) for _ in range(ND)]
+        # data-derived lane zeros (NOT jnp.zeros constants): carry inits /
+        # cond-branch results built from splat constants get Mosaic's
+        # replicated layout, which cannot be unified with the concrete
+        # layouts the loop body computes (see the `zc` note above)
+        zrow = DF(lanes, lanes)
+        D0 = [tuple(zrow for _ in range(n)) for _ in range(ND)]
         D0[0] = tuple(y0)
         D0[1] = tuple(df32.mul(h_df0, dy0[r]) for r in range(n))
         D0 = tuple(D0)
@@ -666,7 +894,7 @@ def make_pallas_bdf_solve(
             # g(t0) = 0; gD[1] = h * out(t0, y0) (solvers/bdf init_state)
             dg0 = out_rows(t0_df, y0)
             gD0 = [
-                tuple(df32.zeros_like(zrow) for _ in range(nout))
+                tuple(zrow for _ in range(nout))
                 for _ in range(ND)
             ]
             gD0[1] = tuple(df32.mul(h_df0, dg0[r]) for r in range(nout))
@@ -677,31 +905,41 @@ def make_pallas_bdf_solve(
             # a root-stop solve leaves eval points past the root unwritten:
             # zero them up front so the host sees the XLA driver's zeros
             # (pallas output buffers are otherwise uninitialized)
-            zero_row = jnp.zeros((1, tile), f32)
-            for row in range(neval * n):
-                ys_hi_ref[pl.dslice(row, 1), :] = zero_row
-                ys_lo_ref[pl.dslice(row, 1), :] = zero_row
-            if integrate_out:
-                for row in range(neval * nout):
-                    gs_hi_ref[pl.dslice(row, 1), :] = zero_row
-                    gs_lo_ref[pl.dslice(row, 1), :] = zero_row
+            if nchains == 1:
+                zero_row = jnp.zeros((1, tile), f32)
+                for row in range(neval * n):
+                    ys_hi_ref[pl.dslice(row, 1), :] = zero_row
+                    ys_lo_ref[pl.dslice(row, 1), :] = zero_row
+                if integrate_out:
+                    for row in range(neval * nout):
+                        gs_hi_ref[pl.dslice(row, 1), :] = zero_row
+                        gs_lo_ref[pl.dslice(row, 1), :] = zero_row
+            else:
+                zero_row = jnp.zeros((1, nchains, tile), f32)
+                for row in range(neval * n):
+                    ys_hi_ref[pl.dslice(row, 1), :, :] = zero_row
+                    ys_lo_ref[pl.dslice(row, 1), :, :] = zero_row
+                if integrate_out:
+                    for row in range(neval * nout):
+                        gs_hi_ref[pl.dslice(row, 1), :, :] = zero_row
+                        gs_lo_ref[pl.dslice(row, 1), :, :] = zero_row
 
-        nan32 = jnp.asarray(np.float32(np.nan))
+        nan32 = csc_f(np.nan)
 
         carry0 = dict(
-            k=jnp.asarray(0, i32),            # attempts
-            steps=jnp.asarray(0, i32),        # accepted
-            status=jnp.asarray(_OK, i32),
-            next_eval=jnp.asarray(0, i32),
+            k=csc_i(0),            # attempts
+            steps=csc_i(0),        # accepted
+            status=csc_i(_OK),
+            next_eval=csc_i(0),
             t=t0_df,
             h=h_df0,
-            order=jnp.asarray(1, i32),
-            n_equal=jnp.asarray(0, i32),
-            prev_err=nan32,                   # squared
-            conv_fail=jnp.asarray(0, i32),    # this step
-            newton_fails=jnp.asarray(0, i32),  # total
-            err_fails=jnp.asarray(0, i32),    # this step
-            h_changed=jnp.asarray(0, i32),    # this step
+            order=csc_i(1),
+            n_equal=csc_i(0),
+            prev_err=nan32,        # squared
+            conv_fail=csc_i(0),    # this step
+            newton_fails=csc_i(0),  # total
+            err_fails=csc_i(0),    # this step
+            h_changed=csc_i(0),    # this step
             D=D0,
         )
         if integrate_out:
@@ -709,30 +947,40 @@ def make_pallas_bdf_solve(
         if has_root:
             carry0.update(
                 rootg=rootg0,
-                n_roots=jnp.asarray(0, i32),
-                root_t=DF(jnp.asarray(np.float32(np.nan)),
-                          jnp.asarray(np.float32(0.0))),
-                root_idx=jnp.asarray(-1, i32),
+                n_roots=csc_i(0),
+                root_t=DF(csc_f(np.nan), csc_f(0.0)),
+                root_idx=csc_i(-1),
             )
         if jac_reuse:
-            zdf = df32.zeros_like(zrow)
+            # mixed tier: J/lu are raw f32 rows (lanes is a data-derived
+            # zero, keeping the carry init at the concrete layout)
+            zdf = lanes if mixed else zrow
             carry0.update(
                 J=tuple(tuple(zdf for _ in range(n)) for _ in range(n)),
                 lu=tuple(tuple(zdf for _ in range(n)) for _ in range(n)),
-                perm=tuple(jnp.zeros_like(zrow.hi, i32) for _ in range(n)),
-                c_last=jnp.asarray(0.0, f32),  # LU's c; 0 = none
-                ssj=jnp.asarray(0, i32),       # attempts since refactor
-                ssrj=jnp.asarray(0, i32),      # attempts since J refresh
-                eta_mem=jnp.asarray(np.float32(20.0**1.25)),
+                perm=tuple(lanes.astype(i32) for _ in range(n)),
+                c_last=csc_f(0.0),  # LU's c; 0 = none
+                ssj=csc_i(0),       # attempts since refactor
+                ssrj=csc_i(0),      # attempts since J refresh
+                eta_mem=csc_f(20.0**1.25),
             )
 
-        def cond(c):
+        def chain_alive(c):
+            # per-chain (nchains, 1) liveness
             return (
                 (c["status"] == _OK) & (c["k"] < max_steps)
                 & (c["next_eval"] < neval)
             )
 
+        def cond(c):
+            return _any32(chain_alive(c))
+
         def body(c):
+            # chains that already finished (or failed) keep computing --
+            # their results are frozen at the end of the body and their
+            # output writes are masked -- so stragglers cost vector work
+            # but never change state
+            alive = chain_alive(c)
             (k, steps, status, next_eval, t, h, order, n_equal, prev_err,
              conv_fail, newton_fails, err_fails, h_changed, D) = (
                 c["k"], c["steps"], c["status"], c["next_eval"], c["t"],
@@ -766,6 +1014,23 @@ def make_pallas_bdf_solve(
 
             def build_amat(Jm):
                 # M - c J (diag M; identity without mass)
+                if mixed:
+                    c32a = jnp.broadcast_to(cval.hi, lanes.shape)
+
+                    def diag32(r):
+                        if has_mass:
+                            return md_pred[r].hi
+                        return lanes + np.float32(1.0)
+
+                    return [
+                        [
+                            (diag32(r) if r == cc else lanes)
+                            - c32a * Jm[r][cc]
+                            for cc in range(n)
+                        ]
+                        for r in range(n)
+                    ]
+
                 def diag(r):
                     if has_mass:
                         return md_pred[r]
@@ -783,11 +1048,16 @@ def make_pallas_bdf_solve(
                     for r in range(n)
                 ]
 
+            _jac = jac_cols32 if mixed else jac_cols
+            _lufac = _lu_factor_f32 if mixed else _lu_factor_df
+            # J/lu carry entries are raw f32 rows in the mixed tier
+            _jwhere = jnp.where if mixed else df32.where
+
             if not jac_reuse:
                 # fresh Jacobian + LU of (I - c J) at every attempt
-                J = jac_cols(t_pred, y_pred)
-                lu, perm = _lu_factor_df(build_amat(J), n)
-                eta0 = jnp.asarray(np.float32(20.0**1.25))
+                J = _jac(t_pred, y_pred)
+                lu, perm = _lufac(build_amat(J), n)
+                eta0 = csc_f(20.0**1.25)
             else:
                 # stale-Jacobian update policy (reference bdf.rs:467-505 +
                 # jacobian_update.rs, same thresholds as solvers/bdf.py):
@@ -810,21 +1080,50 @@ def make_pallas_bdf_solve(
                     | (ssj >= int(opts.update_jacobian_after_steps))
                 )
 
+                # per-chain predicates: run the branch when ANY chain
+                # needs it, select per chain (a chain that doesn't need
+                # the refresh keeps its carried J/LU).  The masks cross
+                # the cond boundary as f32 (_m32/_mb).
+                refresh32 = _m32(refresh_j)
+                refactor32 = _m32(refactor)
+
+                def do_refresh(_):
+                    rb = _mb(refresh32)
+                    Jf = _jac(t_pred, y_pred)
+                    return tuple(
+                        tuple(
+                            _jwhere(rb, Jf[r][cc], J_c[r][cc])
+                            for cc in range(n)
+                        )
+                        for r in range(n)
+                    )
+
                 J = jax.lax.cond(
-                    refresh_j,
-                    lambda _: tuple(
-                        tuple(row) for row in jac_cols(t_pred, y_pred)
-                    ),
-                    lambda _: J_c,
-                    None,
+                    _any32(refresh_j), do_refresh, lambda _: J_c, None
                 )
 
                 def do_refactor(_):
-                    lu_n, perm_n = _lu_factor_df(build_amat(J), n)
-                    return (tuple(tuple(r) for r in lu_n), tuple(perm_n))
+                    rb = _mb(refactor32)
+                    lu_n, perm_n = _lufac(build_amat(J), n)
+                    return (
+                        tuple(
+                            tuple(
+                                _jwhere(rb, lu_n[r][cc],
+                                        lu_c[r][cc])
+                                for cc in range(n)
+                            )
+                            for r in range(n)
+                        ),
+                        tuple(
+                            jnp.where(rb, perm_n[r], perm_c[r])
+                            .astype(i32)
+                            for r in range(n)
+                        ),
+                    )
 
                 lu, perm = jax.lax.cond(
-                    refactor, do_refactor, lambda _: (lu_c, perm_c), None
+                    _any32(refactor), do_refactor,
+                    lambda _: (lu_c, perm_c), None,
                 )
                 c_last_n = jnp.where(refactor, c32, c_last)
                 ssj_n = jnp.where(refactor, 0, ssj + 1).astype(i32)
@@ -857,14 +1156,30 @@ def make_pallas_bdf_solve(
             eps32 = np.float32(np.finfo(np.float32).eps)
 
             def n_cond(nc):
-                return (nc[3] == 0) & (nc[2] < max_newton_iter)
+                return _any32((nc[3] == 0) & (nc[2] < max_newton_iter))
+
+            def newton_delta(x):
+                if mixed:
+                    # residual assembled in df (the x - y_pred + psi
+                    # cancellation needs it), then demoted: the residual
+                    # is RELATIVELY f32-accurate at any magnitude, and
+                    # the solve error scales with |delta|, which -> 0
+                    r_rows = nres(list(x))
+                    d32 = _lu_solve_f32(
+                        lu, perm, [v.hi for v in r_rows], n
+                    )
+                    return [DF(v, jnp.zeros_like(v)) for v in d32]
+                return _lu_solve_df(lu, perm, nres(list(x)), n)
 
             def n_body(nc):
-                x, first_nrm, niter, nstat, _eta_run = nc
-                delta = _lu_solve_df(lu, perm, nres(list(x)), n)
-                x = tuple(df32.sub(x[r], delta[r]) for r in range(n))
+                # per-chain masking: a chain whose Newton already
+                # converged/diverged freezes while the others iterate
+                x, first_nrm, niter, nstat, eta_run = nc
+                active = (nstat == 0) & (niter < max_newton_iter)
+                delta = newton_delta(x)
+                x_new = tuple(df32.sub(x[r], delta[r]) for r in range(n))
                 nrm = wrms32(delta, y_pred)
-                niter = niter + 1
+                niter = niter + active.astype(i32)
                 is_first = niter == 1
                 kk = jnp.maximum(niter - 1, 1).astype(f32)
                 rate = _pow_f32(
@@ -887,16 +1202,24 @@ def make_pallas_bdf_solve(
                 )
                 diverged = (~is_first) & (diverged_rate | (proj > nl_tol))
                 converged = (eta_new * nrm < nl_tol) & ~diverged
-                nstat = jnp.where(
+                nstat_new = jnp.where(
                     diverged, 2, jnp.where(converged, 1, 0)
                 ).astype(i32)
-                first_nrm = jnp.where(is_first, nrm, first_nrm)
-                return (x, first_nrm, niter, nstat, eta_new)
+                first_nrm_new = jnp.where(is_first, nrm, first_nrm)
+                x = tuple(
+                    df32.where(active, x_new[r], x[r]) for r in range(n)
+                )
+                return (
+                    x,
+                    jnp.where(active, first_nrm_new, first_nrm),
+                    niter,
+                    jnp.where(active, nstat_new, nstat).astype(i32),
+                    jnp.where(active, eta_new, eta_run),
+                )
 
             x_fin, _fn, niter, nstat, eta_fin = jax.lax.while_loop(
                 n_cond, n_body,
-                (tuple(y_pred), jnp.asarray(0.0, f32), jnp.asarray(0, i32),
-                 jnp.asarray(0, i32), eta0),
+                (tuple(y_pred), csc_f(0.0), csc_i(0), csc_i(0), eta0),
             )
             solve_ok = nstat == 1
             d_rows = [df32.sub(x_fin[r], y_pred[r]) for r in range(n)]
@@ -922,7 +1245,7 @@ def make_pallas_bdf_solve(
                 q = d_rows[r].hi / scale
                 sq = q * q
                 sq_acc = sq if sq_acc is None else sq_acc + sq
-            sq_d = jnp.max(sq_acc / np.float32(n))
+            sq_d = creduce(sq_acc / np.float32(n), jnp.max)
             err = sq_d * _f32_table(ec2_32, order - 1)
             if out_in_err:
                 # g error joins the max with the NEXT error constant
@@ -938,7 +1261,7 @@ def make_pallas_bdf_solve(
                     sqg_acc = sq if sqg_acc is None else sqg_acc + sq
                 err = jnp.maximum(
                     err,
-                    jnp.max(sqg_acc / np.float32(nout))
+                    creduce(sqg_acc / np.float32(nout), jnp.max)
                     * _f32_table(ec2_32, order),
                 )
             accepted = solve_ok & (err <= 1.0)
@@ -978,7 +1301,7 @@ def make_pallas_bdf_solve(
                     q = rowv[r].hi / scale
                     sq = q * q
                     acc2 = sq if acc2 is None else acc2 + sq
-                return jnp.max(acc2 / np.float32(n)) * _f32_table(
+                return creduce(acc2 / np.float32(n), jnp.max) * _f32_table(
                     ec2_32, const_idx
                 )
 
@@ -1011,7 +1334,11 @@ def make_pallas_bdf_solve(
             # kernel's largest straight-line block
             ru_factor = jnp.where(accepted, sel_factor, factor32)
             ru_order = jnp.where(accepted, new_order, order).astype(i32)
-            do_ru = jnp.where(accepted, do_change, do_rescale)
+            # select on the f32 mask images: a VECTOR select with i1 data
+            # operands lowers through an i8 round-trip whose i8->i1 trunci
+            # Mosaic rejects ("Unsupported target bitwidth for truncation",
+            # probed on-chip; scalar bool selects were fine pre-chains)
+            do_ru = _mb(jnp.where(accepted, _m32(do_change), _m32(do_rescale)))
             D_base = tuple(
                 tuple(
                     df32.where(accepted, D_acc[i_][s], D[i_][s])
@@ -1030,16 +1357,32 @@ def make_pallas_bdf_solve(
                 if integrate_out else ()
             )
 
+            do_ru32 = _m32(do_ru)
+
             def apply_resc(args):
                 Din, gDin = args
+                rb = _mb(do_ru32)
                 ru = _compute_ru_df(
                     ru_order, DF(ru_factor, jnp.zeros_like(ru_factor))
                 )
-                gDout = _apply_ru_df(ru, gDin, nout) if integrate_out else ()
-                return (_apply_ru_df(ru, Din, n), gDout)
+
+                def _sel(resc, base, nr):
+                    return tuple(
+                        tuple(
+                            df32.where(rb, resc[i_][s], base[i_][s])
+                            for s in range(nr)
+                        )
+                        for i_ in range(ND)
+                    )
+
+                gDout = (
+                    _sel(_apply_ru_df(ru, gDin, nout), gDin, nout)
+                    if integrate_out else ()
+                )
+                return (_sel(_apply_ru_df(ru, Din, n), Din, n), gDout)
 
             D_out, gD_out = jax.lax.cond(
-                do_ru, apply_resc, lambda a: a, (D_base, gD_base)
+                _any32(do_ru), apply_resc, lambda a: a, (D_base, gD_base)
             )
             h_mult = jnp.where(do_ru, ru_factor, np.float32(1.0))
             h_out = df32.mul(h, DF(h_mult, jnp.zeros_like(h_mult)))
@@ -1080,14 +1423,18 @@ def make_pallas_bdf_solve(
                     imax_l = jnp.where(take, r, imax_l).astype(i32)
                     best_f = jnp.maximum(fracs[r], best_f)
                 fl = found_l.astype(f32)
-                f_any = jnp.max(fl) > 0.0
-                f_all = jnp.min(fl) > 0.0
+                f_any = creduce(fl, jnp.max) > 0.0
+                f_all = creduce(fl, jnp.min) > 0.0
                 zl = zero_l.astype(f32)
-                z_any = jnp.max(zl) > 0.0
-                z_all = jnp.min(zl) > 0.0
+                z_any = creduce(zl, jnp.max) > 0.0
+                z_all = creduce(zl, jnp.min) > 0.0
                 imf = imax_l.astype(f32)
-                im_hi = jnp.max(jnp.where(found_l, imf, -np.float32(np.inf)))
-                im_lo = jnp.min(jnp.where(found_l, imf, np.float32(np.inf)))
+                im_hi = creduce(
+                    jnp.where(found_l, imf, -np.float32(np.inf)), jnp.max
+                )
+                im_lo = creduce(
+                    jnp.where(found_l, imf, np.float32(np.inf)), jnp.min
+                )
                 incons = accepted & (
                     (f_any & ~f_all)
                     | (f_all & (im_hi != im_lo))
@@ -1098,14 +1445,17 @@ def make_pallas_bdf_solve(
                 do_root = (do_cross | do_zero) & ~incons
 
                 def lane0f(v):
-                    return jnp.sum(jnp.where(lane0, v, np.float32(0.0)))
+                    return creduce(
+                        jnp.where(_mb(lane0_32), v, np.float32(0.0)),
+                        jnp.sum,
+                    )
 
                 def lane0df(v: DF) -> DF:
                     return DF(lane0f(v.hi), lane0f(v.lo))
 
                 im0 = lane0f(imax_l.astype(f32)).astype(i32)
                 # zero-at-boundary index: argmin |g1| on lane 0
-                zi = jnp.asarray(0, i32)
+                zi = csc_i(0)
                 zb = jnp.abs(lane0f(g1[0].hi))
                 for r in range(1, nroot):
                     m_ = jnp.abs(lane0f(g1[r].hi))
@@ -1127,13 +1477,21 @@ def make_pallas_bdf_solve(
                         jnp.abs(t_new.hi) + jnp.abs(t_new.hi - t.hi)
                     )
 
-                    def s_cond(sc):
+                    def s_prog(sc):
+                        # done/sc0/sc1 are carried as f32 masks: bool
+                        # while-carries hit the i8->i1 Mosaic trunci
                         gap = jnp.abs(df32.sub(sc["t1"], sc["t0"]).hi)
                         return (
-                            (~sc["done"]) & (gap > tol) & (sc["i"] < 40)
+                            (~_mb(sc["done"])) & (gap > tol) & (sc["i"] < 40)
                         )
 
+                    def s_cond(sc):
+                        return _any32(s_prog(sc))
+
                     def s_body(sc):
+                        # per-chain masking: chains whose bracket already
+                        # converged freeze while the others iterate
+                        prog = s_prog(sc)
                         g1v = _sel_g(sc["g1"], sc["im"])
                         g0v = _sel_g(sc["g0"], sc["im"])
                         alpha_df = DF(sc["alpha"], jnp.zeros_like(sc["alpha"]))
@@ -1211,42 +1569,75 @@ def make_pallas_bdf_solve(
                         )
                         res_tn = df32.where(exact, t_mid, sc["res_t"])
                         res_in = jnp.where(exact, sc["im"], sc["res_i"])
-                        sc0n = jnp.where(sc["i"] % 2 == 0, lower, sc["sc0"])
-                        sc1n = jnp.where(sc["i"] % 2 == 1, lower, sc["sc1"])
+                        lower32 = _m32(lower)
+                        sc0n = jnp.where(sc["i"] % 2 == 0, lower32,
+                                         sc["sc0"])
+                        sc1n = jnp.where(sc["i"] % 2 == 1, lower32,
+                                         sc["sc1"])
                         alpha_n = jnp.where(
                             sc["i"] >= 2,
                             jnp.where(
                                 sc0n != sc1n, np.float32(1.0),
                                 jnp.where(
-                                    sc0n, 0.5 * sc["alpha"],
+                                    _mb(sc0n), 0.5 * sc["alpha"],
                                     2.0 * sc["alpha"],
                                 ),
                             ),
                             sc["alpha"],
                         )
+                        def fz(a, b):
+                            return df32.where(prog, a, b)
+
                         return dict(
-                            t0=t0n, t1=t1n, g0=g0n, g1=g1n, im=imn,
-                            alpha=alpha_n, sc0=sc0n, sc1=sc1n,
-                            res_t=res_tn, res_i=res_in.astype(i32),
-                            i=sc["i"] + 1, done=sc["done"] | exact,
+                            t0=fz(t0n, sc["t0"]), t1=fz(t1n, sc["t1"]),
+                            g0=tuple(fz(g0n[r], sc["g0"][r])
+                                     for r in range(nroot)),
+                            g1=tuple(fz(g1n[r], sc["g1"][r])
+                                     for r in range(nroot)),
+                            im=jnp.where(prog, imn, sc["im"]).astype(i32),
+                            alpha=jnp.where(prog, alpha_n, sc["alpha"]),
+                            sc0=jnp.where(prog, sc0n, sc["sc0"]),
+                            sc1=jnp.where(prog, sc1n, sc["sc1"]),
+                            res_t=fz(res_tn, sc["res_t"]),
+                            res_i=jnp.where(
+                                prog, res_in, sc["res_i"]
+                            ).astype(i32),
+                            i=sc["i"] + prog.astype(i32),
+                            done=jnp.maximum(sc["done"],
+                                             _m32(prog & exact)),
                         )
 
                     s0 = dict(
                         t0=t, t1=t_new, g0=g0s, g1=g1s, im=im0,
-                        alpha=jnp.asarray(1.0, f32),
-                        sc0=jnp.asarray(False), sc1=jnp.asarray(True),
+                        alpha=csc_f(1.0),
+                        sc0=csc_f(0.0),
+                        sc1=csc_f(1.0),
                         res_t=t_new, res_i=im0,
-                        i=jnp.asarray(0, i32), done=jnp.asarray(False),
+                        i=csc_i(0), done=csc_f(0.0),
                     )
                     sf = jax.lax.while_loop(s_cond, s_body, s0)
-                    t_r = df32.where(sf["done"], sf["res_t"], sf["t1"])
-                    idx_r = jnp.where(sf["done"], sf["res_i"], sf["im"])
+                    fin = _mb(sf["done"])
+                    t_r = df32.where(fin, sf["res_t"], sf["t1"])
+                    idx_r = jnp.where(fin, sf["res_i"], sf["im"])
                     return t_r, idx_r.astype(i32)
 
+                do_cross32 = _m32(do_cross)
+                do_root32 = _m32(do_root)
+
                 def pin_and_reset(_):
+                    # predicate from the f32 mask image: `do_cross` itself
+                    # is a bool (nchains, 1) and this cond sits INSIDE the
+                    # pin_sel cond -- a captured i1 vector round-trips
+                    # through i8 at that boundary and Mosaic cannot lower
+                    # the i8->i1 trunci (see _m32)
                     t_r, idx_r = jax.lax.cond(
-                        do_cross, do_polish, lambda __: (t_new, zi), None
+                        jnp.max(do_cross32) > np.float32(0.0), do_polish,
+                        lambda __: (t_new, zi), None,
                     )
+                    # do_zero chains pin at t_new with the argmin index
+                    dc = _mb(do_cross32)
+                    t_r = df32.where(dc, t_r, t_new)
+                    idx_r = jnp.where(dc, idx_r, zi).astype(i32)
                     # state_mut_back (drivers._pin_to) + apply_reset +
                     # reinit-at-order-1 (drivers._apply_reset,
                     # bdf.reinit_after_reset; reference state.rs:246-320)
@@ -1272,18 +1663,41 @@ def make_pallas_bdf_solve(
                     )
 
                 def no_root(_):
-                    zs = tuple(df32.zeros_like(zrow) for _ in range(n))
+                    zs = tuple(zrow for _ in range(n))
                     zg = tuple(
-                        df32.zeros_like(zrow) for _ in range(nout)
+                        zrow for _ in range(nout)
                     ) if integrate_out else ()
                     return (
-                        t_new, jnp.asarray(-1, i32), tuple(y_new), zs,
+                        t_new, csc_i(-1), tuple(y_new), zs,
                         zg, zg, tuple(g1),
                     )
 
+                def pin_sel(_):
+                    # per-chain select between the pinned/reset values and
+                    # the no-root values (only do_root chains take them)
+                    pv = pin_and_reset(None)
+                    nv = no_root(None)
+                    dr = _mb(do_root32)
+
+                    def seld(pr, nr_):
+                        return df32.where(dr, pr, nr_)
+
+                    return (
+                        seld(pv[0], nv[0]),
+                        jnp.where(dr, pv[1], nv[1]).astype(i32),
+                        tuple(seld(pv[2][r], nv[2][r]) for r in range(n)),
+                        tuple(seld(pv[3][r], nv[3][r]) for r in range(n)),
+                        tuple(seld(pv[4][r], nv[4][r])
+                              for r in range(len(nv[4]))),
+                        tuple(seld(pv[5][r], nv[5][r])
+                              for r in range(len(nv[5]))),
+                        tuple(seld(pv[6][r], nv[6][r])
+                              for r in range(nroot)),
+                    )
+
                 (t_r, ridx, y_plus, dy_plus, g_root, dg_plus,
-                 rootg_plus) = jax.lax.cond(do_root, pin_and_reset, no_root,
-                                            None)
+                 rootg_plus) = jax.lax.cond(_any32(do_root), pin_sel,
+                                            no_root, None)
             else:
                 do_root = jnp.asarray(False)
                 incons = jnp.asarray(False)
@@ -1298,28 +1712,74 @@ def make_pallas_bdf_solve(
             # step effectively ends at t_root (drivers t_upper semantics)
             t_wr = df32.where(do_root, t_r, t_new) if has_root else t_new
 
-            def w_cond(ne):
+            # alive gates finished/failed chains out of further writes;
+            # f32 capture across the w-while boundary (see _m32)
+            walive32 = _m32(alive & accepted)
+
+            def w_mask(ne):
                 te = _df_table(t_eval64, ne)
-                return accepted & (ne < neval) & df32.le(te, t_wr)
+                return _mb(walive32) & (ne < neval) & df32.le(te, t_wr)
+
+            def w_cond(ne):
+                return _any32(w_mask(ne))
 
             def w_body(ne):
+                wm = w_mask(ne)  # (nchains, 1)
                 te = _df_table(t_eval64, ne)
                 # interpolation polynomial of the ACCEPTED step: D_acc at
                 # (t_new, h, order) (solvers/bdf._interp_from_diff)
                 yv = _interp_rows(D_acc, n, t_new, h, order, te, lanes.shape)
-                for s in range(n):
-                    row = ne * n + s
-                    ys_hi_ref[pl.dslice(row, 1), :] = yv[s].hi[None, :]
-                    ys_lo_ref[pl.dslice(row, 1), :] = yv[s].lo[None, :]
                 if integrate_out:
                     gv = _interp_rows(
                         gD_acc, nout, t_new, h, order, te, lanes.shape
                     )
-                    for s in range(nout):
-                        row = ne * nout + s
-                        gs_hi_ref[pl.dslice(row, 1), :] = gv[s].hi[None, :]
-                        gs_lo_ref[pl.dslice(row, 1), :] = gv[s].lo[None, :]
-                return ne + 1
+                if nchains == 1:
+                    # w_cond == the scalar mask itself: the write is
+                    # unconditional exactly like the round-4 kernel
+                    for s in range(n):
+                        row = ne * n + s
+                        ys_hi_ref[pl.dslice(row, 1), :] = yv[s].hi[None, :]
+                        ys_lo_ref[pl.dslice(row, 1), :] = yv[s].lo[None, :]
+                    if integrate_out:
+                        for s in range(nout):
+                            row = ne * nout + s
+                            gs_hi_ref[pl.dslice(row, 1), :] = (
+                                gv[s].hi[None, :]
+                            )
+                            gs_lo_ref[pl.dslice(row, 1), :] = (
+                                gv[s].lo[None, :]
+                            )
+                    return ne + 1
+                # per-chain rows differ (each chain has its OWN next_eval):
+                # read-modify-write so masked-out chains keep their data
+                ne_cl = jnp.minimum(ne, neval - 1)[:, 0]  # (nchains,)
+                # f32 proxy: Mosaic can only squeeze 32-bit scalars, so a
+                # bool wm[ci, 0] extraction fails to lower (see _any32)
+                wm32 = wm.astype(f32)
+                for ci in range(nchains):
+                    ok = wm32[ci, 0] > np.float32(0.0)
+                    for s in range(n):
+                        row = ne_cl[ci] * n + s
+                        cur_h = ys_hi_ref[pl.dslice(row, 1), ci, :]
+                        cur_l = ys_lo_ref[pl.dslice(row, 1), ci, :]
+                        ys_hi_ref[pl.dslice(row, 1), ci, :] = jnp.where(
+                            ok, yv[s].hi[ci][None, :], cur_h
+                        )
+                        ys_lo_ref[pl.dslice(row, 1), ci, :] = jnp.where(
+                            ok, yv[s].lo[ci][None, :], cur_l
+                        )
+                    if integrate_out:
+                        for s in range(nout):
+                            row = ne_cl[ci] * nout + s
+                            cur_h = gs_hi_ref[pl.dslice(row, 1), ci, :]
+                            cur_l = gs_lo_ref[pl.dslice(row, 1), ci, :]
+                            gs_hi_ref[pl.dslice(row, 1), ci, :] = jnp.where(
+                                ok, gv[s].hi[ci][None, :], cur_h
+                            )
+                            gs_lo_ref[pl.dslice(row, 1), ci, :] = jnp.where(
+                                ok, gv[s].lo[ci][None, :], cur_l
+                            )
+                return ne + wm.astype(i32)
 
             next_eval_new = jax.lax.while_loop(w_cond, w_body, next_eval)
 
@@ -1337,7 +1797,7 @@ def make_pallas_bdf_solve(
                     tuple(
                         y_plus[s] if i_ == 0
                         else (df32.mul(hn, dy_plus[s]) if i_ == 1
-                              else df32.zeros_like(zrow))
+                              else zrow)
                         for s in range(n)
                     )
                     for i_ in range(ND)
@@ -1418,7 +1878,7 @@ def make_pallas_bdf_solve(
                         tuple(
                             g_root[s] if i_ == 0
                             else (df32.mul(hn, dg_plus[s]) if i_ == 1
-                                  else df32.zeros_like(zrow))
+                                  else zrow)
                             for s in range(nout)
                         )
                         for i_ in range(ND)
@@ -1446,7 +1906,19 @@ def make_pallas_bdf_solve(
             if jac_reuse:
                 out.update(J=J, lu=lu, perm=perm, c_last=c_last_n,
                            ssj=ssj_n, ssrj=ssrj_n, eta_mem=eta_fin)
-            return out
+
+            # freeze finished chains: their (garbage) step results must
+            # not overwrite the state they finished with
+            def _freeze(new_v, old_v):
+                if isinstance(new_v, DF):
+                    return df32.where(alive, new_v, old_v)
+                if isinstance(new_v, tuple):
+                    return tuple(
+                        _freeze(a, b) for a, b in zip(new_v, old_v)
+                    )
+                return jnp.where(alive, new_v, old_v).astype(new_v.dtype)
+
+            return {kk: _freeze(out[kk], c[kk]) for kk in out}
 
         out = jax.lax.while_loop(cond, body, carry0)
         k_fin, steps_fin, status_fin = out["k"], out["steps"], out["status"]
@@ -1455,28 +1927,50 @@ def make_pallas_bdf_solve(
             (status_fin == _OK) & (next_eval_fin < neval),
             _FAIL_MAX_STEPS, status_fin,
         )
-        info_ref[0, :] = jnp.full((tile,), status_fin, i32)
-        info_ref[1, :] = jnp.full((tile,), steps_fin, i32)
-        info_ref[2, :] = jnp.full((tile,), k_fin, i32)
-        info_ref[3, :] = jnp.full((tile,), next_eval_fin, i32)
-        if has_root:
-            info_ref[4, :] = jnp.full((tile,), out["n_roots"], i32)
-            info_ref[5, :] = jnp.full((tile,), out["root_idx"], i32)
-            root_t_ref[0, :] = jnp.full((tile,), out["root_t"].hi, f32)
-            root_t_ref[1, :] = jnp.full((tile,), out["root_t"].lo, f32)
-        else:
-            info_ref[4, :] = jnp.zeros((tile,), i32)
-            info_ref[5, :] = jnp.full((tile,), -1, i32)
+        if nchains == 1:
+            info_ref[0, :] = jnp.full((tile,), status_fin, i32)
+            info_ref[1, :] = jnp.full((tile,), steps_fin, i32)
+            info_ref[2, :] = jnp.full((tile,), k_fin, i32)
+            info_ref[3, :] = jnp.full((tile,), next_eval_fin, i32)
+            if has_root:
+                info_ref[4, :] = jnp.full((tile,), out["n_roots"], i32)
+                info_ref[5, :] = jnp.full((tile,), out["root_idx"], i32)
+                root_t_ref[0, :] = jnp.full((tile,), out["root_t"].hi, f32)
+                root_t_ref[1, :] = jnp.full((tile,), out["root_t"].lo, f32)
+            else:
+                info_ref[4, :] = jnp.zeros((tile,), i32)
+                info_ref[5, :] = jnp.full((tile,), -1, i32)
+            return
 
+        def bchain(v, dt):
+            # (nchains, 1) per-chain value -> (nchains, tile) lanes
+            return jnp.broadcast_to(v, (nchains, tile)).astype(dt)
+
+        info_ref[0, :, :] = bchain(status_fin, i32)
+        info_ref[1, :, :] = bchain(steps_fin, i32)
+        info_ref[2, :, :] = bchain(k_fin, i32)
+        info_ref[3, :, :] = bchain(next_eval_fin, i32)
+        if has_root:
+            info_ref[4, :, :] = bchain(out["n_roots"], i32)
+            info_ref[5, :, :] = bchain(out["root_idx"], i32)
+            root_t_ref[0, :, :] = bchain(out["root_t"].hi, f32)
+            root_t_ref[1, :, :] = bchain(out["root_t"].lo, f32)
+        else:
+            info_ref[4, :, :] = jnp.zeros((nchains, tile), i32)
+            info_ref[5, :, :] = jnp.full((nchains, tile), -1, i32)
+
+    lane_shape = (tile,) if nchains == 1 else (nchains, tile)
     out_shape = [
-        jax.ShapeDtypeStruct((neval * n, tile), f32),
-        jax.ShapeDtypeStruct((neval * n, tile), f32),
+        jax.ShapeDtypeStruct((neval * n,) + lane_shape, f32),
+        jax.ShapeDtypeStruct((neval * n,) + lane_shape, f32),
     ]
     if integrate_out:
-        out_shape += [jax.ShapeDtypeStruct((neval * nout, tile), f32)] * 2
-    out_shape.append(jax.ShapeDtypeStruct((6, tile), i32))
+        out_shape += [
+            jax.ShapeDtypeStruct((neval * nout,) + lane_shape, f32)
+        ] * 2
+    out_shape.append(jax.ShapeDtypeStruct((6,) + lane_shape, i32))
     if has_root:
-        out_shape.append(jax.ShapeDtypeStruct((2, tile), f32))
+        out_shape.append(jax.ShapeDtypeStruct((2,) + lane_shape, f32))
     call = pl.pallas_call(
         kernel,
         out_shape=tuple(out_shape),
@@ -1509,8 +2003,11 @@ def make_pallas_bdf_solve(
             packed = jnp.concatenate([packed, lane_row[None, :]], axis=0)
         ys_parts, st_parts, steps_parts = [], [], []
         gs_parts, np_parts, nr_parts, ri_parts, rt_parts = [], [], [], [], []
-        for ti in range(ntiles):
-            sl = packed[:, ti * tile : (ti + 1) * tile]
+        lanes_call = nchains * tile
+        for ti in range(ncalls):
+            sl = packed[:, ti * lanes_call : (ti + 1) * lanes_call]
+            if nchains > 1:
+                sl = sl.reshape(sl.shape[0], nchains, tile)
             # trace the kernel with x64 OFF: the kernel is pure f32/i32 by
             # design, but under ambient x64 python-int literals enter ops
             # like jnp.where as i64 scalars, and Mosaic's convert_helper
@@ -1521,34 +2018,48 @@ def make_pallas_bdf_solve(
             yh, yl = next(it), next(it)
             if integrate_out:
                 gh, gl = next(it), next(it)
-                gs_parts.append(
-                    gh.astype(jnp.float64) + gl.astype(jnp.float64)
-                )
+                g64 = gh.astype(jnp.float64) + gl.astype(jnp.float64)
+                gs_parts.append(g64.reshape(neval * nout, lanes_call))
             info = next(it)
-            ys_parts.append(yh.astype(jnp.float64) + yl.astype(jnp.float64))
-            st_parts.append(info[0, 0])
-            steps_parts.append(info[1, 0])
-            np_parts.append(info[3, 0])
-            if has_root:
-                rt = next(it)
-                nr_parts.append(info[4, 0])
-                ri_parts.append(info[5, 0])
-                rt_parts.append(
-                    rt[0, 0].astype(jnp.float64)
-                    + rt[1, 0].astype(jnp.float64)
-                )
+            y64 = yh.astype(jnp.float64) + yl.astype(jnp.float64)
+            ys_parts.append(y64.reshape(neval * n, lanes_call))
+            # per-chain lane-0 scalars -> (nchains,) rows
+            if nchains == 1:
+                st_parts.append(info[0, :1])
+                steps_parts.append(info[1, :1])
+                np_parts.append(info[3, :1])
+                if has_root:
+                    rt = next(it)
+                    nr_parts.append(info[4, :1])
+                    ri_parts.append(info[5, :1])
+                    rt_parts.append(
+                        rt[0, :1].astype(jnp.float64)
+                        + rt[1, :1].astype(jnp.float64)
+                    )
+            else:
+                st_parts.append(info[0, :, 0])       # (nchains,)
+                steps_parts.append(info[1, :, 0])
+                np_parts.append(info[3, :, 0])
+                if has_root:
+                    rt = next(it)
+                    nr_parts.append(info[4, :, 0])
+                    ri_parts.append(info[5, :, 0])
+                    rt_parts.append(
+                        rt[0, :, 0].astype(jnp.float64)
+                        + rt[1, :, 0].astype(jnp.float64)
+                    )
         ys = jnp.concatenate(ys_parts, axis=1)[:, :nbatch]
         ys = ys.reshape(neval, n, nbatch)
-        status = jnp.stack(st_parts)
+        status = jnp.concatenate(st_parts)       # (ntiles,)
         # loud failure: poison every member of a failed tile
         bad = jnp.repeat(status < 0, tile)[:nbatch]
         ys = jnp.where(bad[None, None, :], jnp.nan, ys)
-        steps = jnp.stack(steps_parts)
+        steps = jnp.concatenate(steps_parts)
         if not extended:
             return ys, status, steps
         res = dict(
             ys=ys, status=status, steps=steps,
-            n_points=jnp.stack(np_parts),
+            n_points=jnp.concatenate(np_parts),
         )
         if integrate_out:
             gs = jnp.concatenate(gs_parts, axis=1)[:, :nbatch]
@@ -1556,10 +2067,13 @@ def make_pallas_bdf_solve(
             res["gs"] = jnp.where(bad[None, None, :], jnp.nan, gs)
         if has_root:
             res.update(
-                n_roots=jnp.stack(nr_parts),
-                root_idx=jnp.stack(ri_parts),
-                root_t=jnp.stack(rt_parts),
+                n_roots=jnp.concatenate(nr_parts),
+                root_idx=jnp.concatenate(ri_parts),
+                root_t=jnp.concatenate(rt_parts),
             )
         return res
 
+    solve.tile = tile
+    solve.nchains = nchains
+    solve.ntiles = ntiles
     return solve

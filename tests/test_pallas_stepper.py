@@ -417,3 +417,70 @@ def test_pallas_stepper_transcendental_rhs_interpret():
         np.testing.assert_allclose(
             np.asarray(sol_f.ys)[:, b, 0], exact, rtol=1e-5, atol=1e-7
         )
+
+
+def test_pallas_stepper_chain_interleave_bitexact():
+    """Chain interleaving (chains=C advances C independent tiles inside
+    ONE kernel, overlapping their per-step serial dependency chains --
+    the round-4 critical-path lever) must be BIT-identical to the
+    single-chain kernel: per-tile step sequences, statuses, and
+    trajectories are unchanged, only the instruction schedule widens."""
+    problem = (
+        dt.OdeBuilder()
+        .rhs(lambda t, y, p: -p[0] * y)
+        .init(lambda t, p: jnp.array([1.0, 2.0]))
+        .p([1.0])
+        .rtol(1e-6)
+        .atol(1e-8)
+        .build()
+    )
+    te = [0.3, 0.7, 1.3]
+    B = 8
+    params = jnp.asarray(np.linspace(0.5, 1.5, B)[:, None])
+    r1 = make_pallas_bdf_solve(
+        problem, te, nbatch=B, tile=4, chains=1, interpret=True
+    )(params)
+    r2 = make_pallas_bdf_solve(
+        problem, te, nbatch=B, tile=4, chains=2, interpret=True
+    )(params)
+    for a, b in zip(r1, r2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(jnp.min(r2[1])) >= 0
+
+
+def test_pallas_stepper_mixed_precision_interpret():
+    """precision="mixed" demotes the NEWTON MATRIX PATH (f32 dual
+    Jacobian probes, f32 LU factor+solve) while state/residual/time/
+    error-test stay in df.  Inexact-Newton: the linear algebra accuracy
+    gates only the convergence rate, so trajectories must agree with the
+    df tier at the ERROR-TEST TOLERANCE level -- measured here in units
+    of the error-test weight (atol + rtol|y|), O(1) weights at worst
+    after ~300 adaptive steps to t=4e10 -- not at machine level."""
+    problem = robertson.problem_ode(rtol=1e-4, atol=(1e-8, 1e-6, 1e-6))
+    te = [0.4, 4.0, 400.0, 4e4, 4e6, 4e8, 4e10]
+    B = 4
+    params = jnp.stack(
+        [jnp.full((B,), 0.04), jnp.full((B,), 1e4), jnp.full((B,), 3e7)],
+        axis=1,
+    )
+    r_df = make_pallas_bdf_solve(
+        problem, te, nbatch=B, tile=4, interpret=True
+    )(params)
+    r_mx = make_pallas_bdf_solve(
+        problem, te, nbatch=B, tile=4, interpret=True, precision="mixed"
+    )(params)
+    assert int(jnp.min(r_mx[1])) >= 0, np.asarray(r_mx[1])
+    yf, ym = np.asarray(r_df[0]), np.asarray(r_mx[0])
+    w = np.array([1e-8, 1e-6, 1e-6])[None, :, None] + 1e-4 * np.abs(yf)
+    scaled = np.max(np.abs(ym - yf) / w)
+    assert scaled < 5.0, scaled
+    # early/mid trajectory (t <= 4e4, before error accumulation over
+    # hundreds of steps) agrees much tighter
+    early = np.max(np.abs(ym[:4] - yf[:4]) / w[:4])
+    assert early < 0.1, early
+
+
+def test_pallas_stepper_precision_validation():
+    problem = robertson.problem_ode(rtol=1e-4, atol=1e-6)
+    with pytest.raises(ValueError):
+        make_pallas_bdf_solve(problem, [0.4], nbatch=4, precision="f16")
