@@ -247,7 +247,10 @@ def _make_fused_solve(problem, t_eval, nbatch, max_steps, interpret,
     from .ops.pallas_stepper_band import make_pallas_band_bdf_solve
 
     try:
-        tier = "fused_small" if precision == "df" else "fused_small_mixed"
+        tier = (
+            "fused_small" if precision == "df"
+            else f"fused_small_{precision}"
+        )
         return make_pallas_bdf_solve(
             problem, t_eval, nbatch=nbatch, max_steps=max_steps,
             interpret=interpret, precision=precision,

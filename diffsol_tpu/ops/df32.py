@@ -201,6 +201,79 @@ def minimum(x: DF, y: DF) -> DF:
 
 
 # --------------------------------------------------------------------------
+# FAST variants (the precision="fast" kernel tier): the QD library's
+# "sloppy" double-double operations.  The fused whole-solve kernel is
+# VPU-THROUGHPUT bound (docs/design.md round-5 census: dd-adds are ~60%
+# of the step's vector flops), so the 20->11-flop add and the
+# 120->33-flop division buy wall-clock almost 1:1.  Accuracy: identical
+# ABSOLUTE error bound to the accurate ops (~2^-47 of the operand
+# magnitudes); under deep cancellation the RELATIVE error of the (tiny)
+# result can reach the lost-lo level instead of staying error-free.  In
+# the BDF kernel every cancellation-prone quantity (Newton delta, error
+# estimate, difference-matrix tails) feeds a TOLERANCE-scaled test, so
+# the practical floor is ~1e-9-relative trajectories at rtol=1e-4 --
+# measured on the robertson t=4e10 fixture in
+# tests/test_pallas_stepper.py::test_pallas_stepper_fast_interpret.
+# --------------------------------------------------------------------------
+
+
+def add_sloppy(x: DF, y: DF) -> DF:
+    """Sloppy dd-add (11 flops): error-free two_sum on the hi words; the
+    lo words join the error term in plain f32 (QD's default add)."""
+    s, e = two_sum(x.hi, y.hi)
+    e = e + (x.lo + y.lo)
+    return DF(*quick_two_sum(s, e))
+
+
+def sub_sloppy(x: DF, y: DF) -> DF:
+    return add_sloppy(x, neg(y))
+
+
+def div_fast(x: DF, y: DF) -> DF:
+    """Two-term long division (~33 flops, ~2^-45 relative)."""
+    q1 = x.hi / y.hi
+    r = sub_sloppy(x, mul_f32(y, q1))
+    q2 = r.hi / y.hi
+    return DF(*quick_two_sum(q1, q2))
+
+
+def recip_fast(y: DF) -> DF:
+    return div_fast(from_f32(jnp.ones_like(y.hi)), y)
+
+
+class FastOps:
+    """Module-like namespace mirroring the df32 function surface with the
+    sloppy add/sub and the two-term division swapped in.  The fused
+    kernels take this (or the df32 module itself) as their scalar-ops
+    vtable, so ``precision="fast"`` is one namespace switch."""
+
+    DF = DF
+    add = staticmethod(add_sloppy)
+    sub = staticmethod(sub_sloppy)
+    div = staticmethod(div_fast)
+    recip = staticmethod(recip_fast)
+    # identical to the accurate tier
+    mul = staticmethod(mul)
+    mul_f32 = staticmethod(mul_f32)
+    neg = staticmethod(neg)
+    abs_ = staticmethod(abs_)
+    where = staticmethod(where)
+    zeros_like = staticmethod(zeros_like)
+    const = staticmethod(const)
+    from_f32 = staticmethod(from_f32)
+    lt = staticmethod(lt)
+    le = staticmethod(le)
+    gt = staticmethod(gt)
+    ge = staticmethod(ge)
+    maximum = staticmethod(maximum)
+    minimum = staticmethod(minimum)
+
+    @staticmethod
+    def fma(a: DF, b: DF, c: DF) -> DF:
+        return add_sloppy(mul(a, b), c)
+
+
+# --------------------------------------------------------------------------
 # transcendentals (argument reduction + polynomial kernels, Mosaic-safe)
 #
 # These unlock the fused whole-solve Pallas tiers for exp/log/trig
@@ -598,6 +671,21 @@ class DFAlgebra:
     logistic = staticmethod(logistic)
     square = staticmethod(square)
     sign = staticmethod(sign)
+
+
+class FastDFAlgebra(DFAlgebra):
+    """DFAlgebra with the sloppy add/sub and two-term division -- the
+    jaxpr-interpreter algebra of the ``precision="fast"`` kernel tier
+    (rhs/root/reset evaluation; transcendental kernels keep the accurate
+    internals, only the exposed add/sub/div cheapen)."""
+
+    add = staticmethod(add_sloppy)
+    sub = staticmethod(sub_sloppy)
+    div = staticmethod(div_fast)
+
+    @staticmethod
+    def fma(a: DF, b: DF, c: DF) -> DF:
+        return add_sloppy(mul(a, b), c)
 
 
 class F32Algebra:

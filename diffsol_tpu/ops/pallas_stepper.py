@@ -141,33 +141,39 @@ def _df_table(vals, idx) -> DF:
     return DF(_f32_table(his, idx), _f32_table(los, idx))
 
 
-def _lu_factor_df(A, n):
+def _lu_factor_df(A, n, m=df32):
     """Masked-select partial-pivot LU of an n x n DF matrix (rows/cols as
     nested lists of DF lane vectors) -- the df port of
     ops/smalllu.lu_factor_batch_last (no gathers: pivoting is lane-masked
-    selects, the TPU-native formulation)."""
+    selects, the TPU-native formulation).  Returns ``(lu, perm, rdiag)``
+    with ``rdiag[k] = 1/lu[k][k]`` computed HERE (once per
+    factorization) so the back-substitution multiplies instead of
+    dividing -- a df division is ~120 f32 flops vs ~22 for a multiply,
+    and the solve runs every Newton iteration while the factorization
+    is stale-Jacobian cached."""
     lu = [[A[r][c] for c in range(n)] for r in range(n)]
     zero_i = jnp.zeros_like(lu[0][0].hi, i32)
     perm = [zero_i + r for r in range(n)]
+    rdiag = []
     for k in range(n - 1):
         # pivot row among k..n-1, per lane
         pk = zero_i + k
-        bm = df32.abs_(lu[k][k]).hi
+        bm = m.abs_(lu[k][k]).hi
         for r in range(k + 1, n):
-            m = df32.abs_(lu[r][k]).hi
-            take = m > bm
+            mag = m.abs_(lu[r][k]).hi
+            take = mag > bm
             pk = jnp.where(take, r, pk)
-            bm = jnp.maximum(m, bm)
+            bm = jnp.maximum(mag, bm)
         # swap rows k <-> pk with masked selects
         new_rows = [row[:] for row in lu]
         for c in range(n):
             sel = lu[k][c]
             for r in range(k, n):
-                sel = df32.where(pk == r, lu[r][c], sel)
+                sel = m.where(pk == r, lu[r][c], sel)
             new_rows[k][c] = sel
         for r in range(k + 1, n):
             for c in range(n):
-                new_rows[r][c] = df32.where(pk == r, lu[k][c], lu[r][c])
+                new_rows[r][c] = m.where(pk == r, lu[k][c], lu[r][c])
         lu = new_rows
         pnew = perm[:]
         sel = perm[k]
@@ -177,34 +183,36 @@ def _lu_factor_df(A, n):
         for r in range(k + 1, n):
             pnew[r] = jnp.where(pk == r, perm[k], perm[r])
         perm = pnew
-        inv_p = df32.recip(lu[k][k])
+        inv_p = m.recip(lu[k][k])
+        rdiag.append(inv_p)
         for r in range(k + 1, n):
-            l = df32.mul(lu[r][k], inv_p)
+            l = m.mul(lu[r][k], inv_p)
             lu[r][k] = l
             for c in range(k + 1, n):
-                lu[r][c] = df32.sub(lu[r][c], df32.mul(l, lu[k][c]))
-    return lu, perm
+                lu[r][c] = m.sub(lu[r][c], m.mul(l, lu[k][c]))
+    rdiag.append(m.recip(lu[n - 1][n - 1]))
+    return lu, perm, rdiag
 
 
-def _lu_solve_df(lu, perm, b, n):
+def _lu_solve_df(lu, perm, rdiag, b, n, m=df32):
     """Solve with :func:`_lu_factor_df` output; b a list of n DF rows."""
     xs = []
     for r in range(n):
         sel = b[0]
         for j in range(n):
-            sel = df32.where(perm[r] == j, b[j], sel)
+            sel = m.where(perm[r] == j, b[j], sel)
         xs.append(sel)
     for r in range(1, n):
         acc = xs[r]
         for j in range(r):
-            acc = df32.sub(acc, df32.mul(lu[r][j], xs[j]))
+            acc = m.sub(acc, m.mul(lu[r][j], xs[j]))
         xs[r] = acc
     out = [None] * n
     for r in range(n - 1, -1, -1):
         acc = xs[r]
         for j in range(r + 1, n):
-            acc = df32.sub(acc, df32.mul(lu[r][j], out[j]))
-        out[r] = df32.div(acc, lu[r][r])
+            acc = m.sub(acc, m.mul(lu[r][j], out[j]))
+        out[r] = m.mul(acc, rdiag[r])
     return out
 
 
@@ -218,6 +226,7 @@ def _lu_factor_f32(A, n):
     lu = [[A[r][c] for c in range(n)] for r in range(n)]
     zero_i = jnp.zeros_like(lu[0][0], i32)
     perm = [zero_i + r for r in range(n)]
+    rdiag = []
     for k in range(n - 1):
         pk = zero_i + k
         bm = jnp.abs(lu[k][k])
@@ -245,15 +254,17 @@ def _lu_factor_f32(A, n):
             pnew[r] = jnp.where(pk == r, perm[k], perm[r])
         perm = pnew
         inv_p = np.float32(1.0) / lu[k][k]
+        rdiag.append(inv_p)
         for r in range(k + 1, n):
             l = lu[r][k] * inv_p
             lu[r][k] = l
             for c in range(k + 1, n):
                 lu[r][c] = lu[r][c] - l * lu[k][c]
-    return lu, perm
+    rdiag.append(np.float32(1.0) / lu[n - 1][n - 1])
+    return lu, perm, rdiag
 
 
-def _lu_solve_f32(lu, perm, b, n):
+def _lu_solve_f32(lu, perm, rdiag, b, n):
     """Solve with :func:`_lu_factor_f32` output; b a list of n f32 rows."""
     xs = []
     for r in range(n):
@@ -271,7 +282,7 @@ def _lu_solve_f32(lu, perm, b, n):
         acc = xs[r]
         for j in range(r + 1, n):
             acc = acc - lu[r][j] * out[j]
-        out[r] = acc / lu[r][r]
+        out[r] = acc * rdiag[r]
     return out
 
 
@@ -295,7 +306,7 @@ def _pi_raw_f32(err, prev_err, ki_num, kp_num, eff_order):
     return jnp.where(use_pi, pi_both, i_only)
 
 
-def _compute_ru_df(order, factor_df: DF):
+def _compute_ru_df(order, factor_df: DF, m=df32):
     """DF port of solvers/bdf._compute_ru: RU = R(factor) @ U with identity
     outside rows/cols <= order.  All entries are per-tile DF scalars."""
     # r[i][j] = prod_{m=1..i} (m - 1 - factor*j) / m
@@ -305,12 +316,12 @@ def _compute_ru_df(order, factor_df: DF):
     for i_ in range(1, ND):
         inv_m = _df_const(1.0 / i_)
         for j in range(ND):
-            term = df32.mul_f32(
-                df32.sub(_df_const(i_ - 1.0), df32.mul_f32(factor_df, float(j))),
+            term = m.mul_f32(
+                m.sub(_df_const(i_ - 1.0), m.mul_f32(factor_df, float(j))),
                 1.0,
             )
-            term = df32.mul(term, inv_m)
-            r[i_][j] = df32.mul(r[i_ - 1][j], term)
+            term = m.mul(term, inv_m)
+            r[i_][j] = m.mul(r[i_ - 1][j], term)
     u = [[_df_const(_U64[i_, j]) for j in range(ND)] for i_ in range(ND)]
     ru = [[None] * ND for _ in range(ND)]
     for i_ in range(ND):
@@ -321,8 +332,8 @@ def _compute_ru_df(order, factor_df: DF):
             for k in range(ND):
                 if float(_U64[k, j]) == 0.0:
                     continue
-                term = df32.mul(r[i_][k], u[k][j])
-                acc = term if acc is None else df32.add(acc, term)
+                term = m.mul(r[i_][k], u[k][j])
+                acc = term if acc is None else m.add(acc, term)
             ru[i_][j] = acc
     # identity outside the active block
     eye = lambda a, b: _df_const(1.0 if a == b else 0.0)
@@ -330,25 +341,26 @@ def _compute_ru_df(order, factor_df: DF):
     for i_ in range(ND):
         for j in range(ND):
             valid = (i_ <= order) & (j <= order)
-            out[i_][j] = df32.where(valid, ru[i_][j], eye(i_, j))
+            out[i_][j] = m.where(valid, ru[i_][j], eye(i_, j))
     return out
 
 
-def _apply_ru_df(ru, D, n):
+def _apply_ru_df(ru, D, n, m=df32):
     """D'[j][s] = sum_i ru[i][j] * D[i][s] (the RU^T difference transform)."""
     out = []
     for j in range(ND):
         row = []
         for s in range(n):
-            acc = df32.mul(ru[0][j], D[0][s])
+            acc = m.mul(ru[0][j], D[0][s])
             for i_ in range(1, ND):
-                acc = df32.add(acc, df32.mul(ru[i_][j], D[i_][s]))
+                acc = m.add(acc, m.mul(ru[i_][j], D[i_][s]))
             row.append(acc)
         out.append(tuple(row))
     return tuple(out)
 
 
-def _masked_row_sum(D, order, n, lo=0, hi=MAX_ORDER, weights=None):
+def _masked_row_sum(D, order, n, lo=0, hi=MAX_ORDER, weights=None,
+                    m=df32):
     """sum_{i=lo..order (<=hi)} w_i * D[i] per state, DF."""
     rows = []
     for s in range(n):
@@ -356,25 +368,26 @@ def _masked_row_sum(D, order, n, lo=0, hi=MAX_ORDER, weights=None):
         for i_ in range(lo, hi + 1):
             v = D[i_][s]
             if weights is not None:
-                v = df32.mul(weights[i_], v)
-            v = df32.where(i_ <= order, v, df32.zeros_like(v))
-            acc = v if acc is None else df32.add(acc, v)
+                v = m.mul(weights[i_], v)
+            v = m.where(i_ <= order, v, m.zeros_like(v))
+            acc = v if acc is None else m.add(acc, v)
         rows.append(acc)
     return rows
 
 
-def _select_row(D, col, n):
+def _select_row(D, col, n, m=df32):
     """D[col] with col a traced i32 scalar (unrolled selects)."""
     rows = []
     for s in range(n):
         sel = D[0][s]
         for i_ in range(1, ND):
-            sel = df32.where(col == i_, D[i_][s], sel)
+            sel = m.where(col == i_, D[i_][s], sel)
         rows.append(sel)
     return rows
 
 
-def _interp_rows(Dm, nrows, t_anchor: DF, h: DF, order, te: DF, lane_shape):
+def _interp_rows(Dm, nrows, t_anchor: DF, h: DF, order, te: DF,
+                 lane_shape, m=df32):
     """Evaluate the accepted step's interpolation polynomial at ``te``.
 
     ``Dm`` is a difference matrix anchored at ``(t_anchor, h, order)``
@@ -385,40 +398,40 @@ def _interp_rows(Dm, nrows, t_anchor: DF, h: DF, order, te: DF, lane_shape):
     tf = _df_const(1.0)
     for i_ in range(MAX_ORDER):
         # tf *= (te - (t_anchor - h*i)) / (h*(1+i))
-        num = df32.sub(te, df32.sub(t_anchor, df32.mul_f32(h, float(i_))))
-        den = df32.mul_f32(h, float(1 + i_))
-        tf_new = df32.mul(tf, df32.div(num, den))
+        num = m.sub(te, m.sub(t_anchor, m.mul_f32(h, float(i_))))
+        den = m.mul_f32(h, float(1 + i_))
+        tf_new = m.mul(tf, m.div(num, den))
         use = i_ < order
         tfb = DF(jnp.broadcast_to(tf_new.hi, lane_shape),
                  jnp.broadcast_to(tf_new.lo, lane_shape))
         for s in range(nrows):
-            contrib = df32.where(
-                use, df32.mul(tfb, Dm[i_ + 1][s]), df32.zeros_like(yv[s])
+            contrib = m.where(
+                use, m.mul(tfb, Dm[i_ + 1][s]), m.zeros_like(yv[s])
             )
-            yv[s] = df32.add(yv[s], contrib)
-        tf = df32.where(use, tf_new, tf)
+            yv[s] = m.add(yv[s], contrib)
+        tf = m.where(use, tf_new, tf)
     return yv
 
 
-def _update_diff_rows(Dm, d_rows, order, nrows):
+def _update_diff_rows(Dm, d_rows, order, nrows, m=df32):
     """Accepted-step difference update (solvers/bdf._update_diff):
     D'[i] = suffix_sum + d for i <= order; D[order+1] = d;
     D[order+2] = d - D_old[order+1]."""
-    d_old_op1 = _select_row(Dm, order + 1, nrows)
-    zero = df32.zeros_like(d_rows[0])
+    d_old_op1 = _select_row(Dm, order + 1, nrows, m=m)
+    zero = m.zeros_like(d_rows[0])
     new_rows = [None] * ND
     acc = [zero for _ in range(nrows)]
     for i_ in range(ND - 1, -1, -1):
         for s in range(nrows):
-            inc = df32.where(i_ <= order, Dm[i_][s], zero)
-            acc[s] = df32.add(acc[s], inc)
+            inc = m.where(i_ <= order, Dm[i_][s], zero)
+            acc[s] = m.add(acc[s], inc)
         row = []
         for s in range(nrows):
-            below = df32.add(acc[s], d_rows[s])
-            v = df32.where(i_ <= order, below, Dm[i_][s])
-            v = df32.where(i_ == order + 1, d_rows[s], v)
-            v = df32.where(
-                i_ == order + 2, df32.sub(d_rows[s], d_old_op1[s]), v
+            below = m.add(acc[s], d_rows[s])
+            v = m.where(i_ <= order, below, Dm[i_][s])
+            v = m.where(i_ == order + 1, d_rows[s], v)
+            v = m.where(
+                i_ == order + 2, m.sub(d_rows[s], d_old_op1[s]), v
             )
             row.append(v)
         new_rows[i_] = tuple(row)
@@ -456,13 +469,26 @@ def make_pallas_bdf_solve(
     step controller's tolerance, not the linear algebra: measured on the
     robertson t=4e10 fixture the mixed trajectories agree with the df
     tier at ~1e-5 relative while cutting the kernel's dominant flops.
+    ``"fast"`` keeps EVERY quantity double-float but swaps the scalar
+    ops to the QD library's sloppy variants (11-flop add vs 20, 33-flop
+    division vs 120, reciprocal-multiply back-substitution) -- ~2^-45
+    worst-case relative instead of ~2^-48, still 21 bits beyond f32;
+    the kernel is VPU-throughput bound, so the ~35% flop cut is ~1:1
+    wall-clock (round-5 census + chip probes, docs/design.md).
 
     Raises :class:`UnsupportedForPallas` when the problem is outside the
     kernel's scope -- callers fall back to the XLA lockstep path.
     """
-    if precision not in ("df", "mixed"):
-        raise ValueError(f"precision must be 'df' or 'mixed': {precision!r}")
+    if precision not in ("df", "mixed", "fast"):
+        raise ValueError(
+            f"precision must be 'df', 'mixed' or 'fast': {precision!r}"
+        )
     mixed = precision == "mixed"
+    fast = precision == "fast"
+    # the kernel's scalar-ops vtable: the df32 module itself, or the
+    # sloppy-dd FastOps namespace (df32.add_sloppy/div_fast) -- the
+    # throughput-bound kernel's 20->11-flop add swap (see df32.FastOps)
+    dfm = df32.FastOps if fast else df32
     import sys
 
     # tracing the fused kernel to a jaxpr recurses through tens of
@@ -636,7 +662,7 @@ def make_pallas_bdf_solve(
         info_ref = next(_it)
         root_t_ref = next(_it) if has_root else None
 
-        A = DFAlgebra
+        A = df32.FastDFAlgebra if fast else DFAlgebra
         if nchains == 1:
             # LEGACY FLAT LAYOUT (the proven round-4 kernel shapes): lane
             # arrays are 1-D (tile,) -- Mosaic packs them (8, 128)-dense
@@ -730,10 +756,10 @@ def make_pallas_bdf_solve(
             """J[:, c] columns via dual-number probes (df accuracy)."""
             tb = DF(jnp.broadcast_to(t_sc.hi, lanes.shape),
                     jnp.broadcast_to(t_sc.lo, lanes.shape))
-            zero = df32.zeros_like(y_rows[0])
-            one = df32.const(1.0, like=lanes)
-            t_dual = (tb, df32.zeros_like(tb))
-            p_dual = [(pr, df32.zeros_like(pr)) for pr in p_rows]
+            zero = dfm.zeros_like(y_rows[0])
+            one = dfm.const(1.0, like=lanes)
+            t_dual = (tb, dfm.zeros_like(tb))
+            p_dual = [(pr, dfm.zeros_like(pr)) for pr in p_rows]
             cols = []
             for c in range(n):
                 y_dual = [
@@ -824,11 +850,11 @@ def make_pallas_bdf_solve(
             # Newton enforces the constraints thereafter)
             if mass_const_diag is not None:  # static mask, no lane selects
                 dy0 = [
-                    df32.zeros_like(dy0[r])
+                    dfm.zeros_like(dy0[r])
                     if float(mass_const_diag[r]) == 0.0
                     else (
                         dy0[r] if float(mass_const_diag[r]) == 1.0
-                        else df32.div(
+                        else dfm.div(
                             dy0[r], _df_const(float(mass_const_diag[r]))
                         )
                     )
@@ -837,14 +863,14 @@ def make_pallas_bdf_solve(
             else:
                 m0 = mass_rows(t0_df)
                 dy0 = [
-                    df32.where(
+                    dfm.where(
                         m0[r].hi != 0.0,
-                        df32.div(
+                        dfm.div(
                             dy0[r],
-                            df32.where(m0[r].hi != 0.0, m0[r],
-                                       df32.const(1.0, like=lanes)),
+                            dfm.where(m0[r].hi != 0.0, m0[r],
+                                       dfm.const(1.0, like=lanes)),
                         ),
-                        df32.zeros_like(dy0[r]),
+                        dfm.zeros_like(dy0[r]),
                     )
                     for r in range(n)
                 ]
@@ -866,10 +892,10 @@ def make_pallas_bdf_solve(
         h0_32 = jnp.where((d0 < 1e-5) | (d1 < 1e-5), np.float32(1e-6),
                           np.float32(0.01) * (d0 / d1))
         h0_df = DF(h0_32, jnp.zeros_like(h0_32))
-        y1 = [df32.add(y0[r], df32.mul_f32(dy0[r], h0_32)) for r in range(n)]
-        f1 = rhs_rows(df32.add(t0_df, h0_df), y1)
+        y1 = [dfm.add(y0[r], dfm.mul_f32(dy0[r], h0_32)) for r in range(n)]
+        f1 = rhs_rows(dfm.add(t0_df, h0_df), y1)
         d2 = wrms32(
-            [df32.sub(f1[r], dy0[r]) for r in range(n)], y0
+            [dfm.sub(f1[r], dy0[r]) for r in range(n)], y0
         ) / jnp.abs(h0_32)
         max_d = jnp.maximum(d1, d2)
         h1 = jnp.where(
@@ -887,7 +913,7 @@ def make_pallas_bdf_solve(
         zrow = DF(lanes, lanes)
         D0 = [tuple(zrow for _ in range(n)) for _ in range(ND)]
         D0[0] = tuple(y0)
-        D0[1] = tuple(df32.mul(h_df0, dy0[r]) for r in range(n))
+        D0[1] = tuple(dfm.mul(h_df0, dy0[r]) for r in range(n))
         D0 = tuple(D0)
 
         if integrate_out:
@@ -897,7 +923,7 @@ def make_pallas_bdf_solve(
                 tuple(zrow for _ in range(nout))
                 for _ in range(ND)
             ]
-            gD0[1] = tuple(df32.mul(h_df0, dg0[r]) for r in range(nout))
+            gD0[1] = tuple(dfm.mul(h_df0, dg0[r]) for r in range(nout))
             gD0 = tuple(gD0)
 
         if has_root:
@@ -959,6 +985,7 @@ def make_pallas_bdf_solve(
                 J=tuple(tuple(zdf for _ in range(n)) for _ in range(n)),
                 lu=tuple(tuple(zdf for _ in range(n)) for _ in range(n)),
                 perm=tuple(lanes.astype(i32) for _ in range(n)),
+                rdiag=tuple(zdf for _ in range(n)),
                 c_last=csc_f(0.0),  # LU's c; 0 = none
                 ssj=csc_i(0),       # attempts since refactor
                 ssrj=csc_i(0),      # attempts since J refresh
@@ -989,9 +1016,10 @@ def make_pallas_bdf_solve(
                 c["h_changed"], c["D"],
             )
             if jac_reuse:
-                (J_c, lu_c, perm_c, c_last, ssj, ssrj, eta_mem) = (
-                    c["J"], c["lu"], c["perm"], c["c_last"], c["ssj"],
-                    c["ssrj"], c["eta_mem"],
+                (J_c, lu_c, perm_c, rdiag_c, c_last, ssj, ssrj,
+                 eta_mem) = (
+                    c["J"], c["lu"], c["perm"], c["rdiag"], c["c_last"],
+                    c["ssj"], c["ssrj"], c["eta_mem"],
                 )
             if integrate_out:
                 gD_c = c["gD"]
@@ -999,16 +1027,17 @@ def make_pallas_bdf_solve(
                 rootg_c = c["rootg"]
 
             alpha_k = _df_table(alpha64, order)
-            cval = df32.mul(h, alpha_k)
-            t_pred = df32.add(t, h)
+            cval = dfm.mul(h, alpha_k)
+            t_pred = dfm.add(t, h)
 
             # predict + psi from the difference matrix
-            y_pred = _masked_row_sum(D, order, n)
+            y_pred = _masked_row_sum(D, order, n, m=dfm)
             gamma_w = [_df_const(g) for g in gamma64] + [
                 _df_const(0.0)
             ] * (ND - len(gamma64))
-            psi_raw = _masked_row_sum(D, order, n, lo=1, weights=gamma_w)
-            psi = [df32.mul(pr, alpha_k) for pr in psi_raw]
+            psi_raw = _masked_row_sum(D, order, n, lo=1, weights=gamma_w,
+                                      m=dfm)
+            psi = [dfm.mul(pr, alpha_k) for pr in psi_raw]
 
             md_pred = mass_rows(t_pred) if has_mass else None
 
@@ -1034,14 +1063,14 @@ def make_pallas_bdf_solve(
                 def diag(r):
                     if has_mass:
                         return md_pred[r]
-                    return df32.const(1.0, like=lanes)
+                    return dfm.const(1.0, like=lanes)
 
                 return [
                     [
-                        df32.sub(
+                        dfm.sub(
                             diag(r) if r == cc
-                            else df32.const(0.0, like=lanes),
-                            df32.mul(cval, Jm[r][cc]),
+                            else dfm.const(0.0, like=lanes),
+                            dfm.mul(cval, Jm[r][cc]),
                         )
                         for cc in range(n)
                     ]
@@ -1049,14 +1078,17 @@ def make_pallas_bdf_solve(
                 ]
 
             _jac = jac_cols32 if mixed else jac_cols
-            _lufac = _lu_factor_f32 if mixed else _lu_factor_df
+            _lufac = (
+                _lu_factor_f32 if mixed
+                else (lambda A_, n_: _lu_factor_df(A_, n_, m=dfm))
+            )
             # J/lu carry entries are raw f32 rows in the mixed tier
-            _jwhere = jnp.where if mixed else df32.where
+            _jwhere = jnp.where if mixed else dfm.where
 
             if not jac_reuse:
                 # fresh Jacobian + LU of (I - c J) at every attempt
                 J = _jac(t_pred, y_pred)
-                lu, perm = _lufac(build_amat(J), n)
+                lu, perm, rdiag = _lufac(build_amat(J), n)
                 eta0 = csc_f(20.0**1.25)
             else:
                 # stale-Jacobian update policy (reference bdf.rs:467-505 +
@@ -1104,7 +1136,7 @@ def make_pallas_bdf_solve(
 
                 def do_refactor(_):
                     rb = _mb(refactor32)
-                    lu_n, perm_n = _lufac(build_amat(J), n)
+                    lu_n, perm_n, rd_n = _lufac(build_amat(J), n)
                     return (
                         tuple(
                             tuple(
@@ -1119,11 +1151,15 @@ def make_pallas_bdf_solve(
                             .astype(i32)
                             for r in range(n)
                         ),
+                        tuple(
+                            _jwhere(rb, rd_n[r], rdiag_c[r])
+                            for r in range(n)
+                        ),
                     )
 
-                lu, perm = jax.lax.cond(
+                lu, perm, rdiag = jax.lax.cond(
                     _any32(refactor), do_refactor,
-                    lambda _: (lu_c, perm_c), None,
+                    lambda _: (lu_c, perm_c, rdiag_c), None,
                 )
                 c_last_n = jnp.where(refactor, c32, c_last)
                 ssj_n = jnp.where(refactor, 0, ssj + 1).astype(i32)
@@ -1139,17 +1175,20 @@ def make_pallas_bdf_solve(
 
             # ---- Newton on F(x) = M (x - y_pred + psi) - c f(x) ----------
             # (solvers/bdf.py _residual; M = diag fast path or identity)
+            # psi - y_pred is Newton-iterate-independent: hoist it out
+            # of the loop (saves one dd-add per row per iteration; the dd
+            # add is error-free on the hi words either way)
+            ypp = [dfm.sub(psi[r], y_pred[r]) for r in range(n)]
+
             def nres(x_rows):
                 fx = rhs_rows(t_pred, x_rows)
                 out_rows = []
                 for r in range(n):
-                    tmp = df32.add(
-                        df32.sub(x_rows[r], y_pred[r]), psi[r]
-                    )
+                    tmp = dfm.add(x_rows[r], ypp[r])
                     if has_mass:
-                        tmp = df32.mul(md_pred[r], tmp)
+                        tmp = dfm.mul(md_pred[r], tmp)
                     out_rows.append(
-                        df32.sub(tmp, df32.mul(cval, fx[r]))
+                        dfm.sub(tmp, dfm.mul(cval, fx[r]))
                     )
                 return out_rows
 
@@ -1166,10 +1205,11 @@ def make_pallas_bdf_solve(
                     # the solve error scales with |delta|, which -> 0
                     r_rows = nres(list(x))
                     d32 = _lu_solve_f32(
-                        lu, perm, [v.hi for v in r_rows], n
+                        lu, perm, rdiag, [v.hi for v in r_rows], n
                     )
                     return [DF(v, jnp.zeros_like(v)) for v in d32]
-                return _lu_solve_df(lu, perm, nres(list(x)), n)
+                return _lu_solve_df(lu, perm, rdiag, nres(list(x)), n,
+                                    m=dfm)
 
             def n_body(nc):
                 # per-chain masking: a chain whose Newton already
@@ -1177,7 +1217,7 @@ def make_pallas_bdf_solve(
                 x, first_nrm, niter, nstat, eta_run = nc
                 active = (nstat == 0) & (niter < max_newton_iter)
                 delta = newton_delta(x)
-                x_new = tuple(df32.sub(x[r], delta[r]) for r in range(n))
+                x_new = tuple(dfm.sub(x[r], delta[r]) for r in range(n))
                 nrm = wrms32(delta, y_pred)
                 niter = niter + active.astype(i32)
                 is_first = niter == 1
@@ -1207,7 +1247,7 @@ def make_pallas_bdf_solve(
                 ).astype(i32)
                 first_nrm_new = jnp.where(is_first, nrm, first_nrm)
                 x = tuple(
-                    df32.where(active, x_new[r], x[r]) for r in range(n)
+                    dfm.where(active, x_new[r], x[r]) for r in range(n)
                 )
                 return (
                     x,
@@ -1222,18 +1262,18 @@ def make_pallas_bdf_solve(
                 (tuple(y_pred), csc_f(0.0), csc_i(0), csc_i(0), eta0),
             )
             solve_ok = nstat == 1
-            d_rows = [df32.sub(x_fin[r], y_pred[r]) for r in range(n)]
+            d_rows = [dfm.sub(x_fin[r], y_pred[r]) for r in range(n)]
 
             # ---- quadrature delta (op/bdf.rs:45-57: d_g = c*dg - psi_g) --
             if integrate_out:
                 dg = out_rows(t_pred, y_pred)
                 psi_g_raw = _masked_row_sum(
-                    gD_c, order, nout, lo=1, weights=gamma_w
+                    gD_c, order, nout, lo=1, weights=gamma_w, m=dfm
                 )
                 g_delta = [
-                    df32.sub(
-                        df32.mul(cval, dg[r]),
-                        df32.mul(psi_g_raw[r], alpha_k),
+                    dfm.sub(
+                        dfm.mul(cval, dg[r]),
+                        dfm.mul(psi_g_raw[r], alpha_k),
                     )
                     for r in range(nout)
                 ]
@@ -1279,11 +1319,12 @@ def make_pallas_bdf_solve(
             do_rescale = err_fail | second
 
             # ---- accepted-step finalization ------------------------------
-            D_acc = _update_diff_rows(D, d_rows, order, n)
+            D_acc = _update_diff_rows(D, d_rows, order, n, m=dfm)
             t_new = t_pred
             y_new = D_acc[0]
             if integrate_out:
-                gD_acc = _update_diff_rows(gD_c, g_delta, order, nout)
+                gD_acc = _update_diff_rows(gD_c, g_delta, order, nout,
+                                           m=dfm)
 
             # ---- order selection (every order+1 equal steps) -------------
             # a step-size change during the attempts resets the equal-step
@@ -1294,7 +1335,7 @@ def make_pallas_bdf_solve(
             do_sel = accepted & (n_equal_acc > order)
 
             def pred_err(col, const_idx):
-                rowv = _select_row(D_acc, col, n)
+                rowv = _select_row(D_acc, col, n, m=dfm)
                 acc2 = None
                 for r in range(n):
                     scale = jnp.abs(y_new[r].hi) * rtol_f32 + atol_f32[r]
@@ -1341,7 +1382,7 @@ def make_pallas_bdf_solve(
             do_ru = _mb(jnp.where(accepted, _m32(do_change), _m32(do_rescale)))
             D_base = tuple(
                 tuple(
-                    df32.where(accepted, D_acc[i_][s], D[i_][s])
+                    dfm.where(accepted, D_acc[i_][s], D[i_][s])
                     for s in range(n)
                 )
                 for i_ in range(ND)
@@ -1349,7 +1390,7 @@ def make_pallas_bdf_solve(
             gD_base = (
                 tuple(
                     tuple(
-                        df32.where(accepted, gD_acc[i_][s], gD_c[i_][s])
+                        dfm.where(accepted, gD_acc[i_][s], gD_c[i_][s])
                         for s in range(nout)
                     )
                     for i_ in range(ND)
@@ -1363,29 +1404,31 @@ def make_pallas_bdf_solve(
                 Din, gDin = args
                 rb = _mb(do_ru32)
                 ru = _compute_ru_df(
-                    ru_order, DF(ru_factor, jnp.zeros_like(ru_factor))
+                    ru_order, DF(ru_factor, jnp.zeros_like(ru_factor)),
+                    m=dfm,
                 )
 
                 def _sel(resc, base, nr):
                     return tuple(
                         tuple(
-                            df32.where(rb, resc[i_][s], base[i_][s])
+                            dfm.where(rb, resc[i_][s], base[i_][s])
                             for s in range(nr)
                         )
                         for i_ in range(ND)
                     )
 
                 gDout = (
-                    _sel(_apply_ru_df(ru, gDin, nout), gDin, nout)
+                    _sel(_apply_ru_df(ru, gDin, nout, m=dfm), gDin, nout)
                     if integrate_out else ()
                 )
-                return (_sel(_apply_ru_df(ru, Din, n), Din, n), gDout)
+                return (_sel(_apply_ru_df(ru, Din, n, m=dfm), Din, n),
+                        gDout)
 
             D_out, gD_out = jax.lax.cond(
                 _any32(do_ru), apply_resc, lambda a: a, (D_base, gD_base)
             )
             h_mult = jnp.where(do_ru, ru_factor, np.float32(1.0))
-            h_out = df32.mul(h, DF(h_mult, jnp.zeros_like(h_mult)))
+            h_out = dfm.mul(h, DF(h_mult, jnp.zeros_like(h_mult)))
 
             # ---- root check on the accepted interpolant ------------------
             # (reference bdf.rs:1566-1579 + root.rs:60-165; the XLA port is
@@ -1465,7 +1508,7 @@ def make_pallas_bdf_solve(
                 def _sel_g(gl, idx):
                     sel = gl[0]
                     for r in range(1, nroot):
-                        sel = df32.where(idx == r, gl[r], sel)
+                        sel = dfm.where(idx == r, gl[r], sel)
                     return sel
 
                 def do_polish(_):
@@ -1480,7 +1523,7 @@ def make_pallas_bdf_solve(
                     def s_prog(sc):
                         # done/sc0/sc1 are carried as f32 masks: bool
                         # while-carries hit the i8->i1 Mosaic trunci
-                        gap = jnp.abs(df32.sub(sc["t1"], sc["t0"]).hi)
+                        gap = jnp.abs(dfm.sub(sc["t1"], sc["t0"]).hi)
                         return (
                             (~_mb(sc["done"])) & (gap > tol) & (sc["i"] < 40)
                         )
@@ -1495,10 +1538,10 @@ def make_pallas_bdf_solve(
                         g1v = _sel_g(sc["g1"], sc["im"])
                         g0v = _sel_g(sc["g0"], sc["im"])
                         alpha_df = DF(sc["alpha"], jnp.zeros_like(sc["alpha"]))
-                        den = df32.sub(g1v, df32.mul(alpha_df, g0v))
-                        dt_br = df32.sub(sc["t1"], sc["t0"])
-                        t_mid = df32.sub(
-                            sc["t1"], df32.mul(dt_br, df32.div(g1v, den))
+                        den = dfm.sub(g1v, dfm.mul(alpha_df, g0v))
+                        dt_br = dfm.sub(sc["t1"], sc["t0"])
+                        t_mid = dfm.sub(
+                            sc["t1"], dfm.mul(dt_br, dfm.div(g1v, den))
                         )
                         # keep t_mid off the bracket boundaries
                         fracint = jnp.abs(dt_br.hi) / tol
@@ -1507,20 +1550,20 @@ def make_pallas_bdf_solve(
                             np.float32(0.5) / fracint,
                         )
                         frdf = DF(fracsub, jnp.zeros_like(fracsub))
-                        lo_gap = jnp.abs(df32.sub(t_mid, sc["t0"]).hi)
-                        t_mid = df32.where(
+                        lo_gap = jnp.abs(dfm.sub(t_mid, sc["t0"]).hi)
+                        t_mid = dfm.where(
                             lo_gap < 0.5 * tol,
-                            df32.add(sc["t0"], df32.mul(frdf, dt_br)),
+                            dfm.add(sc["t0"], dfm.mul(frdf, dt_br)),
                             t_mid,
                         )
-                        hi_gap = jnp.abs(df32.sub(sc["t1"], t_mid).hi)
-                        t_mid = df32.where(
+                        hi_gap = jnp.abs(dfm.sub(sc["t1"], t_mid).hi)
+                        t_mid = dfm.where(
                             hi_gap < 0.5 * tol,
-                            df32.sub(sc["t1"], df32.mul(frdf, dt_br)),
+                            dfm.sub(sc["t1"], dfm.mul(frdf, dt_br)),
                             t_mid,
                         )
                         ymid = _interp_rows(
-                            D_acc, n, t_new, h, order, t_mid, lanes.shape
+                            D_acc, n, t_new, h, order, t_mid, lanes.shape, m=dfm
                         )
                         gmid = tuple(
                             lane0df(v) for v in root_rows(t_mid, ymid)
@@ -1554,20 +1597,20 @@ def make_pallas_bdf_solve(
                             tk = fr2[r] > b2
                             im2 = jnp.where(tk, r, im2).astype(i32)
                             b2 = jnp.maximum(fr2[r], b2)
-                        t1n = df32.where(lower, t_mid, sc["t1"])
+                        t1n = dfm.where(lower, t_mid, sc["t1"])
                         imn = jnp.where(lower, im2, sc["im"]).astype(i32)
                         g1n = tuple(
-                            df32.where(lower, gmid[r], sc["g1"][r])
+                            dfm.where(lower, gmid[r], sc["g1"][r])
                             for r in range(nroot)
                         )
                         exact = (~lower) & rootfnd
                         keep_lo = lower | exact
-                        t0n = df32.where(keep_lo, sc["t0"], t_mid)
+                        t0n = dfm.where(keep_lo, sc["t0"], t_mid)
                         g0n = tuple(
-                            df32.where(keep_lo, sc["g0"][r], gmid[r])
+                            dfm.where(keep_lo, sc["g0"][r], gmid[r])
                             for r in range(nroot)
                         )
-                        res_tn = df32.where(exact, t_mid, sc["res_t"])
+                        res_tn = dfm.where(exact, t_mid, sc["res_t"])
                         res_in = jnp.where(exact, sc["im"], sc["res_i"])
                         lower32 = _m32(lower)
                         sc0n = jnp.where(sc["i"] % 2 == 0, lower32,
@@ -1586,7 +1629,7 @@ def make_pallas_bdf_solve(
                             sc["alpha"],
                         )
                         def fz(a, b):
-                            return df32.where(prog, a, b)
+                            return dfm.where(prog, a, b)
 
                         return dict(
                             t0=fz(t0n, sc["t0"]), t1=fz(t1n, sc["t1"]),
@@ -1617,7 +1660,7 @@ def make_pallas_bdf_solve(
                     )
                     sf = jax.lax.while_loop(s_cond, s_body, s0)
                     fin = _mb(sf["done"])
-                    t_r = df32.where(fin, sf["res_t"], sf["t1"])
+                    t_r = dfm.where(fin, sf["res_t"], sf["t1"])
                     idx_r = jnp.where(fin, sf["res_i"], sf["im"])
                     return t_r, idx_r.astype(i32)
 
@@ -1636,13 +1679,13 @@ def make_pallas_bdf_solve(
                     )
                     # do_zero chains pin at t_new with the argmin index
                     dc = _mb(do_cross32)
-                    t_r = df32.where(dc, t_r, t_new)
+                    t_r = dfm.where(dc, t_r, t_new)
                     idx_r = jnp.where(dc, idx_r, zi).astype(i32)
                     # state_mut_back (drivers._pin_to) + apply_reset +
                     # reinit-at-order-1 (drivers._apply_reset,
                     # bdf.reinit_after_reset; reference state.rs:246-320)
                     y_root = _interp_rows(
-                        D_acc, n, t_new, h, order, t_r, lanes.shape
+                        D_acc, n, t_new, h, order, t_r, lanes.shape, m=dfm
                     )
                     y_plus = (
                         reset_rows(t_r, y_root) if has_reset else y_root
@@ -1651,7 +1694,7 @@ def make_pallas_bdf_solve(
                     rootg_plus = root_rows(t_r, y_plus)
                     if integrate_out:
                         g_root = _interp_rows(
-                            gD_acc, nout, t_new, h, order, t_r, lanes.shape
+                            gD_acc, nout, t_new, h, order, t_r, lanes.shape, m=dfm
                         )
                         dg_plus = out_rows(t_r, y_plus)
                     else:
@@ -1680,7 +1723,7 @@ def make_pallas_bdf_solve(
                     dr = _mb(do_root32)
 
                     def seld(pr, nr_):
-                        return df32.where(dr, pr, nr_)
+                        return dfm.where(dr, pr, nr_)
 
                     return (
                         seld(pv[0], nv[0]),
@@ -1710,7 +1753,7 @@ def make_pallas_bdf_solve(
             # unrolling neval copies of the polynomial into the step body
             # eval points crossed by this accepted step; on a root event the
             # step effectively ends at t_root (drivers t_upper semantics)
-            t_wr = df32.where(do_root, t_r, t_new) if has_root else t_new
+            t_wr = dfm.where(do_root, t_r, t_new) if has_root else t_new
 
             # alive gates finished/failed chains out of further writes;
             # f32 capture across the w-while boundary (see _m32)
@@ -1718,7 +1761,7 @@ def make_pallas_bdf_solve(
 
             def w_mask(ne):
                 te = _df_table(t_eval64, ne)
-                return _mb(walive32) & (ne < neval) & df32.le(te, t_wr)
+                return _mb(walive32) & (ne < neval) & dfm.le(te, t_wr)
 
             def w_cond(ne):
                 return _any32(w_mask(ne))
@@ -1728,10 +1771,11 @@ def make_pallas_bdf_solve(
                 te = _df_table(t_eval64, ne)
                 # interpolation polynomial of the ACCEPTED step: D_acc at
                 # (t_new, h, order) (solvers/bdf._interp_from_diff)
-                yv = _interp_rows(D_acc, n, t_new, h, order, te, lanes.shape)
+                yv = _interp_rows(D_acc, n, t_new, h, order, te, lanes.shape,
+                                  m=dfm)
                 if integrate_out:
                     gv = _interp_rows(
-                        gD_acc, nout, t_new, h, order, te, lanes.shape
+                        gD_acc, nout, t_new, h, order, te, lanes.shape, m=dfm
                     )
                 if nchains == 1:
                     # w_cond == the scalar mask itself: the write is
@@ -1785,7 +1829,7 @@ def make_pallas_bdf_solve(
 
             # ---- select between accepted / rejected paths ----------------
             Dn = D_out
-            tn = df32.where(accepted, t_new, t)
+            tn = dfm.where(accepted, t_new, t)
             hn = h_out
             order_n = jnp.where(accepted, order_acc, order).astype(i32)
             if has_root:
@@ -1796,7 +1840,7 @@ def make_pallas_bdf_solve(
                 D_reinit = tuple(
                     tuple(
                         y_plus[s] if i_ == 0
-                        else (df32.mul(hn, dy_plus[s]) if i_ == 1
+                        else (dfm.mul(hn, dy_plus[s]) if i_ == 1
                               else zrow)
                         for s in range(n)
                     )
@@ -1804,12 +1848,12 @@ def make_pallas_bdf_solve(
                 )
                 Dn = tuple(
                     tuple(
-                        df32.where(do_root, D_reinit[i_][s], Dn[i_][s])
+                        dfm.where(do_root, D_reinit[i_][s], Dn[i_][s])
                         for s in range(n)
                     )
                     for i_ in range(ND)
                 )
-                tn = df32.where(do_root, t_r, tn)
+                tn = dfm.where(do_root, t_r, tn)
                 order_n = jnp.where(do_root, 1, order_n).astype(i32)
             # the equal-step counter only advances on ACCEPTED steps; a
             # rejection that rescaled h flags h_changed so the eventual
@@ -1877,7 +1921,7 @@ def make_pallas_bdf_solve(
                     gD_reinit = tuple(
                         tuple(
                             g_root[s] if i_ == 0
-                            else (df32.mul(hn, dg_plus[s]) if i_ == 1
+                            else (dfm.mul(hn, dg_plus[s]) if i_ == 1
                                   else zrow)
                             for s in range(nout)
                         )
@@ -1885,7 +1929,7 @@ def make_pallas_bdf_solve(
                     )
                     gDn = tuple(
                         tuple(
-                            df32.where(do_root, gD_reinit[i_][s], gDn[i_][s])
+                            dfm.where(do_root, gD_reinit[i_][s], gDn[i_][s])
                             for s in range(nout)
                         )
                         for i_ in range(ND)
@@ -1894,24 +1938,25 @@ def make_pallas_bdf_solve(
             if has_root:
                 out.update(
                     rootg=tuple(
-                        df32.where(accepted, rootg_plus[r], rootg_c[r])
+                        dfm.where(accepted, rootg_plus[r], rootg_c[r])
                         for r in range(nroot)
                     ),
                     n_roots=c["n_roots"] + do_root.astype(i32),
-                    root_t=df32.where(do_root, t_r, c["root_t"]),
+                    root_t=dfm.where(do_root, t_r, c["root_t"]),
                     root_idx=jnp.where(
                         do_root, ridx, c["root_idx"]
                     ).astype(i32),
                 )
             if jac_reuse:
-                out.update(J=J, lu=lu, perm=perm, c_last=c_last_n,
-                           ssj=ssj_n, ssrj=ssrj_n, eta_mem=eta_fin)
+                out.update(J=J, lu=lu, perm=perm, rdiag=rdiag,
+                           c_last=c_last_n, ssj=ssj_n, ssrj=ssrj_n,
+                           eta_mem=eta_fin)
 
             # freeze finished chains: their (garbage) step results must
             # not overwrite the state they finished with
             def _freeze(new_v, old_v):
                 if isinstance(new_v, DF):
-                    return df32.where(alive, new_v, old_v)
+                    return dfm.where(alive, new_v, old_v)
                 if isinstance(new_v, tuple):
                     return tuple(
                         _freeze(a, b) for a, b in zip(new_v, old_v)

@@ -8,8 +8,8 @@ carries all chains, overlapping their serial dependency chains.  This
 sweep measures where the win saturates and which (tile, chains) minimizes
 the reference-matched t=4e10 B=10k wall time.
 
-Usage: python scripts/tpu_pallas_chain_sweep.py [t4e10|t4e5] [tile,chains ...]
-e.g.   python scripts/tpu_pallas_chain_sweep.py t4e10 4096,1 4096,3 2048,6
+Usage: python scripts/tpu_pallas_chain_sweep.py [t4e10|t4e5] [tile,chains[,prec] ...]
+e.g.   python scripts/tpu_pallas_chain_sweep.py t4e10 10240,1 10240,1,mixed
 """
 import os as _os, sys as _sys
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
@@ -43,33 +43,40 @@ else:
     B = 10_000
 problem = robertson.problem_ode(rtol=1e-4, atol=(1e-8, 1e-6, 1e-6))
 
-combos = [tuple(int(x) for x in a.split(",")) for a in args] or [
-    (4096, 1), (4096, 2), (4096, 3), (2048, 3), (2048, 6), (1024, 8),
+def _parse(a):
+    parts = a.split(",")
+    tile, chains = int(parts[0]), int(parts[1])
+    prec = parts[2] if len(parts) > 2 else "df"
+    return tile, chains, prec
+
+
+combos = [_parse(a) for a in args] or [
+    (4096, 1, "df"), (4096, 2, "df"), (4096, 3, "df"),
+    (2048, 3, "df"), (2048, 6, "df"), (1024, 8, "df"),
 ]
 
 k1 = jnp.full((B,), 0.04)
 params = jnp.stack([k1, jnp.full((B,), 1e4), jnp.full((B,), 3e7)], axis=1)
 
-for tile, chains in combos:
+for tile, chains, prec in combos:
+    tag = f"tile={tile} chains={chains} prec={prec}"
     t0 = time.perf_counter()
     solve = make_pallas_bdf_solve(
-        problem, T_EVAL, nbatch=B, tile=tile, chains=chains
+        problem, T_EVAL, nbatch=B, tile=tile, chains=chains, precision=prec
     )
     t_make = time.perf_counter() - t0
     t0 = time.perf_counter()
     try:
         compiled = jax.jit(solve).lower(params).compile()
     except Exception as e:
-        print(f"tile={tile} chains={chains}: COMPILE FAILED: "
-              f"{str(e)[:300]}", flush=True)
+        print(f"{tag}: COMPILE FAILED: {str(e)[:300]}", flush=True)
         continue
     t_comp = time.perf_counter() - t0
     try:
         ys, status, steps = compiled(params)
         float(jnp.sum(ys[-1]))
     except Exception as e:
-        print(f"tile={tile} chains={chains}: RUN FAILED: {str(e)[:300]}",
-              flush=True)
+        print(f"{tag}: RUN FAILED: {str(e)[:300]}", flush=True)
         continue
     st = int(np.min(np.asarray(status)))
     nsteps = int(np.max(np.asarray(steps)))
@@ -89,7 +96,7 @@ for tile, chains in combos:
         t4 = min(t4, time.perf_counter() - t0)
     marg = (t4 - best) / 3.0
     print(
-        f"tile={tile} chains={chains}: make={t_make:.1f}s "
+        f"{tag}: make={t_make:.1f}s "
         f"compile={t_comp:.1f}s status={st} steps={nsteps} "
         f"latency={best*1e3:.1f}ms marginal={marg*1e3:.2f}ms "
         f"per-step-call={marg/max(nsteps,1)*1e6:.1f}us "

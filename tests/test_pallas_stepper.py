@@ -484,3 +484,59 @@ def test_pallas_stepper_precision_validation():
     problem = robertson.problem_ode(rtol=1e-4, atol=1e-6)
     with pytest.raises(ValueError):
         make_pallas_bdf_solve(problem, [0.4], nbatch=4, precision="f16")
+
+
+def test_pallas_stepper_fast_precision_interpret():
+    """precision="fast" swaps the kernel's scalar ops to the QD sloppy
+    variants (df32.add_sloppy 11 flops, div_fast 33, reciprocal-multiply
+    back-substitution) -- ~2^-45 worst-case relative vs the accurate
+    tier's ~2^-48, still 21 bits beyond plain f32 (which diverges on
+    robertson past t~1e8, docs/design.md).  Trajectories must be
+    indistinguishable at the error-test-weight level and the step
+    sequence must not degrade."""
+    # non-stiff sanity vs the analytic solution
+    prob = (
+        dt.OdeBuilder()
+        .rhs(lambda t, y, p: -p[0] * y)
+        .init(lambda t, p: jnp.array([1.0, 2.0]))
+        .p([1.0])
+        .rtol(1e-6)
+        .atol(1e-8)
+        .build()
+    )
+    te = [0.3, 0.7, 1.3]
+    B = 8
+    params = jnp.asarray(np.linspace(0.5, 1.5, B)[:, None])
+    ys, st, _ = make_pallas_bdf_solve(
+        prob, te, nbatch=B, tile=4, interpret=True, precision="fast"
+    )(params)
+    assert int(jnp.min(st)) >= 0
+    for i, t in enumerate(te):
+        exact = np.exp(-np.asarray(params[:, 0]) * t)
+        np.testing.assert_allclose(
+            np.asarray(ys[i, 0, :]), exact, rtol=1e-5
+        )
+
+    # stiff robertson through the switching region: fast vs df tier in
+    # error-test-weight units (atol + rtol|y|); measured ~1e-4 weights
+    problem = robertson.problem_ode(rtol=1e-4, atol=(1e-8, 1e-6, 1e-6))
+    te_r = [0.4, 4.0, 400.0, 4e4]
+    B = 4
+    pr = jnp.stack(
+        [jnp.full((B,), 0.04), jnp.full((B,), 1e4), jnp.full((B,), 3e7)],
+        axis=1,
+    )
+    r_df = make_pallas_bdf_solve(
+        problem, te_r, nbatch=B, tile=4, interpret=True
+    )(pr)
+    r_fa = make_pallas_bdf_solve(
+        problem, te_r, nbatch=B, tile=4, interpret=True, precision="fast"
+    )(pr)
+    assert int(jnp.min(r_fa[1])) >= 0, np.asarray(r_fa[1])
+    yf, ym = np.asarray(r_df[0]), np.asarray(r_fa[0])
+    w = np.array([1e-8, 1e-6, 1e-6])[None, :, None] + 1e-4 * np.abs(yf)
+    scaled = np.max(np.abs(ym - yf) / w)
+    assert scaled < 0.05, scaled
+    # the sloppy arithmetic must not change the step count materially
+    s_df, s_fa = int(np.max(r_df[2])), int(np.max(r_fa[2]))
+    assert abs(s_fa - s_df) <= max(3, s_df // 20), (s_df, s_fa)
